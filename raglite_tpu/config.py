@@ -1,0 +1,106 @@
+"""Frozen configuration object threaded through every public call.
+
+TPU-native counterpart of the reference's ``RAGLiteConfig``
+(/root/reference/src/raglite/_config.py:42-83).  Differences from the
+reference are deliberate:
+
+- ``db_url`` (DuckDB/Postgres URL) becomes ``store_path`` — the host-side
+  columnar chunk store directory (":memory:" for ephemeral stores).  There is
+  no SQL backend; the device-side index is an HBM-resident sharded embedding
+  matrix rebuilt/mmapped from the store.
+- ``llm``/``embedder`` model strings select first-party JAX models or
+  adapters instead of llama.cpp repos (see models/llm.py, models/encoder.py).
+- New TPU-specific knobs: embedding dtype, device mesh shape, and the Pallas
+  kernel toggle.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+from raglite_tpu.types import DistanceMetric, RerankerLike
+
+if TYPE_CHECKING:
+    from raglite_tpu.types import SearchMethod
+
+
+def _default_store_path() -> str:
+    """Default persistent store location (reference: _config.py:50-56 puts the
+    default DuckDB file in the user-data dir)."""
+    base = os.environ.get("RAGLITE_TPU_HOME", str(Path.home() / ".raglite_tpu"))
+    return str(Path(base) / "default")
+
+
+def _default_search_method() -> "SearchMethod":
+    """Lazy import of the default search method (reference: _config.py:26-39)."""
+    from raglite_tpu.search import vector_search
+
+    return vector_search
+
+
+def _default_reranker() -> RerankerLike:
+    """Per-language reranker mapping (reference: _config.py:73-79 defaults to
+    FlashRank cross-encoders).  The TPU-native default is the late-interaction
+    MaxSim reranker running as a fused device kernel for every language."""
+    return {"en": "maxsim", "other": "maxsim"}
+
+
+@dataclass(frozen=True)
+class RAGLiteConfig:
+    """Immutable configuration (reference: _config.py:42-83).
+
+    Fields are hashable so the config can key ``lru_cache``d singletons
+    (engine/model factories), mirroring the reference's pattern
+    (_database.py:518, _litellm.py:96-98).  ``reranker`` and
+    ``search_method`` are excluded from comparison like the reference
+    (_config.py:78,82).
+    """
+
+    # Storage (reference: db_url, _config.py:66)
+    store_path: str = field(default_factory=_default_store_path)
+
+    # Models (reference: llm/embedder strings, _config.py:50-64)
+    llm: str = "echo"
+    embedder: str = "hash:1024"
+
+    # Chunking (reference: _config.py:67-68)
+    chunk_max_size: int = 2048  # characters
+
+    # Vector search (reference: _config.py:69-71)
+    vector_search_distance_metric: DistanceMetric = "cosine"
+    vector_search_multivector: bool = True
+    vector_search_query_adapter: bool = True
+
+    # Embedding storage dtype on device ("bfloat16" | "float16" | "float32").
+    # The reference stores fp16 halfvec on Postgres (_typing.py:145-175);
+    # bfloat16 is the TPU-native choice (MXU-native, same 2 bytes/val).
+    embedding_dtype: str = "bfloat16"
+
+    # Reranking (reference: _config.py:73-79)
+    reranker: RerankerLike = field(default_factory=_default_reranker, compare=False)
+
+    # Search method (reference: _config.py:82)
+    search_method: "SearchMethod" = field(
+        default_factory=_default_search_method, compare=False
+    )
+
+    # Self-query metadata filter extraction (reference: _config.py:83)
+    self_query: bool = False
+
+    # --- TPU-specific ---------------------------------------------------
+    #: Number of devices to shard the index over (0 = all local devices).
+    num_devices: int = 0
+    #: Use Pallas fused kernels on the query path when the index is large
+    #: enough to benefit; falls back to pure-XLA ops otherwise.
+    use_pallas: bool = True
+
+    def __post_init__(self) -> None:
+        if self.vector_search_distance_metric not in ("cosine", "dot", "l2"):
+            msg = f"unknown distance metric {self.vector_search_distance_metric!r}"
+            raise ValueError(msg)
+        if self.embedding_dtype not in ("bfloat16", "float16", "float32"):
+            msg = f"unknown embedding dtype {self.embedding_dtype!r}"
+            raise ValueError(msg)

@@ -1,0 +1,465 @@
+"""Minimal first-party PDF text extractor.
+
+Replaces the reference's dependency on pdftext/PDFium
+(/root/reference/src/raglite/_markdown.py:9,202) with a self-contained
+parser: indirect-object scanning, FlateDecode streams, content-stream
+tokenization, and positioned text runs grouped into lines and blocks with
+per-span font name/size — the structure `markdown.py` consumes for
+font-size-based heading detection.
+
+Scope: text extraction for Flate/uncompressed PDFs with simple (Type1/TrueType)
+fonts.  CID/Type0 fonts without ToUnicode maps and image-only PDFs are out of
+scope; callers should fall back to another ingestion path for those.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+from pathlib import Path
+
+__all__ = ["PdfSpan", "PdfLine", "PdfBlock", "PdfPage", "parse_pdf"]
+
+
+@dataclass
+class PdfSpan:
+    text: str
+    font_name: str
+    font_size: float
+    x: float
+    y: float
+    x_end: float = 0.0
+
+
+@dataclass
+class PdfLine:
+    spans: list[PdfSpan] = field(default_factory=list)
+
+    @property
+    def y(self) -> float:
+        return self.spans[0].y if self.spans else 0.0
+
+    @property
+    def text(self) -> str:
+        """Concatenate spans, inserting a space at significant x-gaps."""
+        parts: list[str] = []
+        prev_end: float | None = None
+        for s in self.spans:
+            if (
+                prev_end is not None
+                and s.x - prev_end > 0.15 * max(s.font_size, 1.0)
+                and parts
+                and not parts[-1].endswith(" ")
+                and not s.text.startswith(" ")
+            ):
+                parts.append(" ")
+            parts.append(s.text)
+            prev_end = max(s.x_end, s.x)
+        return "".join(parts)
+
+
+@dataclass
+class PdfBlock:
+    lines: list[PdfLine] = field(default_factory=list)
+
+
+@dataclass
+class PdfPage:
+    number: int
+    blocks: list[PdfBlock] = field(default_factory=list)
+
+
+# --- Low-level object model ---------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+_NAME_RE = re.compile(rb"/([^\s/<>\[\]()]+)")
+
+
+class _PdfFile:
+    """All indirect objects of a PDF, found by linear scan (robust to broken
+    xref tables, which are common in old PDFs)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.objects: dict[int, tuple[bytes, bytes | None]] = {}
+        self._scan()
+
+    def _scan(self) -> None:
+        for m in _OBJ_RE.finditer(self.data):
+            num = int(m.group(1))
+            start = m.end()
+            end = self.data.find(b"endobj", start)
+            if end < 0:
+                continue
+            body = self.data[start:end]
+            stream = None
+            s = body.find(b"stream")
+            if s >= 0:
+                head = body[:s]
+                raw = body[s + len(b"stream") :]
+                if raw.startswith(b"\r\n"):
+                    raw = raw[2:]
+                elif raw.startswith(b"\n") or raw.startswith(b"\r"):
+                    raw = raw[1:]
+                e = raw.rfind(b"endstream")
+                stream = raw[:e] if e >= 0 else raw
+                body = head
+            self.objects[num] = (body, stream)
+
+    def resolve(self, token: bytes) -> bytes:
+        """Resolve `N 0 R` references to the referenced object's dict."""
+        m = re.match(rb"\s*(\d+)\s+\d+\s+R", token)
+        if m:
+            return self.objects.get(int(m.group(1)), (b"", None))[0]
+        return token
+
+    def get_stream(self, num: int) -> bytes | None:
+        body, stream = self.objects.get(num, (b"", None))
+        if stream is None:
+            return None
+        out = stream
+        if re.search(rb"/Filter\s*(?:\[\s*)?/(?:FlateDecode|Fl)\b", body):
+            try:
+                out = zlib.decompress(out)
+            except zlib.error:
+                try:  # Tolerate trailing garbage.
+                    out = zlib.decompressobj().decompress(out)
+                except zlib.error:
+                    return None
+        return out
+
+    @staticmethod
+    def _dict_value(dict_bytes: bytes, key: bytes) -> bytes | None:
+        """Extract the raw value following /key in a dictionary (best-effort)."""
+        m = re.search(rb"/" + key + rb"\b\s*", dict_bytes)
+        if not m:
+            return None
+        rest = dict_bytes[m.end() :]
+        if rest.startswith(b"["):
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                if ch == 0x5B:
+                    depth += 1
+                elif ch == 0x5D:
+                    depth -= 1
+                    if depth == 0:
+                        break
+            return rest[: i + 1]
+        if rest.startswith(b"<<"):
+            depth, i = 0, 0
+            while i < len(rest) - 1:
+                if rest[i : i + 2] == b"<<":
+                    depth += 1
+                    i += 2
+                elif rest[i : i + 2] == b">>":
+                    depth -= 1
+                    i += 2
+                    if depth == 0:
+                        break
+                else:
+                    i += 1
+            return rest[:i]
+        m2 = re.match(rb"[^/\]>]*(?:\d+\s+\d+\s+R)?", rest)
+        return m2.group(0).strip() if m2 else None
+
+
+# --- Content-stream tokenizer -------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _tokenize(content: bytes):  # noqa: C901, PLR0912
+    """Yield (kind, value) tokens: 'num', 'str', 'name', 'op', 'arr_open/close'."""
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i : i + 1]
+        if c in _WS:
+            i += 1
+        elif c == b"%":
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == b"(":
+            # Literal string with escapes and balanced parens.
+            depth, j, out = 1, i + 1, bytearray()
+            while j < n and depth > 0:
+                ch = content[j]
+                if ch == 0x5C and j + 1 < n:  # backslash escape
+                    nxt = content[j + 1]
+                    esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+                    if nxt in esc:
+                        out.append(esc[nxt])
+                        j += 2
+                    elif 0x30 <= nxt <= 0x37:  # octal
+                        k = j + 1
+                        oct_digits = b""
+                        while k < n and len(oct_digits) < 3 and 0x30 <= content[k] <= 0x37:
+                            oct_digits += content[k : k + 1]
+                            k += 1
+                        out.append(int(oct_digits, 8) & 0xFF)
+                        j = k
+                    elif nxt in (0x0A, 0x0D):  # line continuation
+                        j += 2
+                    else:
+                        out.append(nxt)
+                        j += 2
+                elif ch == 0x28:
+                    depth += 1
+                    out.append(ch)
+                    j += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth > 0:
+                        out.append(ch)
+                    j += 1
+                else:
+                    out.append(ch)
+                    j += 1
+            yield ("str", bytes(out))
+            i = j
+        elif c == b"<" and content[i : i + 2] != b"<<":
+            j = content.find(b">", i)
+            if j < 0:
+                break
+            hexstr = re.sub(rb"\s", b"", content[i + 1 : j])
+            if len(hexstr) % 2:
+                hexstr += b"0"
+            try:
+                yield ("str", bytes.fromhex(hexstr.decode("ascii", "ignore")))
+            except ValueError:
+                pass
+            i = j + 1
+        elif content[i : i + 2] == b"<<":
+            yield ("dict_open", b"<<")
+            i += 2
+        elif content[i : i + 2] == b">>":
+            yield ("dict_close", b">>")
+            i += 2
+        elif c == b"/":
+            j = i + 1
+            while j < n and content[j] not in _WS + _DELIM:
+                j += 1
+            yield ("name", content[i + 1 : j])
+            i = j
+        elif c == b"[":
+            yield ("arr_open", b"[")
+            i += 1
+        elif c == b"]":
+            yield ("arr_close", b"]")
+            i += 1
+        elif c in b"+-.0123456789":
+            j = i + 1
+            while j < n and content[j : j + 1] in b"+-.0123456789e":
+                j += 1
+            try:
+                yield ("num", float(content[i:j]))
+            except ValueError:
+                pass
+            i = j
+        else:
+            j = i
+            while j < n and content[j] not in _WS + _DELIM:
+                j += 1
+            if j > i:
+                yield ("op", content[i:j])
+            i = max(j, i + 1)
+
+
+# --- Text extraction ----------------------------------------------------------
+
+# Computer-Modern/TeX and Standard-encoding specials that differ from Latin-1.
+_GLYPH_FIXUPS = {
+    0x0B: "ff", 0x0C: "fi", 0x0D: "fl", 0x0E: "ffi", 0x0F: "ffl",
+    0x10: "ı", 0x12: "`", 0x13: "´", 0x14: "ˇ", 0x15: "˘",
+    0x19: "ß", 0x1A: "æ", 0x1B: "œ", 0x1C: "ø",
+    0x7B: "–", 0x7C: "—", 0x7D: "˝", 0x7F: "¨",
+}
+
+
+# CMSY (TeX math symbol) glyphs that appear in prose: x = section sign.
+_CMSY_FIXUPS = {0x78: "§", 0x79: "†", 0x7A: "‡"}
+
+
+def _decode_text(raw: bytes, font_name: str) -> str:
+    if "CMSY" in font_name:
+        return "".join(_CMSY_FIXUPS.get(b, chr(b) if 32 <= b < 127 else "") for b in raw)
+    out = []
+    for b in raw:
+        if b in _GLYPH_FIXUPS and ("CM" in font_name or "TeX" in font_name):
+            out.append(_GLYPH_FIXUPS[b])
+        elif 32 <= b < 127:
+            out.append(chr(b))
+        elif b >= 160:
+            out.append(bytes([b]).decode("latin-1"))
+        else:
+            out.append("")
+    return "".join(out)
+
+
+def _page_font_map(pdf: _PdfFile, page_dict: bytes) -> dict[bytes, str]:
+    """Map content-stream font resource names (/F5) to BaseFont names."""
+    res = pdf._dict_value(page_dict, b"Resources") or b""
+    res = pdf.resolve(res)
+    fonts_val = pdf._dict_value(res, b"Font") or b""
+    fonts_val = pdf.resolve(fonts_val)
+    font_map: dict[bytes, str] = {}
+    for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fonts_val):
+        fdict = pdf.objects.get(int(m.group(2)), (b"", None))[0]
+        bm = re.search(rb"/BaseFont\s*/([#\w\-+.]+)", fdict)
+        base = bm.group(1).decode("latin-1") if bm else "Unknown"
+        font_map[m.group(1)] = base
+    return font_map
+
+
+def _extract_page_spans(pdf: _PdfFile, content: bytes, font_map: dict[bytes, str]) -> list[PdfSpan]:  # noqa: C901, PLR0912, PLR0915
+    """Interpret enough of the text operators to get positioned runs.
+
+    Implements proper text-matrix composition (PDF 32000 §9.4.2): ``Td``/``TD``
+    moves are in text space and must be transformed by the current line
+    matrix; the effective font size is ``Tf``-size × the matrix's y-scale.
+    """
+    spans: list[PdfSpan] = []
+    stack: list[float | bytes] = []
+    names: list[bytes] = []
+    font, size = "Unknown", 10.0
+    tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # current text matrix [a b c d e f]
+    tlm = list(tm)  # line matrix
+    leading = 0.0
+    in_array: list = []
+    collecting_array = False
+
+    def translate_tlm(tx: float, ty: float) -> None:
+        nonlocal tm, tlm
+        tlm = [
+            tlm[0], tlm[1], tlm[2], tlm[3],
+            tx * tlm[0] + ty * tlm[2] + tlm[4],
+            tx * tlm[1] + ty * tlm[3] + tlm[5],
+        ]
+        tm = list(tlm)
+
+    def eff_size() -> float:
+        return size * (tm[1] ** 2 + tm[3] ** 2) ** 0.5
+
+    def show(raw: bytes) -> None:
+        nonlocal tm
+        text = _decode_text(raw, font)
+        span = None
+        if text:
+            span = PdfSpan(text, font, round(eff_size(), 2), tm[4], tm[5])
+            spans.append(span)
+        # Advance along the baseline (~0.5 em per glyph; real width tables
+        # are not needed for extraction-quality ordering).
+        adv = 0.5 * size * len(raw)
+        tm = [tm[0], tm[1], tm[2], tm[3], adv * tm[0] + tm[4], adv * tm[1] + tm[5]]
+        if span is not None:
+            span.x_end = tm[4]
+
+    def kern(amount: float) -> None:
+        nonlocal tm
+        adv = -amount / 1000.0 * size
+        tm = [tm[0], tm[1], tm[2], tm[3], adv * tm[0] + tm[4], adv * tm[1] + tm[5]]
+
+    for kind, val in _tokenize(content):
+        if kind == "num":
+            (in_array if collecting_array else stack).append(val)
+        elif kind == "str":
+            if collecting_array:
+                in_array.append(val)
+            else:
+                stack.append(val)
+        elif kind == "name":
+            names.append(val)
+        elif kind == "arr_open":
+            collecting_array, in_array = True, []
+        elif kind == "arr_close":
+            collecting_array = False
+        elif kind == "op":
+            op = val
+            if op == b"Tf" and names:
+                font = font_map.get(names[-1], names[-1].decode("latin-1"))
+                size = float(stack[-1]) if stack and isinstance(stack[-1], float) else size
+            elif op == b"Td" and len(stack) >= 2:
+                translate_tlm(float(stack[-2]), float(stack[-1]))  # type: ignore[arg-type]
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -float(stack[-1])  # type: ignore[arg-type]
+                translate_tlm(float(stack[-2]), float(stack[-1]))  # type: ignore[arg-type]
+            elif op == b"Tm" and len(stack) >= 6:
+                tlm = [float(v) for v in stack[-6:]]  # type: ignore[arg-type]
+                tm = list(tlm)
+            elif op == b"T*":
+                translate_tlm(0.0, -leading)
+            elif op == b"TL" and stack:
+                leading = float(stack[-1])  # type: ignore[arg-type]
+            elif op == b"BT":
+                tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+                tlm = list(tm)
+            elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+            elif op in (b"'", b'"'):
+                translate_tlm(0.0, -leading)
+                raws = [v for v in stack if isinstance(v, bytes)]
+                if raws:
+                    show(raws[-1])
+            elif op == b"TJ":
+                for item in in_array:
+                    if isinstance(item, bytes):
+                        show(item)
+                    elif isinstance(item, float):
+                        if item < -120:  # inter-word gap in em-thousandths
+                            spans.append(PdfSpan(" ", font, round(eff_size(), 2), tm[4], tm[5]))
+                        kern(item)
+                in_array = []
+            stack.clear()
+            names.clear()
+    return spans
+
+
+def _group_spans(spans: list[PdfSpan]) -> list[PdfBlock]:
+    """Group positioned spans into lines (by y) and blocks (by y-gap)."""
+    if not spans:
+        return []
+    lines_by_y: list[PdfLine] = []
+    for span in spans:
+        placed = False
+        for line in lines_by_y:
+            if abs(line.y - span.y) < max(2.0, 0.4 * span.font_size):
+                line.spans.append(span)
+                placed = True
+                break
+        if not placed:
+            lines_by_y.append(PdfLine(spans=[span]))
+    for line in lines_by_y:
+        line.spans.sort(key=lambda s: s.x)
+    lines_by_y.sort(key=lambda ln: -ln.y)
+    # Split into blocks on vertical gaps larger than 1.8x the median spacing.
+    gaps = [lines_by_y[i].y - lines_by_y[i + 1].y for i in range(len(lines_by_y) - 1)]
+    med = sorted(gaps)[len(gaps) // 2] if gaps else 12.0
+    blocks: list[PdfBlock] = [PdfBlock(lines=[lines_by_y[0]])]
+    for i in range(1, len(lines_by_y)):
+        if gaps[i - 1] > 1.8 * max(med, 1.0):
+            blocks.append(PdfBlock())
+        blocks[-1].lines.append(lines_by_y[i])
+    return blocks
+
+
+def parse_pdf(path: Path | str) -> list[PdfPage]:
+    """Parse a PDF into pages of blocks/lines/spans with font info."""
+    data = Path(path).read_bytes()
+    pdf = _PdfFile(data)
+    pages: list[PdfPage] = []
+    page_objs = [
+        (num, body)
+        for num, (body, _) in sorted(pdf.objects.items())
+        if re.search(rb"/Type\s*/Page\b(?!s)", body)
+    ]
+    for idx, (_, body) in enumerate(page_objs):
+        contents_val = pdf._dict_value(body, b"Contents") or b""
+        content_nums = [int(m.group(1)) for m in re.finditer(rb"(\d+)\s+\d+\s+R", contents_val)]
+        content = b"\n".join(
+            s for num in content_nums if (s := pdf.get_stream(num)) is not None
+        )
+        font_map = _page_font_map(pdf, body)
+        spans = _extract_page_spans(pdf, content, font_map)
+        pages.append(PdfPage(number=idx + 1, blocks=_group_spans(spans)))
+    return pages
