@@ -34,11 +34,19 @@ def _default_store_path() -> str:
     return str(Path(base) / "default")
 
 
-def _default_search_method() -> "SearchMethod":
-    """Lazy import of the default search method (reference: _config.py:26-39)."""
+def _vector_search(
+    query, *, num_results: int = 8, metadata_filter=None, config=None
+):
+    """Lazily imported default search method (reference: _config.py:26-39)."""
     from raglite_tpu.search import vector_search
 
-    return vector_search
+    return vector_search(
+        query, num_results=num_results, metadata_filter=metadata_filter, config=config
+    )
+
+
+def _default_search_method() -> "SearchMethod":
+    return _vector_search
 
 
 def _default_reranker() -> RerankerLike:
@@ -68,6 +76,9 @@ class RAGLiteConfig:
 
     # Chunking (reference: _config.py:67-68)
     chunk_max_size: int = 2048  # characters
+
+    # Structured-extraction retry budget (reference: _config.py llm_max_tries)
+    llm_max_tries: int = 4
 
     # Vector search (reference: _config.py:69-71)
     vector_search_distance_metric: DistanceMetric = "cosine"

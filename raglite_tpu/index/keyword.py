@@ -1,0 +1,156 @@
+"""Inverted keyword index with on-device BM25 scoring.
+
+Replaces DuckDB's FTS extension index (PRAGMA create_fts_index,
+/root/reference/src/raglite/_database.py:606-619) and Postgres tsvector GIN
+(_database.py:564-575).  Postings build incrementally on the host (a C++
+builder can slot in behind the same interface); scoring runs on device
+(ops/bm25.py).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import TYPE_CHECKING
+
+import jax.numpy as jnp
+import numpy as np
+
+from raglite_tpu.ops.bm25 import bm25_idf, bm25_topk
+
+if TYPE_CHECKING:
+    from raglite_tpu.config import RAGLiteConfig
+    from raglite_tpu.store import Store
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercased word tokens (the reference strips punctuation into an
+    OR-query the same way, _search.py:183-189)."""
+    return _WORD_RE.findall(text.lower())
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+class KeywordIndex:
+    """Host postings (dict-of-arrays) + device-side scoring."""
+
+    def __init__(self) -> None:
+        self.chunk_ids: list[str] = []
+        #: term -> {chunk ordinal -> tf}
+        self._postings: dict[str, dict[int, int]] = {}
+        self.doc_len: list[int] = []
+        self._synced_version = -1
+
+    # --- Build ----------------------------------------------------------
+
+    def _add_chunk(self, chunk_id: str, text: str) -> None:
+        ordinal = len(self.chunk_ids)
+        self.chunk_ids.append(chunk_id)
+        tokens = tokenize(text)
+        self.doc_len.append(len(tokens))
+        for token in tokens:
+            bucket = self._postings.setdefault(token, {})
+            bucket[ordinal] = bucket.get(ordinal, 0) + 1
+
+    def rebuild(self, store: "Store") -> None:
+        self.chunk_ids = []
+        self._postings = {}
+        self.doc_len = []
+        for cid in store.chunk_order:
+            self._add_chunk(cid, store.chunks[cid].body)
+        self._synced_version = store.version
+
+    def sync(self, store: "Store") -> None:
+        if self._synced_version == store.version:
+            return
+        if (
+            len(store.chunk_order) >= len(self.chunk_ids)
+            and store.chunk_order[: len(self.chunk_ids)] == self.chunk_ids
+        ):
+            for cid in store.chunk_order[len(self.chunk_ids) :]:
+                self._add_chunk(cid, store.chunks[cid].body)
+            self._synced_version = store.version
+        else:
+            self.rebuild(store)
+
+    # --- Search ---------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        *,
+        num_hits: int,
+        chunk_mask: np.ndarray | None = None,
+    ) -> tuple[list[str], list[float]]:
+        """BM25 top hits (reference: keyword_search, _search.py:156-230).
+
+        Gathers the query terms' postings on the host, scores + ranks on
+        device.  ``chunk_mask`` applies metadata pre-filtering.
+        """
+        n = len(self.chunk_ids)
+        if n == 0:
+            return [], []
+        terms = list(dict.fromkeys(tokenize(query)))
+        rows_chunk: list[np.ndarray] = []
+        rows_tf: list[np.ndarray] = []
+        rows_idf: list[np.ndarray] = []
+        for term in terms:
+            bucket = self._postings.get(term)
+            if not bucket:
+                continue
+            ords = np.fromiter(bucket.keys(), dtype=np.int32, count=len(bucket))
+            tfs = np.fromiter(bucket.values(), dtype=np.float32, count=len(bucket))
+            rows_chunk.append(ords)
+            rows_tf.append(tfs)
+            rows_idf.append(np.full(len(bucket), bm25_idf(np.asarray(len(bucket)), n)))
+        if not rows_chunk:
+            return [], []
+        chunk = np.concatenate(rows_chunk)
+        tf = np.concatenate(rows_tf)
+        idf = np.concatenate(rows_idf).astype(np.float32)
+        if chunk_mask is not None:
+            keep = chunk_mask[chunk]
+            chunk, tf, idf = chunk[keep], tf[keep], idf[keep]
+            if chunk.size == 0:
+                return [], []
+        # Pad the posting axis to a bucketed size to bound recompilation.
+        p_pad = _round_up(len(chunk), 512)
+        chunk = np.pad(chunk, (0, p_pad - len(chunk)), constant_values=n)  # paddings drop
+        tf = np.pad(tf, (0, p_pad - len(tf)))
+        idf = np.pad(idf, (0, p_pad - len(idf)))
+        doc_len = np.asarray(self.doc_len, dtype=np.float32)
+        avg_len = max(float(doc_len.mean()), 1.0)
+        len_norm = (1.0 - 0.75) + 0.75 * doc_len / avg_len
+        k = min(num_hits, n)
+        scores, ordinals = bm25_topk(
+            jnp.asarray(chunk),
+            jnp.asarray(tf),
+            jnp.asarray(idf),
+            jnp.asarray(len_norm),
+            num_chunks=n,
+            num_hits=k,
+        )
+        scores = np.asarray(scores)
+        ordinals = np.asarray(ordinals)
+        hits = scores > 0.0
+        return (
+            [self.chunk_ids[int(o)] for o in ordinals[hits]],
+            [float(s) for s in scores[hits]],
+        )
+
+
+@lru_cache(maxsize=8)
+def _keyword_index_for_path(store_path: str) -> KeywordIndex:
+    return KeywordIndex()
+
+
+def keyword_index_from_config(config: "RAGLiteConfig") -> KeywordIndex:
+    from raglite_tpu.store import store_from_config
+
+    index = _keyword_index_for_path(config.store_path)
+    index.sync(store_from_config(config))
+    return index

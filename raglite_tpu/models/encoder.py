@@ -1,0 +1,276 @@
+"""Embedding encoders.
+
+The reference delegates embedding to llama.cpp (bge-m3 GGUF) or remote APIs
+(/root/reference/src/raglite/_embed.py:16-200, _litellm.py:96-148).  Here the
+encoder is a first-party JAX component with token-level outputs so late
+chunking runs on-device:
+
+- ``HashEncoder`` ("hash:<dim>"): a deterministic feature-hashing encoder —
+  token/char-n-gram features hash into a fixed random projection table in
+  HBM; a token's embedding is a gather + segment-sum, so the whole encode is
+  one jitted device program.  Needs no weights, making the full stack
+  hermetic and fast (used by tests and as the offline default).
+- ``TransformerEncoder`` ("flax:<preset>" / "flax:<safetensors path>"): an
+  XLM-RoBERTa-style flax encoder (the bge-m3 architecture class) under jit,
+  with token-level outputs for late chunking; weights load from safetensors
+  when available, otherwise deterministic random init.
+
+Both satisfy the ``Encoder`` protocol consumed by embed.py.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from functools import lru_cache, partial
+from typing import Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Encoder", "HashEncoder", "TransformerEncoder", "encoder_from_config", "embedding_dim"]
+
+
+class Encoder(Protocol):
+    """Uniform encoder interface (replaces the reference's llama.cpp /
+    LiteLLM split, _embed.py:146-154)."""
+
+    dim: int
+    max_tokens: int
+    supports_token_embeddings: bool
+
+    def count_tokens(self, texts: list[str]) -> list[int]: ...
+
+    def embed_token_level(self, text: str) -> np.ndarray:
+        """Token-level embeddings [num_tokens, dim] (pre-pooling)."""
+        ...
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        """Mean-pooled embeddings [len(texts), dim]."""
+        ...
+
+
+# --- Hash encoder -------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    """Round up to a power of two — geometric padding buckets bound the
+    number of distinct jit shapes (hence compiles) to O(log max_size)."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+@jax.jit
+def _hash_pool(table, ids, signs, starts, ends):
+    """Per-token feature pooling via cumsum differences.
+
+    A token's features occupy a contiguous range of the flat feature arrays,
+    so instead of a scatter (slow, serialized on both CPU and TPU) we take
+    the running sum of the signed feature rows and difference it at token
+    boundaries — one gather, one scan, fully vectorized.  ``table`` must be
+    an argument, not a closure capture: a captured device constant of this
+    size makes XLA constant-processing pathologically slow.
+    """
+    rows = table[ids].astype(jnp.float32) * signs[:, None]
+    csum = jnp.concatenate([jnp.zeros((1, rows.shape[1]), rows.dtype), jnp.cumsum(rows, axis=0)])
+    token_emb = csum[ends] - csum[starts]
+    norm = jnp.linalg.norm(token_emb, axis=1, keepdims=True)
+    return token_emb / jnp.maximum(norm, 1e-6)
+
+
+class HashEncoder:
+    """Deterministic feature-hashing encoder running as one device program.
+
+    A token's features are the word itself plus its character trigrams; each
+    feature hashes (crc32) to a row of a fixed Gaussian table with a ±1 sign.
+    The token embedding is the signed sum of its feature rows; text
+    embeddings mean-pool tokens.  Word overlap thus yields high cosine
+    similarity while trigrams give subword robustness — sufficient retrieval
+    signal for hermetic tests and throughput benchmarking without weights.
+    """
+
+    supports_token_embeddings = True
+
+    def __init__(self, dim: int = 1024, *, vocab_bits: int = 16, max_tokens: int = 8192, seed: int = 0) -> None:
+        self.dim = dim
+        self.max_tokens = max_tokens
+        self._mask = (1 << vocab_bits) - 1
+        key = jax.random.PRNGKey(seed)
+        # bf16 table in HBM; gathers upcast to fp32 for accumulation.
+        self._table = jax.random.normal(key, (1 << vocab_bits, dim), dtype=jnp.bfloat16)
+
+    # Host-side featurization (to be replaced by the C++ tokenizer).
+    def _features(self, token: str) -> tuple[list[int], list[float]]:
+        feats = [token]
+        padded = f"#{token}#"
+        if len(token) > 2:
+            feats.extend(padded[i : i + 3] for i in range(len(padded) - 2))
+        ids, signs = [], []
+        for f in feats:
+            h = zlib.crc32(f.encode("utf-8"))
+            ids.append(h & self._mask)
+            signs.append(1.0 if (h >> 31) & 1 else -1.0)
+        return ids, signs
+
+    def _featurize(self, text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        tokens = _TOKEN_RE.findall(text.lower())[: self.max_tokens]
+        ids: list[int] = []
+        signs: list[float] = []
+        segments: list[int] = []
+        for t_idx, token in enumerate(tokens):
+            f_ids, f_signs = self._features(token)
+            ids.extend(f_ids)
+            signs.extend(f_signs)
+            segments.extend([t_idx] * len(f_ids))
+        return (
+            np.asarray(ids, dtype=np.int32),
+            np.asarray(signs, dtype=np.float32),
+            np.asarray(segments, dtype=np.int32),
+            len(tokens),
+        )
+
+    def count_tokens(self, texts: list[str]) -> list[int]:
+        return [len(_TOKEN_RE.findall(t.lower())) for t in texts]
+
+    def embed_token_level(self, text: str) -> np.ndarray:
+        ids, signs, segments, n = self._featurize(text)
+        if n == 0:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        # Token boundaries in the flat feature arrays (features are emitted
+        # contiguously per token).
+        counts = np.bincount(segments, minlength=n)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        # Bucket-pad both axes so jit compiles once per size bucket.
+        f_pad = _bucket(len(ids))
+        t_pad = _bucket(n)
+        ids = np.pad(ids, (0, f_pad - len(ids)))
+        signs = np.pad(signs, (0, f_pad - len(signs)))  # zero sign = no-op
+        starts = np.pad(bounds[:-1], (0, t_pad - n)).astype(np.int32)
+        ends = np.pad(bounds[1:], (0, t_pad - n)).astype(np.int32)
+        out = _hash_pool(
+            self._table,
+            jnp.asarray(ids),
+            jnp.asarray(signs),
+            jnp.asarray(starts),
+            jnp.asarray(ends),
+        )
+        return np.asarray(out[:n])
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            tok = self.embed_token_level(text)
+            if tok.shape[0]:
+                out[i] = tok.mean(axis=0)
+        return out
+
+
+# --- Transformer encoder ------------------------------------------------------
+
+
+class TransformerEncoder:
+    """XLM-RoBERTa-class encoder (bge-m3 architecture family) in flax.
+
+    Presets: ``flax:tiny`` (2 layers, d=256 — tests), ``flax:base``
+    (12 layers, d=768), ``flax:large`` (24 layers, d=1024 ≈ bge-m3).  A path
+    to a safetensors checkpoint loads real weights; otherwise parameters are
+    deterministic random init (still exercises the full compute path).
+    """
+
+    supports_token_embeddings = True
+
+    _PRESETS = {
+        "tiny": dict(layers=2, d_model=256, heads=4, d_ff=512, vocab=8192, max_len=512),
+        "base": dict(layers=12, d_model=768, heads=12, d_ff=3072, vocab=250002, max_len=8192),
+        "large": dict(layers=24, d_model=1024, heads=16, d_ff=4096, vocab=250002, max_len=8192),
+    }
+
+    def __init__(self, spec: str = "tiny", *, seed: int = 0, dtype=jnp.bfloat16) -> None:
+        from raglite_tpu.models.transformer import EncoderModel, init_encoder_params
+        from raglite_tpu.models.tokenizer import ByteTokenizer, load_tokenizer
+
+        import os
+
+        if os.path.isdir(spec) or spec.endswith(".safetensors"):
+            cfg, params, tokenizer = load_pretrained_encoder(spec, dtype=dtype)
+        else:
+            cfg = dict(self._PRESETS.get(spec, self._PRESETS["tiny"]))
+            params = init_encoder_params(cfg, seed=seed, dtype=dtype)
+            tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
+        self._cfg = cfg
+        self._params = params
+        self._tokenizer = tokenizer
+        self.dim = cfg["d_model"]
+        self.max_tokens = cfg["max_len"]
+        self._model = EncoderModel(cfg)
+        self._forward = jax.jit(self._model.apply_tokens)
+
+    def count_tokens(self, texts: list[str]) -> list[int]:
+        return [len(self._tokenizer.encode(t)) for t in texts]
+
+    def _run(self, token_ids: np.ndarray) -> np.ndarray:
+        n = token_ids.shape[0]
+        pad = _round_up(max(n, 8), 128)
+        ids = np.zeros(pad, dtype=np.int32)
+        ids[:n] = token_ids
+        mask = np.zeros(pad, dtype=np.bool_)
+        mask[:n] = True
+        out = self._forward(self._params, jnp.asarray(ids)[None], jnp.asarray(mask)[None])
+        return np.asarray(out[0, :n], dtype=np.float32)
+
+    def embed_token_level(self, text: str) -> np.ndarray:
+        ids = np.asarray(self._tokenizer.encode(text)[: self.max_tokens], dtype=np.int32)
+        if ids.size == 0:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return self._run(ids)
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            tok = self.embed_token_level(text)
+            if tok.shape[0]:
+                out[i] = tok.mean(axis=0)
+        return out
+
+
+def load_pretrained_encoder(path: str, *, dtype=jnp.bfloat16):
+    """Load an XLM-R-family checkpoint from safetensors (offline image has no
+    hub access; this path activates when the user mounts weights)."""
+    from raglite_tpu.models.transformer import load_safetensors_encoder
+
+    return load_safetensors_encoder(path, dtype=dtype)
+
+
+# --- Factory ------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def _make_encoder(embedder: str) -> Encoder:
+    kind, _, arg = embedder.partition(":")
+    if kind == "hash":
+        dim = int(arg) if arg else 1024
+        return HashEncoder(dim=dim)
+    if kind == "flax":
+        return TransformerEncoder(arg or "tiny")
+    msg = f"unknown embedder {embedder!r} (expected 'hash:<dim>' or 'flax:<preset|path>')"
+    raise ValueError(msg)
+
+
+def encoder_from_config(config) -> Encoder:
+    """Resolve the configured embedder to an encoder instance (cached like the
+    reference's lru_cached llm() factory, _litellm.py:96-98)."""
+    return _make_encoder(config.embedder)
+
+
+def embedding_dim(config) -> int:
+    """Embedding dimensionality (reference: _litellm.py:352-374)."""
+    return encoder_from_config(config).dim

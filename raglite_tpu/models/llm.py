@@ -1,0 +1,290 @@
+"""Chat LLM abstraction.
+
+The reference routes all generation through LiteLLM with a custom llama.cpp
+provider (/root/reference/src/raglite/_litellm.py:44-374).  Neither LiteLLM
+nor llama.cpp exist here; instead a small first-party protocol with three
+providers:
+
+- ``echo``: a deterministic, fully offline LLM for tests and demos.  It
+  follows the tool-calling protocol (issues ``search_knowledge_base`` calls,
+  then answers from retrieved context) and satisfies JSON response formats
+  by constructing schema-conforming output — giving the RAG/extract layers
+  a hermetic end-to-end path (the reference's tests instead download a real
+  Qwen3 GGUF, tests/conftest.py:77-97 there).
+- ``jax:<preset|path>``: first-party decoder-only transformer running on
+  TPU with a KV cache and grammar-constrained JSON decoding via logit
+  masking (models/decoder.py) — the TPU-native replacement for llama.cpp's
+  GBNF-constrained decode (_chatml_function_calling.py:411-501).
+- ``openai:<base_url>#<model>``: any OpenAI-compatible HTTP endpoint via
+  stdlib urllib (replaces the LiteLLM API path).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import TYPE_CHECKING, Any, Iterator, Protocol
+
+if TYPE_CHECKING:
+    from raglite_tpu.config import RAGLiteConfig
+
+__all__ = [
+    "LLM",
+    "ToolCall",
+    "ChatResponse",
+    "llm_from_config",
+    "get_context_size",
+    "supports_function_calling",
+    "supports_response_format",
+]
+
+
+@dataclass
+class ToolCall:
+    id: str
+    name: str
+    arguments: str  # JSON string
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "id": self.id,
+            "type": "function",
+            "function": {"name": self.name, "arguments": self.arguments},
+        }
+
+
+@dataclass
+class ChatResponse:
+    content: str | None
+    tool_calls: list[ToolCall] = field(default_factory=list)
+
+    def message_dict(self) -> dict[str, Any]:
+        message: dict[str, Any] = {"role": "assistant", "content": self.content or ""}
+        if self.tool_calls:
+            message["tool_calls"] = [tc.to_dict() for tc in self.tool_calls]
+        return message
+
+
+class LLM(Protocol):
+    context_size: int
+    supports_function_calling: bool
+    supports_response_format: bool
+
+    def complete(
+        self,
+        messages: list[dict[str, Any]],
+        *,
+        tools: list[dict[str, Any]] | None = None,
+        tool_choice: Any = None,
+        response_format: dict[str, Any] | None = None,
+        **sampling: Any,
+    ) -> ChatResponse: ...
+
+    def stream(
+        self,
+        messages: list[dict[str, Any]],
+        *,
+        tools: list[dict[str, Any]] | None = None,
+        tool_choice: Any = None,
+        **sampling: Any,
+    ) -> Iterator[str | ToolCall]:
+        """Yield content tokens (str) and tool calls (ToolCall)."""
+        ...
+
+
+# --- Echo LLM (deterministic, offline) ---------------------------------------
+
+
+class EchoLLM:
+    """Deterministic LLM for hermetic tests.
+
+    Behavior contract (mirrors what the reference's integration tests assert
+    of a real LLM, tests/test_rag.py there):
+    - With a ``search_knowledge_base`` tool and no ``<context>`` in the last
+      message: emits one tool call whose query is the user's question.
+    - With retrieved ``<context>``/tool context present: answers with a
+      deterministic summary quoting the context.
+    - With a JSON response format: emits an instance built from the schema
+      (fields get type-appropriate placeholder values, enum/id hints are
+      extracted from the prompt when present).
+    """
+
+    context_size = 8192
+    supports_function_calling = True
+    supports_response_format = True
+
+    def _answer_from_context(self, messages: list[dict[str, Any]]) -> str:
+        context_bits: list[str] = []
+        for message in messages:
+            content = str(message.get("content", ""))
+            if message.get("role") == "tool" or "<context>" in content or "<document" in content:
+                text = re.sub(r"<[^>]+>", " ", content)
+                text = re.sub(r"\s+", " ", text).strip()
+                if text:
+                    context_bits.append(text[:300])
+        user = next(
+            (str(m.get("content", "")) for m in reversed(messages) if m.get("role") == "user"),
+            "",
+        )
+        question = user.split("\n")[-1][:200]
+        if context_bits:
+            return f"Based on the retrieved context: {context_bits[0]}"
+        return f"Echo: {question}"
+
+    def _json_for_schema(self, schema: dict[str, Any], user_prompt: str) -> Any:
+        t = schema.get("type")
+        if "enum" in schema:
+            return schema["enum"][0]
+        if t == "object" or "properties" in schema:
+            return {
+                name: self._json_for_schema(sub, user_prompt)
+                for name, sub in schema.get("properties", {}).items()
+            }
+        if t == "array":
+            return []
+        if t == "integer":
+            return 0
+        if t == "number":
+            return 0.0
+        if t == "boolean":
+            return True
+        if isinstance(t, list):  # e.g. ["integer", "null"]
+            return None if "null" in t else self._json_for_schema({"type": t[0]}, user_prompt)
+        if "anyOf" in schema:
+            options = schema["anyOf"]
+            null = next((o for o in options if o.get("type") == "null"), None)
+            return None if null is not None else self._json_for_schema(options[0], user_prompt)
+        # String field: echo a snippet of the user prompt for traceability.
+        return user_prompt.strip().split("\n")[0][:80] or "echo"
+
+    def complete(
+        self,
+        messages: list[dict[str, Any]],
+        *,
+        tools: list[dict[str, Any]] | None = None,
+        tool_choice: Any = None,
+        response_format: dict[str, Any] | None = None,
+        **sampling: Any,
+    ) -> ChatResponse:
+        last = str(messages[-1].get("content", "")) if messages else ""
+        have_context = any(
+            s in str(m.get("content", "")) for m in messages for s in ("<context>", "<document", "from_chunk_id")
+        ) or any(m.get("role") == "tool" for m in messages)
+        if response_format is not None:
+            schema = response_format.get("json_schema", {}).get("schema") or {"type": "object"}
+            user = next(
+                (str(m.get("content", "")) for m in reversed(messages) if m.get("role") == "user"), ""
+            )
+            return ChatResponse(content=json.dumps(self._json_for_schema(schema, user)))
+        if tools and not have_context and tool_choice != "none":
+            query = last.strip().split("\n")[-1][:200]
+            call = ToolCall(
+                id=f"call_{uuid.uuid4().hex[:8]}",
+                name="search_knowledge_base",
+                arguments=json.dumps({"query": query}),
+            )
+            return ChatResponse(content=None, tool_calls=[call])
+        return ChatResponse(content=self._answer_from_context(messages))
+
+    def stream(
+        self,
+        messages: list[dict[str, Any]],
+        *,
+        tools: list[dict[str, Any]] | None = None,
+        tool_choice: Any = None,
+        **sampling: Any,
+    ) -> Iterator[str | ToolCall]:
+        response = self.complete(messages, tools=tools, tool_choice=tool_choice, **sampling)
+        if response.content:
+            for word in re.findall(r"\S+\s*", response.content):
+                yield word
+        yield from response.tool_calls
+
+
+# --- OpenAI-compatible HTTP adapter ------------------------------------------
+
+
+class OpenAICompatLLM:
+    """Minimal OpenAI-compatible chat adapter over stdlib urllib.
+
+    Spec: ``openai:<base_url>#<model>`` (e.g. ``openai:http://host:8000/v1#llama``).
+    """
+
+    supports_function_calling = True
+    supports_response_format = True
+
+    def __init__(self, spec: str, *, context_size: int = 32768) -> None:
+        base, _, model = spec.partition("#")
+        self.base_url = base.rstrip("/")
+        self.model = model or "default"
+        self.context_size = context_size
+
+    def _post(self, payload: dict[str, Any]) -> dict[str, Any]:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url}/chat/completions",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:  # noqa: S310
+            return json.loads(resp.read())
+
+    def complete(self, messages, *, tools=None, tool_choice=None, response_format=None, **sampling):
+        payload: dict[str, Any] = {"model": self.model, "messages": messages, **sampling}
+        if tools:
+            payload["tools"] = tools
+            payload["tool_choice"] = tool_choice or "auto"
+        if response_format:
+            payload["response_format"] = response_format
+        data = self._post(payload)
+        message = data["choices"][0]["message"]
+        tool_calls = [
+            ToolCall(tc["id"], tc["function"]["name"], tc["function"]["arguments"])
+            for tc in message.get("tool_calls") or []
+        ]
+        return ChatResponse(content=message.get("content"), tool_calls=tool_calls)
+
+    def stream(self, messages, *, tools=None, tool_choice=None, **sampling):
+        response = self.complete(messages, tools=tools, tool_choice=tool_choice, **sampling)
+        if response.content:
+            yield response.content
+        yield from response.tool_calls
+
+
+# --- Factory ------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def _make_llm(llm: str) -> LLM:
+    kind, _, arg = llm.partition(":")
+    if kind == "echo":
+        return EchoLLM()
+    if kind == "jax":
+        from raglite_tpu.models.decoder import JaxChatLLM
+
+        return JaxChatLLM(arg or "tiny")
+    if kind == "openai":
+        return OpenAICompatLLM(arg)
+    msg = f"unknown llm {llm!r} (expected 'echo', 'jax:<preset>', or 'openai:<url>#<model>')"
+    raise ValueError(msg)
+
+
+def llm_from_config(config: "RAGLiteConfig") -> LLM:
+    return _make_llm(config.llm)
+
+
+def get_context_size(config: "RAGLiteConfig") -> int:
+    """Context window of the configured LLM (reference: _litellm.py:329-348)."""
+    return llm_from_config(config).context_size
+
+
+def supports_function_calling(config: "RAGLiteConfig") -> bool:
+    return llm_from_config(config).supports_function_calling
+
+
+def supports_response_format(config: "RAGLiteConfig") -> bool:
+    return llm_from_config(config).supports_response_format

@@ -1,0 +1,178 @@
+"""Functional JAX transformer encoder (XLM-RoBERTa family, e.g. bge-m3).
+
+Replaces the reference's llama.cpp-embedded GGUF encoder
+(/root/reference/src/raglite/_litellm.py:96-148) with a first-party model:
+parameters are a plain pytree (trivially shardable with
+``jax.sharding.NamedSharding`` — see parallel/mesh.py), the forward pass is
+pure and jit/pjit-compatible, and all matmuls run in bfloat16 on the MXU
+with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+def _dense_init(key, shape, dtype):
+    fan_in = shape[0]
+    return (jax.random.normal(key, shape) / np.sqrt(fan_in)).astype(dtype)
+
+
+def init_encoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Params:
+    """Deterministic parameter init for the encoder."""
+    d, ff, vocab, max_len = cfg["d_model"], cfg["d_ff"], cfg["vocab"], cfg["max_len"]
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 4 + 8 * cfg["layers"]))
+    params: Params = {
+        "tok_emb": (jax.random.normal(next(keys), (vocab, d)) * 0.02).astype(dtype),
+        "pos_emb": (jax.random.normal(next(keys), (max_len, d)) * 0.02).astype(dtype),
+        "emb_ln_scale": jnp.ones((d,), dtype=jnp.float32),
+        "emb_ln_bias": jnp.zeros((d,), dtype=jnp.float32),
+        "layers": [],
+        "final_ln_scale": jnp.ones((d,), dtype=jnp.float32),
+        "final_ln_bias": jnp.zeros((d,), dtype=jnp.float32),
+    }
+    for _ in range(cfg["layers"]):
+        params["layers"].append(
+            {
+                "wq": _dense_init(next(keys), (d, d), dtype),
+                "wk": _dense_init(next(keys), (d, d), dtype),
+                "wv": _dense_init(next(keys), (d, d), dtype),
+                "wo": _dense_init(next(keys), (d, d), dtype),
+                "attn_ln_scale": jnp.ones((d,), dtype=jnp.float32),
+                "attn_ln_bias": jnp.zeros((d,), dtype=jnp.float32),
+                "w1": _dense_init(next(keys), (d, ff), dtype),
+                "b1": jnp.zeros((ff,), dtype=jnp.float32),
+                "w2": _dense_init(next(keys), (ff, d), dtype),
+                "b2": jnp.zeros((d,), dtype=jnp.float32),
+                "mlp_ln_scale": jnp.ones((d,), dtype=jnp.float32),
+                "mlp_ln_bias": jnp.zeros((d,), dtype=jnp.float32),
+            }
+        )
+    return params
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias).astype(x.dtype)
+
+
+class EncoderModel:
+    """Post-LN bidirectional transformer encoder."""
+
+    def __init__(self, cfg: dict) -> None:
+        self.cfg = cfg
+
+    def apply_tokens(self, params: Params, ids: jax.Array, mask: jax.Array) -> jax.Array:
+        """ids [B, T] int32, mask [B, T] bool -> hidden states [B, T, d] fp32."""
+        cfg = self.cfg
+        heads = cfg["heads"]
+        d = cfg["d_model"]
+        head_dim = d // heads
+        x = params["tok_emb"][ids] + params["pos_emb"][: ids.shape[1]][None]
+        x = _layer_norm(x, params["emb_ln_scale"], params["emb_ln_bias"])
+        attn_bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
+        for layer in params["layers"]:
+            # Self-attention (post-LN residual).
+            q = jnp.einsum("btd,de->bte", x, layer["wq"], preferred_element_type=jnp.float32)
+            k = jnp.einsum("btd,de->bte", x, layer["wk"], preferred_element_type=jnp.float32)
+            v = jnp.einsum("btd,de->bte", x, layer["wv"], preferred_element_type=jnp.float32)
+            B, T, _ = q.shape
+            q = q.reshape(B, T, heads, head_dim).transpose(0, 2, 1, 3)
+            k = k.reshape(B, T, heads, head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(B, T, heads, head_dim).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqe,bhke->bhqk", q, k) / np.sqrt(head_dim) + attn_bias
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bhqk,bhke->bhqe", probs, v.astype(x.dtype))
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, d)
+            attn_out = jnp.einsum("btd,de->bte", ctx, layer["wo"], preferred_element_type=jnp.float32)
+            x = _layer_norm(x + attn_out.astype(x.dtype), layer["attn_ln_scale"], layer["attn_ln_bias"])
+            # Feed-forward (post-LN residual).
+            h = jnp.einsum("btd,df->btf", x, layer["w1"], preferred_element_type=jnp.float32)
+            h = jax.nn.gelu(h + layer["b1"]).astype(x.dtype)
+            out = jnp.einsum("btf,fd->btd", h, layer["w2"], preferred_element_type=jnp.float32)
+            out = out + layer["b2"]
+            x = _layer_norm(x + out.astype(x.dtype), layer["mlp_ln_scale"], layer["mlp_ln_bias"])
+        x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
+        return x.astype(jnp.float32)
+
+
+def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
+    """Load an XLM-R-family HF checkpoint directory into our param layout.
+
+    Expects ``model.safetensors`` plus ``tokenizer.json`` in ``path``.
+    """
+    import json
+    import os
+
+    from safetensors import safe_open
+
+    from raglite_tpu.models.tokenizer import load_tokenizer
+
+    if os.path.isdir(path):
+        st_path = os.path.join(path, "model.safetensors")
+        cfg_path = os.path.join(path, "config.json")
+        tok_path = os.path.join(path, "tokenizer.json")
+    else:
+        st_path = path
+        cfg_path = os.path.join(os.path.dirname(path), "config.json")
+        tok_path = os.path.join(os.path.dirname(path), "tokenizer.json")
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    cfg = dict(
+        layers=hf["num_hidden_layers"],
+        d_model=hf["hidden_size"],
+        heads=hf["num_attention_heads"],
+        d_ff=hf["intermediate_size"],
+        vocab=hf["vocab_size"],
+        max_len=hf["max_position_embeddings"],
+    )
+    tensors: dict[str, np.ndarray] = {}
+    with safe_open(st_path, framework="np") as f:
+        for name in f.keys():  # noqa: SIM118
+            tensors[name] = f.get_tensor(name)
+
+    def t(name: str) -> jax.Array:
+        return jnp.asarray(tensors[name], dtype=dtype)
+
+    def t32(name: str) -> jax.Array:
+        return jnp.asarray(tensors[name], dtype=jnp.float32)
+
+    p = "roberta." if any(k.startswith("roberta.") for k in tensors) else ""
+    params: Params = {
+        "tok_emb": t(f"{p}embeddings.word_embeddings.weight"),
+        "pos_emb": t(f"{p}embeddings.position_embeddings.weight"),
+        "emb_ln_scale": t32(f"{p}embeddings.LayerNorm.weight"),
+        "emb_ln_bias": t32(f"{p}embeddings.LayerNorm.bias"),
+        "layers": [],
+        # XLM-R has no extra final LN; identity keeps the layout uniform.
+        "final_ln_scale": jnp.ones((cfg["d_model"],), jnp.float32),
+        "final_ln_bias": jnp.zeros((cfg["d_model"],), jnp.float32),
+    }
+    for i in range(cfg["layers"]):
+        b = f"{p}encoder.layer.{i}."
+        params["layers"].append(
+            {
+                "wq": t(b + "attention.self.query.weight").T,
+                "wk": t(b + "attention.self.key.weight").T,
+                "wv": t(b + "attention.self.value.weight").T,
+                "wo": t(b + "attention.output.dense.weight").T,
+                "attn_ln_scale": t32(b + "attention.output.LayerNorm.weight"),
+                "attn_ln_bias": t32(b + "attention.output.LayerNorm.bias"),
+                "w1": t(b + "intermediate.dense.weight").T,
+                "b1": t32(b + "intermediate.dense.bias"),
+                "w2": t(b + "output.dense.weight").T,
+                "b2": t32(b + "output.dense.bias"),
+                "mlp_ln_scale": t32(b + "output.LayerNorm.weight"),
+                "mlp_ln_bias": t32(b + "output.LayerNorm.bias"),
+            }
+        )
+    tokenizer = load_tokenizer(tok_path)
+    return cfg, params, tokenizer

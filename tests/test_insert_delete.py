@@ -1,0 +1,118 @@
+"""Insert/delete integration tests (reference: tests/test_insert.py, test_delete.py)."""
+
+import numpy as np
+
+from raglite_tpu import (
+    RAGLiteConfig,
+    Document,
+    delete_documents,
+    delete_documents_by_metadata,
+    insert_documents,
+    vector_search,
+)
+from raglite_tpu.store import store_from_config
+
+
+def _config(tmp_path, name="store"):
+    return RAGLiteConfig(store_path=str(tmp_path / name), embedder="hash:256", llm="echo")
+
+
+DOC_A = "# Alpha\n\nAlpaca wool is prized for warmth. It is soft and light. Farmers comb it gently. "
+DOC_B = "# Beta\n\nBeta decay emits electrons from nuclei. Physicists measure the spectrum. It is continuous. "
+
+
+def test_insert_reassembles_exactly(tmp_path) -> None:
+    """Chunk bodies concatenate back to the document (reference: tests/test_insert.py:13-33)."""
+    config = _config(tmp_path)
+    doc = Document.from_text(DOC_A, filename="a.md")
+    insert_documents([doc], config=config)
+    store = store_from_config(config)
+    bodies = "".join(store.chunks[cid].body for cid in store.chunk_order)
+    assert bodies == DOC_A
+    # Headings are contextual, never duplicated into bodies.
+    for cid in store.chunk_order:
+        chunk = store.chunks[cid]
+        if chunk.headings:
+            assert chunk.headings not in chunk.body or chunk.body.startswith("#")
+
+
+def test_insert_idempotent(tmp_path) -> None:
+    """Same document twice inserts once (reference: _insert.py:195-204)."""
+    config = _config(tmp_path)
+    doc = Document.from_text(DOC_A, filename="a.md")
+    insert_documents([doc], config=config)
+    store = store_from_config(config)
+    n_chunks = len(store.chunk_order)
+    insert_documents([Document.from_text(DOC_A, filename="a.md")], config=config)
+    assert len(store.chunk_order) == n_chunks
+    assert len(store.documents) == 1
+
+
+def test_insert_updates_metadata_table(tmp_path) -> None:
+    config = _config(tmp_path)
+    insert_documents(
+        [Document.from_text(DOC_A, filename="a.md", topic="Wool", type="Article")], config=config
+    )
+    store = store_from_config(config)
+    assert "topic" in store.metadata and "Wool" in store.metadata["topic"]
+    assert "filename" not in store.metadata  # excluded field
+
+
+def test_embeddings_fp16_and_normalized(tmp_path) -> None:
+    config = _config(tmp_path)
+    insert_documents([Document.from_text(DOC_A, filename="a.md")], config=config)
+    store = store_from_config(config)
+    for cid in store.chunk_order:
+        matrix = store.embeddings[cid]
+        assert matrix.dtype == np.float16
+        norms = np.linalg.norm(matrix.astype(np.float32), axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-2)
+
+
+def test_delete_restores_state(tmp_path) -> None:
+    """Deleting one document leaves the rest intact
+    (reference: tests/test_delete.py:18-40)."""
+    config = _config(tmp_path)
+    doc_a = Document.from_text(DOC_A, filename="a.md", topic="Wool")
+    doc_b = Document.from_text(DOC_B, filename="b.md", topic="Physics")
+    insert_documents([doc_a, doc_b], config=config)
+    store = store_from_config(config)
+    n_total = len(store.chunk_order)
+    deleted = delete_documents([doc_a.id], config=config)
+    assert deleted == 1
+    assert doc_a.id not in store.documents
+    assert all(store.chunks[cid].document_id == doc_b.id for cid in store.chunk_order)
+    assert len(store.chunk_order) < n_total
+    # Metadata values only held by the deleted document are pruned.
+    assert "Wool" not in store.metadata.get("topic", [])
+    assert "Physics" in store.metadata.get("topic", [])
+    # Search no longer returns the deleted document's chunks.
+    ids, _ = vector_search("alpaca wool warmth", num_results=5, config=config)
+    assert all(store.chunks[i].document_id == doc_b.id for i in ids if i in store.chunks)
+
+
+def test_delete_by_metadata(tmp_path) -> None:
+    config = _config(tmp_path)
+    doc_a = Document.from_text(DOC_A, filename="a.md", topic="Wool")
+    doc_b = Document.from_text(DOC_B, filename="b.md", topic="Physics")
+    insert_documents([doc_a, doc_b], config=config)
+    deleted = delete_documents_by_metadata({"topic": "Wool"}, config=config)
+    assert deleted == 1
+    store = store_from_config(config)
+    assert list(store.documents) == [doc_b.id]
+
+
+def test_store_persistence_roundtrip(tmp_path) -> None:
+    """The store is the checkpoint: reload from disk (SURVEY §5.4)."""
+    from raglite_tpu.store import Store
+
+    config = _config(tmp_path, "persist")
+    doc = Document.from_text(DOC_A, filename="a.md", topic="Wool")
+    insert_documents([doc], config=config)
+    original = store_from_config(config)
+    reloaded = Store(config.store_path)  # fresh load, bypassing the cache
+    assert set(reloaded.documents) == set(original.documents)
+    assert reloaded.chunk_order == original.chunk_order
+    for cid in original.chunk_order:
+        np.testing.assert_array_equal(reloaded.embeddings[cid], original.embeddings[cid])
+    assert reloaded.metadata == original.metadata

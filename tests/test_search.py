@@ -1,0 +1,124 @@
+"""Search tests (reference: tests/test_search.py)."""
+
+import numpy as np
+import pytest
+
+from raglite_tpu import (
+    RAGLiteConfig,
+    hybrid_search,
+    keyword_search,
+    reciprocal_rank_fusion,
+    rerank_chunks,
+    retrieve_chunk_spans,
+    retrieve_chunks,
+    vector_search,
+)
+
+SEARCHES = [vector_search, keyword_search, hybrid_search]
+
+
+@pytest.mark.parametrize("search", SEARCHES, ids=lambda f: f.__name__)
+def test_search_finds_simultaneity(search, raglite_test_config: RAGLiteConfig) -> None:
+    """The golden corpus query hits the right section (reference asserts
+    'Definition of Simultaneity' appears, tests/test_search.py:49-52)."""
+    query = "How does Einstein define simultaneity?"
+    chunk_ids, scores = search(query, num_results=5, config=raglite_test_config)
+    assert len(chunk_ids) == len(scores) > 0
+    assert all(isinstance(cid, str) for cid in chunk_ids)
+    assert all(isinstance(s, float) for s in scores)
+    chunks = retrieve_chunks(chunk_ids, config=raglite_test_config)
+    texts = [str(c) for c in chunks]
+    assert any("simultaneity" in t.lower() for t in texts)
+
+
+def test_vector_search_scores_sorted(raglite_test_config: RAGLiteConfig) -> None:
+    _, scores = vector_search("relative motion of magnet and conductor", num_results=8, config=raglite_test_config)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_no_results_query(raglite_test_config: RAGLiteConfig) -> None:
+    ids, scores = keyword_search("zzzqqqxyzzy unknownword", num_results=3, config=raglite_test_config)
+    assert ids == []
+
+
+def test_search_empty_database(tmp_path) -> None:
+    config = RAGLiteConfig(store_path=str(tmp_path / "empty"), embedder="hash:256")
+    for search in SEARCHES:
+        ids, scores = search("anything", num_results=3, config=config)
+        assert ids == [] and scores == []
+
+
+def test_metadata_filter(raglite_test_config: RAGLiteConfig) -> None:
+    """Filter that matches everything vs. one that matches nothing
+    (reference: tests/test_search.py:63-127)."""
+    hit_ids, _ = vector_search(
+        "simultaneity",
+        num_results=3,
+        metadata_filter={"topic": "Physics"},
+        config=raglite_test_config,
+    )
+    assert hit_ids
+    miss_ids, _ = vector_search(
+        "simultaneity",
+        num_results=3,
+        metadata_filter={"topic": "Cooking"},
+        config=raglite_test_config,
+    )
+    assert miss_ids == []
+    # List-valued filters are any-of.
+    any_ids, _ = vector_search(
+        "simultaneity",
+        num_results=3,
+        metadata_filter={"topic": ["Cooking", "Physics"]},
+        config=raglite_test_config,
+    )
+    assert any_ids == hit_ids
+
+
+def test_rrf_weights() -> None:
+    ids, scores = reciprocal_rank_fusion([["a", "b"], ["b", "c"]], weights=[0.75, 0.25])
+    assert ids[0] == "b"  # appears in both rankings
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="weights"):
+        reciprocal_rank_fusion([["a"]], weights=[1.0, 2.0])
+    assert reciprocal_rank_fusion([[], []]) == ([], [])
+
+
+def test_retrieve_chunks_preserves_order(raglite_test_config: RAGLiteConfig) -> None:
+    ids, _ = vector_search("simultaneity", num_results=4, config=raglite_test_config)
+    chunks = retrieve_chunks(ids, config=raglite_test_config)
+    assert [c.id for c in chunks] == ids
+    assert all(c.document is not None for c in chunks)
+    assert retrieve_chunks([], config=raglite_test_config) == []
+
+
+def test_retrieve_chunk_spans(raglite_test_config: RAGLiteConfig) -> None:
+    ids, _ = vector_search("definition of simultaneity", num_results=3, config=raglite_test_config)
+    spans = retrieve_chunk_spans(ids, config=raglite_test_config)
+    assert spans
+    for span in spans:
+        indexes = [c.index for c in span.chunks]
+        assert indexes == list(range(indexes[0], indexes[0] + len(indexes)))
+        assert span.document is not None
+    # Spans include neighbor chunks of the seeds.
+    seed_count = len(set(ids))
+    assert sum(len(s.chunks) for s in spans) >= seed_count
+
+
+def test_rerank_chunks(raglite_test_config: RAGLiteConfig) -> None:
+    query = "How does Einstein define simultaneity?"
+    ids, _ = hybrid_search(query, num_results=10, config=raglite_test_config)
+    reranked = rerank_chunks(query, ids, config=raglite_test_config)
+    assert {c.id for c in reranked} == set(ids)
+    # Rerank accepts chunks as input too.
+    chunks = retrieve_chunks(ids, config=raglite_test_config)
+    reranked2 = rerank_chunks(query, chunks, config=raglite_test_config)
+    assert {c.id for c in reranked2} == set(ids)
+
+
+def test_vector_search_accepts_embedding(raglite_test_config: RAGLiteConfig) -> None:
+    from raglite_tpu.embed import embed_strings
+
+    q = embed_strings(["simultaneity of events"], config=raglite_test_config)[0]
+    ids, scores = vector_search(np.asarray(q), num_results=3, config=raglite_test_config)
+    assert ids and scores
