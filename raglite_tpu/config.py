@@ -102,8 +102,9 @@ class RAGLiteConfig:
     self_query: bool = False
 
     # --- TPU-specific ---------------------------------------------------
-    #: Number of devices to shard the index over (0 = all local devices).
-    num_devices: int = 0
+    #: Number of devices to shard the index over (1 = single device,
+    #: 0 = all local devices).
+    num_devices: int = 1
     #: Use Pallas fused kernels on the query path when the index is large
     #: enough to benefit; falls back to pure-XLA ops otherwise.
     use_pallas: bool = True

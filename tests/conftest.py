@@ -7,11 +7,18 @@ DuckDB-vs-Postgres backend matrix, tests/conftest.py:26-74 there).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run on a virtual 8-device CPU mesh for speed and multi-chip coverage.
+# The harness's sitecustomize registers the tunneled TPU backend at interpreter
+# start and pins jax_platforms programmatically, so overriding the env var is
+# not enough — update the jax config before any backend is initialized.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = f"{_flags} --xla_force_host_platform_device_count=8".strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path
 
