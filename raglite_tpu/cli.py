@@ -1,0 +1,179 @@
+"""Command-line interface.
+
+Counterpart of /root/reference/src/raglite/_cli.py:13-206 (a Typer app)
+built on click.  Global options configure the store/llm/embedder and read
+``RAGLITE_TPU_*`` environment variables (the reference uses pydantic-settings
+with a ``RAGLITE_`` prefix, _cli.py:13-23).  The ``chat`` command is the
+terminal equivalent of the reference's Chainlit frontend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import click
+
+from raglite_tpu.config import RAGLiteConfig
+
+
+def _config_from_options(store_path: str | None, llm: str | None, embedder: str | None) -> RAGLiteConfig:
+    kwargs = {}
+    store_path = store_path or os.environ.get("RAGLITE_TPU_STORE_PATH")
+    llm = llm or os.environ.get("RAGLITE_TPU_LLM")
+    embedder = embedder or os.environ.get("RAGLITE_TPU_EMBEDDER")
+    if store_path:
+        kwargs["store_path"] = store_path
+    if llm:
+        kwargs["llm"] = llm
+    if embedder:
+        kwargs["embedder"] = embedder
+    return RAGLiteConfig(**kwargs)
+
+
+@click.group(name="raglite-tpu")
+@click.option("--store-path", default=None, help="Store directory (env: RAGLITE_TPU_STORE_PATH).")
+@click.option("--llm", default=None, help="LLM spec, e.g. 'echo' or 'jax:tiny' (env: RAGLITE_TPU_LLM).")
+@click.option("--embedder", default=None, help="Embedder spec, e.g. 'hash:1024' (env: RAGLITE_TPU_EMBEDDER).")
+@click.pass_context
+def cli(ctx: click.Context, store_path: str | None, llm: str | None, embedder: str | None) -> None:
+    """RAGLite-TPU: TPU-native retrieval-augmented generation."""
+    ctx.obj = _config_from_options(store_path, llm, embedder)
+
+
+@cli.command()
+@click.argument("paths", nargs=-1, type=click.Path(exists=True))
+@click.pass_obj
+def insert(config: RAGLiteConfig, paths: tuple[str, ...]) -> None:
+    """Insert documents into the knowledge base."""
+    from raglite_tpu.documents import Document
+    from raglite_tpu.insert import insert_documents
+
+    documents = [Document.from_path(p) for p in paths]
+    insert_documents(documents, config=config)
+    click.echo(f"Inserted {len(documents)} document(s) into {config.store_path}.")
+
+
+@cli.command()
+@click.argument("query")
+@click.option("--num-results", default=5, show_default=True)
+@click.option("--method", type=click.Choice(["vector", "keyword", "hybrid"]), default="hybrid", show_default=True)
+@click.pass_obj
+def search(config: RAGLiteConfig, query: str, num_results: int, method: str) -> None:
+    """Search the knowledge base and print ranked chunks."""
+    from raglite_tpu.search import hybrid_search, keyword_search, retrieve_chunks, vector_search
+
+    fn = {"vector": vector_search, "keyword": keyword_search, "hybrid": hybrid_search}[method]
+    chunk_ids, scores = fn(query, num_results=num_results, config=config)
+    for chunk, score in zip(retrieve_chunks(chunk_ids, config=config), scores):
+        first_line = chunk.body.strip().splitlines()[0] if chunk.body.strip() else ""
+        click.echo(f"{score:8.4f}  {chunk.id}  {first_line[:100]}")
+
+
+@cli.command()
+@click.pass_obj
+def chat(config: RAGLiteConfig) -> None:
+    """Interactive RAG chat in the terminal (the reference's Chainlit
+    frontend equivalent, _chainlit.py there)."""
+    from raglite_tpu.rag import rag
+
+    click.echo(f"RAGLite-TPU chat — store: {config.store_path}, llm: {config.llm}. Ctrl-D to exit.")
+    messages: list[dict[str, str]] = []
+    while True:
+        try:
+            user = click.prompt("you", prompt_suffix="> ")
+        except (EOFError, click.Abort):
+            click.echo("\nbye")
+            return
+        if not user.strip():
+            continue
+        messages.append({"role": "user", "content": user})
+        click.echo("assistant> ", nl=False)
+        for token in rag(messages, config=config):
+            click.echo(token, nl=False)
+        click.echo()
+
+
+@cli.group()
+def mcp() -> None:
+    """Model Context Protocol server."""
+
+
+@mcp.command("run")
+@click.pass_obj
+def mcp_run(config: RAGLiteConfig) -> None:
+    """Run the MCP server over stdio (reference: _cli.py:106-118)."""
+    from raglite_tpu.mcp import create_mcp_server
+
+    create_mcp_server(config=config).run()
+
+
+@mcp.command("install")
+@click.option("--server-name", default="RAGLite-TPU", show_default=True)
+@click.pass_obj
+def mcp_install(config: RAGLiteConfig, server_name: str) -> None:
+    """Write a Claude Desktop config entry for this server
+    (reference: _cli.py:58-103)."""
+    import sys
+    from pathlib import Path
+
+    if sys.platform == "darwin":
+        config_path = Path.home() / "Library" / "Application Support" / "Claude"
+    elif sys.platform == "win32":
+        config_path = Path(os.environ.get("APPDATA", str(Path.home()))) / "Claude"
+    else:
+        config_path = Path.home() / ".config" / "Claude"
+    config_path.mkdir(parents=True, exist_ok=True)
+    config_file = config_path / "claude_desktop_config.json"
+    desktop = json.loads(config_file.read_text()) if config_file.exists() else {}
+    desktop.setdefault("mcpServers", {})[server_name] = {
+        "command": sys.executable,
+        "args": ["-m", "raglite_tpu", "--store-path", config.store_path,
+                 "--llm", config.llm, "--embedder", config.embedder, "mcp", "run"],
+    }
+    config_file.write_text(json.dumps(desktop, indent=2))
+    click.echo(f"Installed MCP server {server_name!r} in {config_file}.")
+
+
+@cli.command()
+@click.option("--dataset", default="synthetic", show_default=True,
+              help="IR dataset: 'synthetic', a TREC-format directory, or an ir_datasets id.")
+@click.option("--measure", default="AP@10", show_default=True)
+@click.option("--num-queries", default=50, show_default=True)
+@click.pass_obj
+def bench(config: RAGLiteConfig, dataset: str, measure: str, num_queries: int) -> None:
+    """IR benchmark comparing retrieval variants (reference: _cli.py:121-206)."""
+    from raglite_tpu.irbench import run_ir_benchmark
+
+    df = run_ir_benchmark(
+        dataset=dataset, measure=measure, num_queries=num_queries, config=config
+    )
+    click.echo(df.to_string())
+
+
+@cli.command()
+@click.pass_obj
+def stats(config: RAGLiteConfig) -> None:
+    """Show store/index statistics."""
+    from raglite_tpu.store import store_from_config
+
+    store = store_from_config(config)
+    num_vectors = sum(m.shape[0] for m in store.embeddings.values())
+    click.echo(
+        json.dumps(
+            {
+                "store_path": config.store_path,
+                "documents": len(store.documents),
+                "chunks": len(store.chunk_order),
+                "sub_vectors": num_vectors,
+                "evals": len(store.evals),
+                "metadata_fields": sorted(store.metadata),
+                "has_query_adapter": "query_adapter" in store.index_metadata,
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    cli()

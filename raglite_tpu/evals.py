@@ -1,0 +1,227 @@
+"""Eval generation, answering, and quality evaluation.
+
+Counterpart of /root/reference/src/raglite/_eval.py:26-303.  Eval
+generation/judging/answering use the first-party LLM protocol; `evaluate`
+computes Ragas-style metrics with a first-party implementation built on the
+framework's own embedder (the reference bridges to the optional ``ragas``
+package, _eval.py:232-303) — so quality evaluation runs fully offline.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from random import randint
+from typing import ClassVar
+
+import numpy as np
+import pandas as pd
+from pydantic import BaseModel, ConfigDict, Field, field_validator
+from tqdm.auto import tqdm, trange
+
+from raglite_tpu.config import RAGLiteConfig
+from raglite_tpu.documents import Eval
+from raglite_tpu.embed import embed_strings
+from raglite_tpu.extract import extract_with_llm
+from raglite_tpu.rag import add_context, rag, retrieve_context
+from raglite_tpu.search import retrieve_chunk_spans, vector_search
+from raglite_tpu.store import store_from_config
+
+__all__ = ["generate_eval", "insert_evals", "answer_evals", "evaluate"]
+
+
+class QuestionResponse(BaseModel):
+    """A specific question about the content of a set of document contexts."""
+
+    model_config = ConfigDict(extra="forbid")
+    question: str = Field(
+        ..., description="A specific question about the content of a set of document contexts."
+    )
+    system_prompt: ClassVar[str] = """
+You are given a set of contexts extracted from a document.
+You are a subject matter expert on the document's topic.
+Your task is to generate a question to quiz other subject matter experts on the information in the provided context.
+The question MUST be specific, self-contained, answerable using ONLY the provided context, and MUST NOT reference the existence of the context.
+""".strip()
+
+    @field_validator("question")
+    @classmethod
+    def validate_question(cls, value: str) -> str:
+        """Reject generic/context-referential questions
+        (reference: _eval.py:51-60)."""
+        question = value.strip().lower()
+        if "context" in question or "document" in question or "question" in question:
+            raise ValueError(value)
+        if not question.endswith("?"):
+            raise ValueError(value)
+        return value
+
+
+def generate_eval(*, max_chunks: int = 20, config: RAGLiteConfig | None = None) -> Eval:
+    """Generate one eval: seed chunk -> related contexts -> LLM question ->
+    LLM-judged relevant chunks -> LLM ground-truth answer
+    (reference: _eval.py:26-165)."""
+    config = config or RAGLiteConfig()
+    store = store_from_config(config)
+    if not store.chunk_order:
+        msg = "First run `insert_documents()` before generating evals."
+        raise ValueError(msg)
+    # Random seed chunk, expanded via vector search on its mean embedding.
+    seed_chunk_id = store.chunk_order[randint(0, len(store.chunk_order) - 1)]  # noqa: S311
+    seed_matrix = store.embeddings[seed_chunk_id].astype(np.float32)
+    related_chunk_ids, _ = vector_search(
+        np.mean(seed_matrix, axis=0),
+        num_results=randint(1, max_chunks),  # noqa: S311
+        config=config,
+    )
+    related_contexts = [
+        str(span) if isinstance(span, str) else span.content
+        for span in retrieve_chunk_spans(related_chunk_ids, config=config)
+    ]
+    question = extract_with_llm(
+        QuestionResponse, related_contexts, strict=True, config=config
+    ).question
+    # Candidate chunks for the question, judged for relevance by the LLM.
+    candidate_chunk_ids, _ = vector_search(question, num_results=2 * max_chunks, config=config)
+    candidate_chunks = [store.get_chunk(cid) for cid in candidate_chunk_ids]
+
+    class ContextEvalResponse(BaseModel):
+        """Indicate whether the provided context can be used to answer a given question."""
+
+        model_config = ConfigDict(extra="forbid")
+        hit: bool = Field(
+            ...,
+            description="True if the provided context contains (a part of) the answer to the given question, false otherwise.",
+        )
+        system_prompt: ClassVar[str] = (
+            "You are given a context extracted from a document. Determine whether it contains "
+            f'(a part of) the answer to this question: "{question}"'
+        )
+
+    relevant_chunks = []
+    for candidate in tqdm(
+        candidate_chunks, desc="Evaluating chunks", unit="chunk", dynamic_ncols=True, leave=False
+    ):
+        if candidate is None:
+            continue
+        with contextlib.suppress(ValueError):
+            if extract_with_llm(ContextEvalResponse, str(candidate), strict=True, config=config).hit:
+                relevant_chunks.append(candidate)
+    if not relevant_chunks:
+        msg = "No relevant chunks found to answer the question."
+        raise ValueError(msg)
+
+    class AnswerResponse(BaseModel):
+        """Answer a question using the provided context."""
+
+        model_config = ConfigDict(extra="forbid")
+        answer: str = Field(
+            ..., description="A complete answer to the given question using the provided context."
+        )
+        system_prompt: ClassVar[str] = (
+            "You are given a set of contexts extracted from a document. Generate a complete, "
+            f'self-contained answer to the following question using them: "{question}"'
+        )
+
+    answer = extract_with_llm(
+        AnswerResponse, [str(c) for c in relevant_chunks], strict=True, config=config
+    ).answer
+    return Eval.from_chunks(question=question, contexts=relevant_chunks, ground_truth=answer)
+
+
+def insert_evals(
+    *, num_evals: int = 100, max_chunks_per_eval: int = 20, config: RAGLiteConfig | None = None
+) -> None:
+    """Generate and store evals; individual failures are suppressed
+    (reference: _eval.py:168-192)."""
+    config = config or RAGLiteConfig()
+    store = store_from_config(config)
+    evals: list[Eval] = []
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(generate_eval, max_chunks=max_chunks_per_eval, config=config)
+            for _ in range(num_evals)
+        ]
+        for future in tqdm(
+            as_completed(futures), total=num_evals, desc="Generating evals",
+            unit="eval", dynamic_ncols=True, leave=False,
+        ):
+            with contextlib.suppress(Exception):
+                evals.append(future.result())
+    with store.write_lock():
+        store.add_evals(evals)
+        store.save()
+
+
+def answer_evals(
+    num_evals: int = 100, *, config: RAGLiteConfig | None = None
+) -> pd.DataFrame:
+    """Answer stored evals with RAG; returns a DataFrame of
+    question/answer/contexts/ground_truth (reference: _eval.py:195-229)."""
+    config = config or RAGLiteConfig()
+    store = store_from_config(config)
+    evals = sorted(store.evals.values(), key=lambda e: e.id)[:num_evals]
+    answers: list[str] = []
+    contexts: list[list[str]] = []
+    for eval_ in tqdm(evals, desc="Answering evals", unit="eval", dynamic_ncols=True, leave=False):
+        spans = retrieve_context(query=eval_.question, config=config)
+        messages = [add_context(user_prompt=eval_.question, context=spans, config=config)]
+        answer = "".join(rag(messages, config=config))
+        answers.append(answer)
+        contexts.append([span.content for span in spans])
+    return pd.DataFrame(
+        {
+            "question": [e.question for e in evals],
+            "answer": answers,
+            "contexts": contexts,
+            "ground_truth": [e.ground_truth for e in evals],
+        }
+    )
+
+
+def _similarity(a: list[str], b: list[str], config: RAGLiteConfig) -> np.ndarray:
+    """Pairwise cosine similarity between two string lists via the
+    framework's embedder (one batched device call)."""
+    emb = embed_strings([*a, *b], config=config).astype(np.float32)
+    ea, eb = emb[: len(a)], emb[len(a) :]
+    return np.sum(ea * eb, axis=1)
+
+
+def evaluate(
+    answered_evals: pd.DataFrame | int = 100, config: RAGLiteConfig | None = None
+) -> pd.DataFrame:
+    """Compute Ragas-style quality metrics with first-party embedding-based
+    implementations (reference bridges to the ragas package, _eval.py:232-303):
+
+    - answer_similarity: cosine(answer, ground_truth)
+    - context_relevancy: mean cosine(question, context)
+    - faithfulness_proxy: cosine(answer, concatenated contexts)
+    """
+    config = config or RAGLiteConfig()
+    df = (
+        answered_evals
+        if isinstance(answered_evals, pd.DataFrame)
+        else answer_evals(answered_evals, config=config)
+    )
+    if df.empty:
+        return pd.DataFrame(
+            columns=["question", "answer_similarity", "context_relevancy", "faithfulness_proxy"]
+        )
+    answer_similarity = _similarity(list(df["answer"]), list(df["ground_truth"]), config)
+    context_relevancy = np.array(
+        [
+            float(np.mean(_similarity([q] * max(len(ctx), 1), ctx or [""], config)))
+            for q, ctx in zip(df["question"], df["contexts"])
+        ]
+    )
+    faithfulness = _similarity(
+        list(df["answer"]), ["\n".join(ctx) for ctx in df["contexts"]], config
+    )
+    return pd.DataFrame(
+        {
+            "question": df["question"],
+            "answer_similarity": answer_similarity,
+            "context_relevancy": context_relevancy,
+            "faithfulness_proxy": faithfulness,
+        }
+    )

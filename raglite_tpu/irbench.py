@@ -1,0 +1,282 @@
+"""IR benchmarking harness.
+
+Counterpart of /root/reference/src/raglite/_bench.py:20-296.  The reference
+depends on ir_datasets/ir_measures/FAISS/OpenAI (optional "bench" extra);
+here the harness is first-party:
+
+- ``IREvaluator`` ABC with on-disk run caching (the reference caches TREC
+  runs the same way, _bench.py:63-85);
+- evaluator variants: single-vector, multi-vector, multi-vector +
+  query-adapter, keyword (BM25), and hybrid — all over this framework;
+- IR measures (AP@k, nDCG@k, recall@k, MRR) implemented in numpy;
+- datasets: "synthetic" (auto-generated query/qrel pairs from the corpus),
+  a BEIR-style directory (corpus.jsonl / queries.jsonl / qrels.tsv), or an
+  ``ir_datasets`` id when that optional package is importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, replace
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from raglite_tpu.config import RAGLiteConfig
+from raglite_tpu.documents import Document
+from raglite_tpu.insert import insert_documents
+from raglite_tpu.search import hybrid_search, keyword_search, vector_search
+from raglite_tpu.store import store_from_config
+
+__all__ = ["IRDataset", "IREvaluator", "RAGLiteTPUEvaluator", "run_ir_benchmark", "compute_measure"]
+
+
+@dataclass
+class IRDataset:
+    """Documents, queries, and relevance judgements."""
+
+    name: str
+    documents: list[Document]
+    queries: dict[str, str]  # query_id -> text
+    qrels: dict[str, dict[str, int]]  # query_id -> {doc_id: relevance}
+
+
+# --- Measures -----------------------------------------------------------------
+
+
+def _ranked_relevances(run: list[str], qrel: dict[str, int]) -> np.ndarray:
+    return np.asarray([qrel.get(doc_id, 0) for doc_id in run], dtype=np.float64)
+
+
+def compute_measure(measure: str, run: list[str], qrel: dict[str, int]) -> float:
+    """One query's measure: AP@k, nDCG@k, recall@k, P@k, or MRR."""
+    name, _, k_str = measure.partition("@")
+    k = int(k_str) if k_str else 10
+    rel = _ranked_relevances(run[:k], qrel)
+    num_relevant = sum(1 for v in qrel.values() if v > 0)
+    if num_relevant == 0:
+        return 0.0
+    binary = (rel > 0).astype(np.float64)
+    if name.upper() == "AP":
+        precisions = np.cumsum(binary) / (np.arange(len(binary)) + 1)
+        return float(np.sum(precisions * binary) / min(num_relevant, k))
+    if name.lower() in ("ndcg",):
+        discounts = 1.0 / np.log2(np.arange(len(rel)) + 2)
+        dcg = float(np.sum((2.0**rel - 1.0) * discounts))
+        ideal = np.sort([v for v in qrel.values() if v > 0])[::-1][:k].astype(np.float64)
+        idcg = float(np.sum((2.0**ideal - 1.0) / np.log2(np.arange(len(ideal)) + 2)))
+        return dcg / idcg if idcg > 0 else 0.0
+    if name.lower() in ("recall", "r"):
+        return float(np.sum(binary) / num_relevant)
+    if name.upper() == "P":
+        return float(np.mean(binary)) if len(binary) else 0.0
+    if name.upper() == "MRR":
+        hits = np.flatnonzero(binary)
+        return float(1.0 / (hits[0] + 1)) if hits.size else 0.0
+    msg = f"unknown measure {measure!r}"
+    raise ValueError(msg)
+
+
+# --- Evaluators ---------------------------------------------------------------
+
+
+class IREvaluator(ABC):
+    """Insert a dataset, score queries, cache runs on disk
+    (reference: _bench.py:20-85)."""
+
+    def __init__(self, dataset: IRDataset, *, variant: str, cache_dir: str | None = None) -> None:
+        self.dataset = dataset
+        self.variant = variant
+        base = cache_dir or os.environ.get(
+            "RAGLITE_TPU_BENCH_CACHE", str(Path.home() / ".raglite_tpu" / "bench")
+        )
+        self.cache_path = Path(base) / f"{dataset.name}__{variant}.runs.json"
+
+    @abstractmethod
+    def insert_documents(self) -> None: ...
+
+    @abstractmethod
+    def search(self, query: str, num_results: int) -> list[str]:
+        """Ranked document ids for a query."""
+
+    def runs(self, *, num_results: int = 10, refresh: bool = False) -> dict[str, list[str]]:
+        """Per-query ranked doc ids, replayed from cache when available."""
+        if not refresh and self.cache_path.exists():
+            return json.loads(self.cache_path.read_text())
+        self.insert_documents()
+        out = {
+            qid: self.search(text, num_results) for qid, text in self.dataset.queries.items()
+        }
+        self.cache_path.parent.mkdir(parents=True, exist_ok=True)
+        self.cache_path.write_text(json.dumps(out))
+        return out
+
+    def score(self, measure: str = "AP@10", **kwargs) -> float:
+        runs = self.runs(num_results=int(measure.partition("@")[2] or 10), **kwargs)
+        values = [
+            compute_measure(measure, runs.get(qid, []), qrel)
+            for qid, qrel in self.dataset.qrels.items()
+        ]
+        return float(np.mean(values)) if values else 0.0
+
+
+class RAGLiteTPUEvaluator(IREvaluator):
+    """Evaluate this framework's retrieval variants
+    (reference: RAGLiteEvaluator, _bench.py:88-137).
+
+    Variants: "single_vector", "multivector", "query_adapter", "keyword",
+    "hybrid".  Scores are at the document level (best chunk per document),
+    like the reference's doc-level ScoredDoc aggregation.
+    """
+
+    def __init__(self, dataset: IRDataset, *, variant: str = "multivector", config: RAGLiteConfig | None = None, cache_dir: str | None = None) -> None:
+        super().__init__(dataset, variant=variant, cache_dir=cache_dir)
+        base = config or RAGLiteConfig()
+        store_path = str(Path(base.store_path).parent / f"bench_{dataset.name}_{variant}")
+        self.config = replace(
+            base,
+            store_path=store_path,
+            vector_search_multivector=variant != "single_vector",
+            vector_search_query_adapter=variant == "query_adapter",
+        )
+
+    def insert_documents(self) -> None:
+        insert_documents(self.dataset.documents, config=self.config)
+        if self.variant == "query_adapter":
+            from raglite_tpu.documents import Eval
+            from raglite_tpu.query_adapter import update_query_adapter
+
+            store = store_from_config(self.config)
+            if "query_adapter" not in store.index_metadata:
+                # Train on the dataset's own qrels (standard for this harness).
+                for qid, qrel in self.dataset.qrels.items():
+                    gold_chunks = [
+                        store.get_chunk(cid)
+                        for cid in store.chunk_order
+                        if store.chunks[cid].document_id in qrel
+                    ]
+                    if gold_chunks:
+                        store.add_evals(
+                            [
+                                Eval.from_chunks(
+                                    self.dataset.queries[qid], gold_chunks, "ground truth"
+                                )
+                            ]
+                        )
+                update_query_adapter(config=self.config)
+
+    def search(self, query: str, num_results: int) -> list[str]:
+        oversample = 2  # doc-level dedup needs chunk oversampling (reference: _bench.py:116-125)
+        if self.variant == "keyword":
+            chunk_ids, _ = keyword_search(query, num_results=oversample * num_results, config=self.config)
+        elif self.variant == "hybrid":
+            chunk_ids, _ = hybrid_search(query, num_results=oversample * num_results, config=self.config)
+        else:
+            chunk_ids, _ = vector_search(query, num_results=oversample * num_results, config=self.config)
+        store = store_from_config(self.config)
+        doc_ids: list[str] = []
+        for cid in chunk_ids:
+            chunk = store.chunks.get(cid)
+            if chunk and chunk.document_id not in doc_ids:
+                doc_ids.append(chunk.document_id)
+        return doc_ids[:num_results]
+
+
+# --- Datasets -----------------------------------------------------------------
+
+
+def synthetic_dataset(num_docs: int = 64, queries_per_doc: int = 1, seed: int = 0) -> IRDataset:
+    """A deterministic corpus where each document owns distinctive vocabulary
+    and each query targets one document — exact retrieval should reach 1.0."""
+    rng = np.random.default_rng(seed)
+    nouns = [
+        "glacier", "volcano", "nebula", "enzyme", "sonnet", "turbine", "antenna", "plateau",
+        "lagoon", "magnet", "fresco", "comet", "fjord", "lichen", "quartz", "monsoon",
+    ]
+    documents, queries, qrels = [], {}, {}
+    for i in range(num_docs):
+        a, b, c = rng.choice(nouns, size=3, replace=False)
+        body = (
+            f"# Study {i}\n\n"
+            + f"The {a} interacts with the {b} near the {c}. " * 3
+            + f"Researchers measured the {a} of specimen {i} repeatedly. " * 2
+            + f"Conclusion {i}: the {b} dominates the {c} response.\n"
+        )
+        doc = Document.from_text(body, filename=f"study{i}.md")
+        documents.append(doc)
+        for j in range(queries_per_doc):
+            qid = f"q{i}_{j}"
+            queries[qid] = f"How does the {a} interact with the {b} in specimen {i}?"
+            qrels[qid] = {doc.id: 1}
+    return IRDataset("synthetic", documents, queries, qrels)
+
+
+def beir_directory_dataset(path: str) -> IRDataset:
+    """Load a BEIR-style directory: corpus.jsonl, queries.jsonl, qrels.tsv."""
+    root = Path(path)
+    documents = []
+    for line in (root / "corpus.jsonl").read_text().splitlines():
+        rec = json.loads(line)
+        documents.append(
+            Document.from_text(
+                f"# {rec.get('title', '')}\n\n{rec['text']}",
+                id=str(rec["_id"]),
+                filename=str(rec.get("title") or rec["_id"]),
+            )
+        )
+    queries = {}
+    for line in (root / "queries.jsonl").read_text().splitlines():
+        rec = json.loads(line)
+        queries[str(rec["_id"])] = rec["text"]
+    qrels: dict[str, dict[str, int]] = {}
+    for line in (root / "qrels.tsv").read_text().splitlines()[1:]:
+        qid, did, rel = line.split("\t")[:3]
+        qrels.setdefault(qid, {})[did] = int(rel)
+    return IRDataset(root.name, documents, queries, qrels)
+
+
+def load_dataset(dataset: str, *, num_queries: int = 50) -> IRDataset:
+    if dataset == "synthetic":
+        return synthetic_dataset(num_docs=max(num_queries, 8))
+    if Path(dataset).is_dir():
+        return beir_directory_dataset(dataset)
+    try:  # optional ir_datasets id (not in this image; kept for parity)
+        import ir_datasets  # type: ignore[import-not-found]
+    except ModuleNotFoundError as error:
+        msg = f"dataset {dataset!r} is not a directory and ir_datasets is unavailable"
+        raise ValueError(msg) from error
+    ds = ir_datasets.load(dataset)
+    documents = [
+        Document.from_text(d.text, id=d.doc_id, filename=d.doc_id) for d in ds.docs_iter()
+    ]
+    queries = {q.query_id: q.text for q in ds.queries_iter()}
+    qrels: dict[str, dict[str, int]] = {}
+    for qrel in ds.qrels_iter():
+        qrels.setdefault(qrel.query_id, {})[qrel.doc_id] = qrel.relevance
+    return IRDataset(dataset.replace("/", "_"), documents, queries, qrels)
+
+
+def run_ir_benchmark(
+    *,
+    dataset: str = "synthetic",
+    measure: str = "AP@10",
+    num_queries: int = 50,
+    variants: tuple[str, ...] = ("single_vector", "multivector", "query_adapter", "keyword", "hybrid"),
+    config: RAGLiteConfig | None = None,
+) -> pd.DataFrame:
+    """Compare retrieval variants on an IR dataset (reference: _cli.py:121-206)."""
+    ds = load_dataset(dataset, num_queries=num_queries)
+    if num_queries and len(ds.queries) > num_queries:
+        keep = sorted(ds.queries)[:num_queries]
+        ds = IRDataset(
+            ds.name, ds.documents, {k: ds.queries[k] for k in keep},
+            {k: ds.qrels[k] for k in keep if k in ds.qrels},
+        )
+    rows = []
+    for variant in variants:
+        evaluator = RAGLiteTPUEvaluator(ds, variant=variant, config=config)
+        rows.append({"variant": variant, measure: evaluator.score(measure)})
+    return pd.DataFrame(rows).set_index("variant")

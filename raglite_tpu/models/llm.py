@@ -134,14 +134,14 @@ class EchoLLM:
             return f"Based on the retrieved context: {context_bits[0]}"
         return f"Echo: {question}"
 
-    def _json_for_schema(self, schema: dict[str, Any], user_prompt: str) -> Any:
+    def _json_for_schema(self, schema: dict[str, Any], user_prompt: str, name: str = "") -> Any:
         t = schema.get("type")
         if "enum" in schema:
             return schema["enum"][0]
         if t == "object" or "properties" in schema:
             return {
-                name: self._json_for_schema(sub, user_prompt)
-                for name, sub in schema.get("properties", {}).items()
+                key: self._json_for_schema(sub, user_prompt, key)
+                for key, sub in schema.get("properties", {}).items()
             }
         if t == "array":
             return []
@@ -152,12 +152,25 @@ class EchoLLM:
         if t == "boolean":
             return True
         if isinstance(t, list):  # e.g. ["integer", "null"]
-            return None if "null" in t else self._json_for_schema({"type": t[0]}, user_prompt)
+            return None if "null" in t else self._json_for_schema({"type": t[0]}, user_prompt, name)
         if "anyOf" in schema:
             options = schema["anyOf"]
             null = next((o for o in options if o.get("type") == "null"), None)
-            return None if null is not None else self._json_for_schema(options[0], user_prompt)
-        # String field: echo a snippet of the user prompt for traceability.
+            return None if null is not None else self._json_for_schema(options[0], user_prompt, name)
+        # String fields: honor common semantic field names so downstream
+        # validators (e.g. eval question rules, _eval.py:51-60 there) pass.
+        hint = f"{name} {schema.get('description', '')}".lower()
+        snippet = re.sub(r"\W+", " ", user_prompt).strip()
+        forbidden = {"context", "document", "question", "index", "filename", "none"}
+        words = [
+            w for w in snippet.split() if len(w) > 3 and w.lower() not in forbidden and not w.isdigit()
+        ][:6]
+        topic = " ".join(words[:4]) or "the given subject"
+        if "question" in hint:
+            return f"What does the passage say about {topic}?"
+        if "answer" in hint:
+            return f"The passage explains {topic} in detail."
+        # Default: echo a snippet of the user prompt for traceability.
         return user_prompt.strip().split("\n")[0][:80] or "echo"
 
     def complete(

@@ -20,9 +20,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import tempfile
 from pathlib import Path
 
 import pytest
+
+# Keep IR-bench run caches out of the user-data dir during tests.
+os.environ["RAGLITE_TPU_BENCH_CACHE"] = tempfile.mkdtemp(prefix="raglite_bench_cache_")
 
 SPECREL_PDF = Path("/root/reference/tests/specrel.pdf")
 

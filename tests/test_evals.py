@@ -1,0 +1,39 @@
+"""Eval subsystem tests (reference: tests via _eval.py usage)."""
+
+import pandas as pd
+import pytest
+
+from raglite_tpu import RAGLiteConfig
+from raglite_tpu.evals import answer_evals, evaluate, generate_eval, insert_evals
+from raglite_tpu.store import store_from_config
+
+
+def test_generate_eval(raglite_test_config: RAGLiteConfig) -> None:
+    eval_ = generate_eval(max_chunks=5, config=raglite_test_config)
+    assert eval_.question.strip().endswith("?")
+    q = eval_.question.lower()
+    assert "context" not in q and "document" not in q
+    assert eval_.chunk_ids
+    assert eval_.ground_truth
+    assert eval_.contexts
+
+
+def test_insert_answer_evaluate(raglite_test_config: RAGLiteConfig) -> None:
+    insert_evals(num_evals=2, max_chunks_per_eval=4, config=raglite_test_config)
+    store = store_from_config(raglite_test_config)
+    assert len(store.evals) >= 1
+    answered = answer_evals(num_evals=2, config=raglite_test_config)
+    assert isinstance(answered, pd.DataFrame)
+    assert set(answered.columns) == {"question", "answer", "contexts", "ground_truth"}
+    assert len(answered) >= 1
+    assert all(answered["answer"].str.len() > 0)
+    metrics = evaluate(answered, config=raglite_test_config)
+    assert {"answer_similarity", "context_relevancy", "faithfulness_proxy"} <= set(metrics.columns)
+    assert len(metrics) == len(answered)
+    assert metrics["answer_similarity"].between(-1.01, 1.01).all()
+
+
+def test_generate_eval_requires_documents(tmp_path) -> None:
+    config = RAGLiteConfig(store_path=str(tmp_path / "empty"), embedder="hash:128")
+    with pytest.raises(ValueError, match="insert_documents"):
+        generate_eval(config=config)

@@ -1,0 +1,100 @@
+"""CLI / MCP / IR-bench surface tests (reference: _cli.py, _mcp.py, _bench.py)."""
+
+import io
+import json
+
+import pytest
+from click.testing import CliRunner
+
+from raglite_tpu import RAGLiteConfig
+from raglite_tpu.cli import cli
+
+
+def test_cli_help() -> None:
+    result = CliRunner().invoke(cli, ["--help"])
+    assert result.exit_code == 0
+    for cmd in ("insert", "search", "chat", "mcp", "bench", "stats"):
+        assert cmd in result.output
+
+
+def test_cli_insert_search_stats(tmp_path) -> None:
+    doc = tmp_path / "doc.md"
+    doc.write_text("# Guide\n\nPelicans carry fish in their pouches. They dive from heights. ")
+    runner = CliRunner()
+    base = ["--store-path", str(tmp_path / "store"), "--embedder", "hash:128", "--llm", "echo"]
+    result = runner.invoke(cli, [*base, "insert", str(doc)])
+    assert result.exit_code == 0, result.output
+    assert "Inserted 1" in result.output
+    result = runner.invoke(cli, [*base, "search", "how do pelicans carry fish?"])
+    assert result.exit_code == 0, result.output
+    assert "Pelicans" in result.output or result.output.strip()
+    result = runner.invoke(cli, [*base, "stats"])
+    assert result.exit_code == 0
+    stats = json.loads(result.output)
+    assert stats["documents"] == 1
+    assert stats["chunks"] >= 1
+
+
+def test_mcp_server_protocol(raglite_test_config: RAGLiteConfig) -> None:
+    """Drive the MCP server through the stdio JSON-RPC protocol."""
+    from raglite_tpu.mcp import create_mcp_server
+
+    server = create_mcp_server(config=raglite_test_config)
+    requests = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {
+            "jsonrpc": "2.0",
+            "id": 3,
+            "method": "tools/call",
+            "params": {
+                "name": "search_knowledge_base",
+                "arguments": {"query": "How does Einstein define simultaneity?"},
+            },
+        },
+        {"jsonrpc": "2.0", "id": 4, "method": "prompts/get",
+         "params": {"name": "kb", "arguments": {"query": "what is time?"}}},
+        {"jsonrpc": "2.0", "id": 5, "method": "nope/nope"},
+    ]
+    stdin = io.StringIO("\n".join(json.dumps(r) for r in requests) + "\n")
+    stdout = io.StringIO()
+    server.run(stdin=stdin, stdout=stdout)
+    responses = [json.loads(line) for line in stdout.getvalue().splitlines()]
+    by_id = {r["id"]: r for r in responses}
+    assert by_id[1]["result"]["serverInfo"]["name"] == "RAGLite-TPU"
+    assert by_id[2]["result"]["tools"][0]["name"] == "search_knowledge_base"
+    payload = json.loads(by_id[3]["result"]["content"][0]["text"])
+    assert payload["documents"], "tool returned retrieved documents"
+    assert "simultaneity" in json.dumps(payload).lower()
+    assert by_id[4]["result"]["messages"][0]["role"] == "user"
+    assert by_id[5]["error"]["code"] == -32601
+
+
+def test_ir_measures() -> None:
+    from raglite_tpu.irbench import compute_measure
+
+    qrel = {"a": 1, "b": 1}
+    assert compute_measure("AP@10", ["a", "x", "b"], qrel) == pytest.approx((1.0 + 2 / 3) / 2)
+    assert compute_measure("recall@10", ["a", "x"], qrel) == 0.5
+    assert compute_measure("MRR@10", ["x", "a"], qrel) == 0.5
+    assert compute_measure("nDCG@10", ["a", "b"], qrel) == pytest.approx(1.0)
+    assert compute_measure("P@2", ["a", "x"], qrel) == 0.5
+
+
+def test_ir_benchmark_synthetic(tmp_path) -> None:
+    """The IR harness end-to-end on the synthetic dataset: exact dense
+    retrieval on distinctive-vocabulary docs should score near 1.0."""
+    from raglite_tpu.irbench import run_ir_benchmark
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "s"), embedder="hash:128", llm="echo")
+    df = run_ir_benchmark(
+        dataset="synthetic",
+        measure="AP@10",
+        num_queries=8,
+        variants=("multivector", "keyword", "hybrid"),
+        config=config,
+    )
+    assert set(df.index) == {"multivector", "keyword", "hybrid"}
+    assert (df["AP@10"] > 0.6).all(), df
+    assert df.loc["hybrid", "AP@10"] >= 0.9, df
