@@ -8,8 +8,10 @@ later modules and are exported as they are implemented.
 from raglite_tpu.config import RAGLiteConfig
 from raglite_tpu.delete import delete_documents, delete_documents_by_metadata
 from raglite_tpu.documents import Chunk, ChunkSpan, Document, Eval
+from raglite_tpu.evals import answer_evals, evaluate, insert_evals
 from raglite_tpu.insert import insert_documents
 from raglite_tpu.extract import expand_document_metadata, extract_with_llm
+from raglite_tpu.query_adapter import update_query_adapter
 from raglite_tpu.rag import add_context, async_rag, rag, retrieve_context
 from raglite_tpu.search import (
     hybrid_search,
@@ -47,6 +49,10 @@ __all__ = [
     "async_rag",
     "extract_with_llm",
     "expand_document_metadata",
+    "update_query_adapter",
+    "insert_evals",
+    "answer_evals",
+    "evaluate",
 ]
 
 __version__ = "0.1.0"

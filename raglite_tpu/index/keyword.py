@@ -36,20 +36,40 @@ def _round_up(n: int, multiple: int) -> int:
 
 
 class KeywordIndex:
-    """Host postings (dict-of-arrays) + device-side scoring."""
+    """Host postings + device-side scoring.
+
+    The postings build runs in the first-party C++ builder
+    (native/postings.cpp — the replacement for DuckDB's C++ FTS build)
+    when the native library compiles; otherwise a pure-Python dict build
+    with identical behavior.
+    """
 
     def __init__(self) -> None:
         self.chunk_ids: list[str] = []
-        #: term -> {chunk ordinal -> tf}
+        #: term -> {chunk ordinal -> tf} (Python fallback path)
         self._postings: dict[str, dict[int, int]] = {}
         self.doc_len: list[int] = []
         self._synced_version = -1
+        self._native = None
+        self._csr: dict | None = None  # exported CSR cache (native path)
+        try:
+            from raglite_tpu.native import NativePostingsBuilder, native_available
+
+            if native_available():
+                self._native = NativePostingsBuilder()
+        except Exception:  # pragma: no cover - toolchain missing
+            self._native = None
 
     # --- Build ----------------------------------------------------------
 
     def _add_chunk(self, chunk_id: str, text: str) -> None:
         ordinal = len(self.chunk_ids)
         self.chunk_ids.append(chunk_id)
+        if self._native is not None:
+            self._native.add_chunk(text)
+            self._csr = None
+            self.doc_len.append(0)  # real value lives in the native builder
+            return
         tokens = tokenize(text)
         self.doc_len.append(len(tokens))
         for token in tokens:
@@ -60,6 +80,11 @@ class KeywordIndex:
         self.chunk_ids = []
         self._postings = {}
         self.doc_len = []
+        if self._native is not None:
+            from raglite_tpu.native import NativePostingsBuilder
+
+            self._native = NativePostingsBuilder()
+            self._csr = None
         for cid in store.chunk_order:
             self._add_chunk(cid, store.chunks[cid].body)
         self._synced_version = store.version
@@ -94,22 +119,36 @@ class KeywordIndex:
         n = len(self.chunk_ids)
         if n == 0:
             return [], []
-        terms = list(dict.fromkeys(tokenize(query)))
         rows_chunk: list[np.ndarray] = []
         rows_tf: list[np.ndarray] = []
         rows_idf: list[np.ndarray] = []
-        for term in terms:
-            bucket = self._postings.get(term)
-            if not bucket:
-                continue
-            ords = np.fromiter(bucket.keys(), dtype=np.int32, count=len(bucket))
-            tfs = np.fromiter(bucket.values(), dtype=np.float32, count=len(bucket))
-            rows_chunk.append(ords)
-            rows_tf.append(tfs)
-            rows_idf.append(np.full(len(bucket), bm25_idf(np.asarray(len(bucket)), n)))
+        if self._native is not None:
+            if self._csr is None:
+                self._csr = self._native.export()
+                self.doc_len = [int(x) for x in self._csr["doc_len"]]
+            csr = self._csr
+            term_ids = np.unique(self._native.tokenize_lookup(query))
+            for tid in term_ids:
+                lo, hi = int(csr["offsets"][tid]), int(csr["offsets"][tid + 1])
+                if hi == lo:
+                    continue
+                rows_chunk.append(csr["chunks"][lo:hi])
+                rows_tf.append(csr["tf"][lo:hi].astype(np.float32))
+                rows_idf.append(np.full(hi - lo, bm25_idf(np.asarray(hi - lo), n)))
+        else:
+            terms = list(dict.fromkeys(tokenize(query)))
+            for term in terms:
+                bucket = self._postings.get(term)
+                if not bucket:
+                    continue
+                ords = np.fromiter(bucket.keys(), dtype=np.int32, count=len(bucket))
+                tfs = np.fromiter(bucket.values(), dtype=np.float32, count=len(bucket))
+                rows_chunk.append(ords)
+                rows_tf.append(tfs)
+                rows_idf.append(np.full(len(bucket), bm25_idf(np.asarray(len(bucket)), n)))
         if not rows_chunk:
             return [], []
-        chunk = np.concatenate(rows_chunk)
+        chunk = np.concatenate(rows_chunk).astype(np.int32)
         tf = np.concatenate(rows_tf)
         idf = np.concatenate(rows_idf).astype(np.float32)
         if chunk_mask is not None:

@@ -1,0 +1,184 @@
+"""First-party native (C++) runtime components.
+
+The reference delegates its host-side index builds to third-party native
+code (DuckDB FTS/VSS, pgvector — SURVEY.md §2.2); here the native layer is
+first-party C++ compiled on first use and reached via ctypes (no pybind11
+in the image).  Components:
+
+- ``postings.cpp`` — inverted-index builder: UTF-8 tokenizer, term
+  dictionary, CSR postings export, binary serialization.  Feeds the on-TPU
+  BM25 scorer (ops/bm25.py).
+
+The toolchain is g++ (baked in).  The compiled library is cached next to
+the sources; if compilation fails (no toolchain), callers fall back to the
+pure-Python implementations — behavior is identical, only slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC_DIR = Path(__file__).parent
+_LIB_PATH = _SRC_DIR / "_build" / "libraglite_native.so"
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_LIB_FAILED = False
+
+
+def _compile() -> Path | None:
+    _LIB_PATH.parent.mkdir(exist_ok=True)
+    src = _SRC_DIR / "postings.cpp"
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        str(src), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError) as exc:
+        logger.warning("native build failed (%s); using Python fallback", exc)
+        return None
+    return _LIB_PATH
+
+
+def load_native() -> ctypes.CDLL | None:
+    """Compile (once) and load the native library; None on failure."""
+    global _LIB, _LIB_FAILED
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        path = _compile()
+        if path is None:
+            _LIB_FAILED = True
+            return None
+        lib = ctypes.CDLL(str(path))
+        c_void, c_char_p = ctypes.c_void_p, ctypes.c_char_p
+        c_i32, c_i64 = ctypes.c_int32, ctypes.c_int64
+        lib.rlt_builder_new.restype = c_void
+        lib.rlt_builder_free.argtypes = [c_void]
+        lib.rlt_builder_add_chunk.argtypes = [c_void, c_char_p, c_i64]
+        lib.rlt_builder_add_chunk.restype = c_i32
+        lib.rlt_builder_num_terms.argtypes = [c_void]
+        lib.rlt_builder_num_terms.restype = c_i32
+        lib.rlt_builder_num_chunks.argtypes = [c_void]
+        lib.rlt_builder_num_chunks.restype = c_i32
+        lib.rlt_builder_num_postings.argtypes = [c_void]
+        lib.rlt_builder_num_postings.restype = c_i64
+        lib.rlt_builder_dict_bytes.argtypes = [c_void]
+        lib.rlt_builder_dict_bytes.restype = c_i64
+        lib.rlt_builder_export.argtypes = [c_void] + [ctypes.c_void_p] * 6
+        lib.rlt_builder_lookup.argtypes = [c_void, c_char_p, c_i64]
+        lib.rlt_builder_lookup.restype = c_i32
+        lib.rlt_builder_tokenize_lookup.argtypes = [c_void, c_char_p, c_i64, ctypes.c_void_p, c_i32]
+        lib.rlt_builder_tokenize_lookup.restype = c_i32
+        lib.rlt_builder_save_size.argtypes = [c_void]
+        lib.rlt_builder_save_size.restype = c_i64
+        lib.rlt_builder_save.argtypes = [c_void, ctypes.c_void_p]
+        lib.rlt_builder_load.argtypes = [c_char_p, c_i64]
+        lib.rlt_builder_load.restype = c_void
+        _LIB = lib
+        return _LIB
+
+
+class NativePostingsBuilder:
+    """ctypes wrapper over the C++ inverted-index builder."""
+
+    def __init__(self, _handle: int | None = None) -> None:
+        lib = load_native()
+        if lib is None:
+            msg = "native library unavailable"
+            raise RuntimeError(msg)
+        self._lib = lib
+        self._handle = _handle if _handle is not None else lib.rlt_builder_new()
+
+    def __del__(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.rlt_builder_free(self._handle)
+            self._handle = None
+
+    def add_chunk(self, text: str) -> int:
+        data = text.encode("utf-8")
+        return int(self._lib.rlt_builder_add_chunk(self._handle, data, len(data)))
+
+    @property
+    def num_terms(self) -> int:
+        return int(self._lib.rlt_builder_num_terms(self._handle))
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self._lib.rlt_builder_num_chunks(self._handle))
+
+    @property
+    def num_postings(self) -> int:
+        return int(self._lib.rlt_builder_num_postings(self._handle))
+
+    def export(self) -> dict[str, np.ndarray | list[str]]:
+        """CSR postings + dictionary as numpy arrays (device-upload ready)."""
+        n_terms, n_chunks = self.num_terms, self.num_chunks
+        n_post = self.num_postings
+        dict_bytes = int(self._lib.rlt_builder_dict_bytes(self._handle))
+        offsets = np.zeros(n_terms + 1, np.int64)
+        chunks = np.zeros(max(n_post, 1), np.int32)
+        tf = np.zeros(max(n_post, 1), np.int32)
+        doc_len = np.zeros(max(n_chunks, 1), np.int32)
+        term_offsets = np.zeros(n_terms + 1, np.int64)
+        term_bytes = np.zeros(max(dict_bytes, 1), np.uint8)
+        self._lib.rlt_builder_export(
+            self._handle,
+            offsets.ctypes.data, chunks.ctypes.data, tf.ctypes.data,
+            doc_len.ctypes.data, term_offsets.ctypes.data, term_bytes.ctypes.data,
+        )
+        raw = term_bytes.tobytes()
+        terms = [
+            raw[term_offsets[t] : term_offsets[t + 1]].decode("utf-8")
+            for t in range(n_terms)
+        ]
+        return {
+            "offsets": offsets,
+            "chunks": chunks[:n_post],
+            "tf": tf[:n_post],
+            "doc_len": doc_len[:n_chunks],
+            "terms": terms,
+        }
+
+    def lookup(self, term: str) -> int:
+        data = term.encode("utf-8")
+        return int(self._lib.rlt_builder_lookup(self._handle, data, len(data)))
+
+    def tokenize_lookup(self, text: str, cap: int = 256) -> np.ndarray:
+        """Query-side tokenization into term ids (unknown terms skipped)."""
+        data = text.encode("utf-8")
+        out = np.zeros(cap, np.int32)
+        n = self._lib.rlt_builder_tokenize_lookup(self._handle, data, len(data), out.ctypes.data, cap)
+        return out[:n]
+
+    def save(self) -> bytes:
+        size = int(self._lib.rlt_builder_save_size(self._handle))
+        buf = np.zeros(size, np.uint8)
+        self._lib.rlt_builder_save(self._handle, buf.ctypes.data)
+        return buf.tobytes()
+
+    @classmethod
+    def loads(cls, data: bytes) -> "NativePostingsBuilder":
+        lib = load_native()
+        if lib is None:
+            msg = "native library unavailable"
+            raise RuntimeError(msg)
+        handle = lib.rlt_builder_load(data, len(data))
+        if not handle:
+            msg = "corrupt postings blob"
+            raise ValueError(msg)
+        return cls(_handle=handle)
+
+
+def native_available() -> bool:
+    return load_native() is not None

@@ -1,0 +1,301 @@
+// First-party inverted-index (postings) builder.
+//
+// TPU-native replacement for the index-build half of DuckDB's FTS extension
+// (PRAGMA create_fts_index, /root/reference/src/raglite/_database.py:606-619):
+// tokenization, term dictionary, term-frequency accumulation, CSR postings
+// export, and binary serialization all run here; BM25 *scoring* runs on the
+// TPU (raglite_tpu/ops/bm25.py) over the CSR arrays this builder emits.
+//
+// Exposed as a C API consumed via ctypes (raglite_tpu/native/__init__.py).
+// Build: g++ -O3 -shared -fPIC -std=c++17 postings.cpp -o libraglite_native.so
+//
+// Tokenizer: UTF-8 aware. A codepoint is a word character iff it is ASCII
+// [a-z0-9_] (after ASCII lowercasing) or a non-ASCII codepoint outside the
+// common Unicode punctuation/space blocks. This matches Python's \w over
+// lowercased text for ASCII and the overwhelmingly common non-ASCII cases;
+// the Python fallback tokenizer (index/keyword.py:tokenize) mirrors it.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Builder {
+  // term -> term id
+  std::unordered_map<std::string, int32_t> dict;
+  // term id -> (chunk ordinal, tf) pairs, appended in chunk order
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> postings;
+  std::vector<std::string> terms;      // term id -> term bytes
+  std::vector<int32_t> doc_len;        // chunk ordinal -> token count
+  // scratch: per-chunk term counts (term id -> tf), reused across chunks
+  std::unordered_map<int32_t, int32_t> chunk_tf;
+};
+
+inline bool is_unicode_punct(uint32_t cp) {
+  // Common punctuation / space blocks treated as separators.
+  return (cp >= 0x2000 && cp <= 0x206F)   // general punctuation (en/em dash…)
+      || (cp >= 0x3000 && cp <= 0x303F)   // CJK symbols & punctuation
+      || (cp >= 0xFF00 && cp <= 0xFF0F)   // fullwidth punctuation (part)
+      || (cp >= 0xFE30 && cp <= 0xFE4F)   // CJK compat forms
+      || cp == 0x00A0 || cp == 0x00B7     // nbsp, middle dot
+      || (cp >= 0x00A1 && cp <= 0x00BF);  // latin-1 punctuation/symbols
+}
+
+// Decode one UTF-8 codepoint at s[i]; advances i. Invalid bytes decode as
+// themselves (latin-1 style) so tokenization never fails.
+inline uint32_t decode_utf8(const uint8_t* s, int64_t len, int64_t& i) {
+  uint8_t b = s[i];
+  if (b < 0x80) { i += 1; return b; }
+  if ((b >> 5) == 0x6 && i + 1 < len) {
+    uint32_t cp = ((b & 0x1F) << 6) | (s[i + 1] & 0x3F);
+    i += 2; return cp;
+  }
+  if ((b >> 4) == 0xE && i + 2 < len) {
+    uint32_t cp = ((b & 0x0F) << 12) | ((s[i + 1] & 0x3F) << 6) | (s[i + 2] & 0x3F);
+    i += 3; return cp;
+  }
+  if ((b >> 3) == 0x1E && i + 3 < len) {
+    uint32_t cp = ((b & 0x07) << 18) | ((s[i + 1] & 0x3F) << 12) |
+                  ((s[i + 2] & 0x3F) << 6) | (s[i + 3] & 0x3F);
+    i += 4; return cp;
+  }
+  i += 1; return b;
+}
+
+// Append the UTF-8 encoding of cp to out, lowercasing ASCII.
+inline void append_cp(std::string& out, uint32_t cp) {
+  if (cp < 0x80) {
+    char c = static_cast<char>(cp);
+    if (c >= 'A' && c <= 'Z') c += 32;
+    out.push_back(c);
+  } else if (cp < 0x800) {
+    out.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    out.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out.push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+inline bool is_word_cp(uint32_t cp) {
+  if (cp < 0x80) {
+    return (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+           (cp >= '0' && cp <= '9') || cp == '_';
+  }
+  return !is_unicode_punct(cp);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* rlt_builder_new() { return new Builder(); }
+
+void rlt_builder_free(void* h) { delete static_cast<Builder*>(h); }
+
+// Tokenize `text[0:len]`, accumulate postings for the next chunk ordinal.
+// Returns the chunk ordinal.
+int32_t rlt_builder_add_chunk(void* h, const char* text, int64_t len) {
+  Builder& b = *static_cast<Builder*>(h);
+  const uint8_t* s = reinterpret_cast<const uint8_t*>(text);
+  const int32_t ordinal = static_cast<int32_t>(b.doc_len.size());
+  b.chunk_tf.clear();
+  std::string token;
+  int32_t n_tokens = 0;
+  int64_t i = 0;
+  auto flush = [&]() {
+    if (token.empty()) return;
+    auto [it, inserted] = b.dict.try_emplace(token, static_cast<int32_t>(b.terms.size()));
+    if (inserted) {
+      b.terms.push_back(token);
+      b.postings.emplace_back();
+    }
+    b.chunk_tf[it->second] += 1;
+    n_tokens += 1;
+    token.clear();
+  };
+  while (i < len) {
+    uint32_t cp = decode_utf8(s, len, i);
+    if (is_word_cp(cp)) {
+      append_cp(token, cp);
+    } else {
+      flush();
+    }
+  }
+  flush();
+  for (const auto& [tid, tf] : b.chunk_tf) {
+    b.postings[tid].emplace_back(ordinal, tf);
+  }
+  b.doc_len.push_back(n_tokens);
+  return ordinal;
+}
+
+int32_t rlt_builder_num_terms(void* h) {
+  return static_cast<int32_t>(static_cast<Builder*>(h)->terms.size());
+}
+
+int32_t rlt_builder_num_chunks(void* h) {
+  return static_cast<int32_t>(static_cast<Builder*>(h)->doc_len.size());
+}
+
+int64_t rlt_builder_num_postings(void* h) {
+  int64_t total = 0;
+  for (const auto& p : static_cast<Builder*>(h)->postings) total += p.size();
+  return total;
+}
+
+int64_t rlt_builder_dict_bytes(void* h) {
+  int64_t total = 0;
+  for (const auto& t : static_cast<Builder*>(h)->terms) total += t.size();
+  return total;
+}
+
+// Export CSR postings + dictionary into caller-allocated buffers:
+//   offsets      [num_terms + 1] int64   postings range per term
+//   chunks       [num_postings]  int32   chunk ordinals (ascending per term)
+//   tf           [num_postings]  int32   term frequencies
+//   doc_len      [num_chunks]    int32
+//   term_offsets [num_terms + 1] int64   byte range per term in term_bytes
+//   term_bytes   [dict_bytes]    char
+void rlt_builder_export(void* h, int64_t* offsets, int32_t* chunks, int32_t* tf,
+                        int32_t* doc_len, int64_t* term_offsets, char* term_bytes) {
+  Builder& b = *static_cast<Builder*>(h);
+  int64_t pos = 0;
+  offsets[0] = 0;
+  for (size_t t = 0; t < b.postings.size(); ++t) {
+    for (const auto& [chunk, freq] : b.postings[t]) {
+      chunks[pos] = chunk;
+      tf[pos] = freq;
+      ++pos;
+    }
+    offsets[t + 1] = pos;
+  }
+  std::memcpy(doc_len, b.doc_len.data(), b.doc_len.size() * sizeof(int32_t));
+  int64_t byte_pos = 0;
+  term_offsets[0] = 0;
+  for (size_t t = 0; t < b.terms.size(); ++t) {
+    std::memcpy(term_bytes + byte_pos, b.terms[t].data(), b.terms[t].size());
+    byte_pos += static_cast<int64_t>(b.terms[t].size());
+    term_offsets[t + 1] = byte_pos;
+  }
+}
+
+// Look up a term; returns its id or -1.
+int32_t rlt_builder_lookup(void* h, const char* term, int64_t len) {
+  Builder& b = *static_cast<Builder*>(h);
+  auto it = b.dict.find(std::string(term, static_cast<size_t>(len)));
+  return it == b.dict.end() ? -1 : it->second;
+}
+
+// Tokenize into term ids (for query-side parity with the indexed corpus).
+// Unknown terms are skipped. Returns the number of ids written (<= cap).
+int32_t rlt_builder_tokenize_lookup(void* h, const char* text, int64_t len,
+                                    int32_t* out_ids, int32_t cap) {
+  Builder& b = *static_cast<Builder*>(h);
+  const uint8_t* s = reinterpret_cast<const uint8_t*>(text);
+  std::string token;
+  int32_t n = 0;
+  int64_t i = 0;
+  auto flush = [&]() {
+    if (token.empty()) return;
+    auto it = b.dict.find(token);
+    if (it != b.dict.end() && n < cap) out_ids[n++] = it->second;
+    token.clear();
+  };
+  while (i < len && n < cap) {
+    uint32_t cp = decode_utf8(s, len, i);
+    if (is_word_cp(cp)) append_cp(token, cp);
+    else flush();
+  }
+  flush();
+  return n;
+}
+
+// --- Serialization ---------------------------------------------------------
+
+static const uint64_t kMagic = 0x52414C54504F5354ull;  // "RALTPOST"
+
+// Serialized size in bytes (for caller allocation).
+int64_t rlt_builder_save_size(void* h) {
+  Builder& b = *static_cast<Builder*>(h);
+  int64_t n_terms = static_cast<int64_t>(b.terms.size());
+  int64_t n_post = rlt_builder_num_postings(h);
+  int64_t dict_bytes = rlt_builder_dict_bytes(h);
+  return 8 * 4                              // magic, n_terms, n_chunks, n_postings
+       + 8                                  // dict_bytes
+       + (n_terms + 1) * 8                  // offsets
+       + n_post * 4 * 2                     // chunks + tf
+       + static_cast<int64_t>(b.doc_len.size()) * 4
+       + (n_terms + 1) * 8                  // term_offsets
+       + dict_bytes;
+}
+
+void rlt_builder_save(void* h, char* out) {
+  Builder& b = *static_cast<Builder*>(h);
+  int64_t n_terms = static_cast<int64_t>(b.terms.size());
+  int64_t n_chunks = static_cast<int64_t>(b.doc_len.size());
+  int64_t n_post = rlt_builder_num_postings(h);
+  int64_t dict_bytes = rlt_builder_dict_bytes(h);
+  char* p = out;
+  auto put = [&p](const void* src, size_t n) { std::memcpy(p, src, n); p += n; };
+  put(&kMagic, 8); put(&n_terms, 8); put(&n_chunks, 8); put(&n_post, 8);
+  put(&dict_bytes, 8);
+  std::vector<int64_t> offsets(n_terms + 1);
+  std::vector<int32_t> chunks(n_post), tf(n_post);
+  std::vector<int64_t> term_offsets(n_terms + 1);
+  std::vector<char> term_bytes(dict_bytes);
+  std::vector<int32_t> doc_len(n_chunks);
+  rlt_builder_export(h, offsets.data(), chunks.data(), tf.data(), doc_len.data(),
+                     term_offsets.data(), term_bytes.data());
+  put(offsets.data(), offsets.size() * 8);
+  put(chunks.data(), chunks.size() * 4);
+  put(tf.data(), tf.size() * 4);
+  put(doc_len.data(), doc_len.size() * 4);
+  put(term_offsets.data(), term_offsets.size() * 8);
+  put(term_bytes.data(), term_bytes.size());
+}
+
+// Rebuild a Builder from a serialized blob; returns handle or null.
+void* rlt_builder_load(const char* data, int64_t len) {
+  if (len < 40) return nullptr;
+  const char* p = data;
+  auto get = [&p](void* dst, size_t n) { std::memcpy(dst, p, n); p += n; };
+  uint64_t magic; int64_t n_terms, n_chunks, n_post, dict_bytes;
+  get(&magic, 8);
+  if (magic != kMagic) return nullptr;
+  get(&n_terms, 8); get(&n_chunks, 8); get(&n_post, 8); get(&dict_bytes, 8);
+  Builder* b = new Builder();
+  std::vector<int64_t> offsets(n_terms + 1);
+  get(offsets.data(), offsets.size() * 8);
+  std::vector<int32_t> chunks(n_post), tf(n_post);
+  get(chunks.data(), chunks.size() * 4);
+  get(tf.data(), tf.size() * 4);
+  b->doc_len.resize(n_chunks);
+  get(b->doc_len.data(), n_chunks * 4);
+  std::vector<int64_t> term_offsets(n_terms + 1);
+  get(term_offsets.data(), term_offsets.size() * 8);
+  b->terms.resize(n_terms);
+  b->postings.resize(n_terms);
+  for (int64_t t = 0; t < n_terms; ++t) {
+    b->terms[t].assign(p + term_offsets[t], p + term_offsets[t + 1]);
+    b->dict.emplace(b->terms[t], static_cast<int32_t>(t));
+    b->postings[t].reserve(offsets[t + 1] - offsets[t]);
+    for (int64_t i = offsets[t]; i < offsets[t + 1]; ++i) {
+      b->postings[t].emplace_back(chunks[i], tf[i]);
+    }
+  }
+  return b;
+}
+
+}  // extern "C"
