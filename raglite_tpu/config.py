@@ -85,9 +85,12 @@ class RAGLiteConfig:
     vector_search_multivector: bool = True
     vector_search_query_adapter: bool = True
 
-    # Embedding storage dtype on device ("bfloat16" | "float16" | "float32").
-    # The reference stores fp16 halfvec on Postgres (_typing.py:145-175);
-    # bfloat16 is the TPU-native choice (MXU-native, same 2 bytes/val).
+    # Embedding storage dtype on device ("bfloat16" | "float16" | "float32"
+    # | "int8").  The reference stores fp16 halfvec on Postgres
+    # (_typing.py:145-175); bfloat16 is the TPU-native choice (MXU-native,
+    # same 2 bytes/val).  "int8" stores symmetric per-row-quantized vectors
+    # (ops/fused_scan.py:quantize_rows_int8): half the HBM footprint and
+    # ~2x scan throughput on the int8 MXU path for a <0.5% recall@10 cost.
     embedding_dtype: str = "bfloat16"
 
     # Reranking (reference: _config.py:73-79)
@@ -105,14 +108,19 @@ class RAGLiteConfig:
     #: Number of devices to shard the index over (1 = single device,
     #: 0 = all local devices).
     num_devices: int = 1
-    #: Use Pallas fused kernels on the query path when the index is large
-    #: enough to benefit; falls back to pure-XLA ops otherwise.
-    use_pallas: bool = True
+    #: Use the Pallas fused-scan kernel on the dense query path instead of
+    #: the pure-XLA einsum + approx_max_k program.  Measured on v5e, XLA's
+    #: PartialReduce fusion already runs the scan at ~66-76% of the compute
+    #: roofline and BEATS the hand-written kernel at large batch (101k vs
+    #: 73k QPS/chip at 1.25M x 1024 int8, B=1024), so the default is the
+    #: XLA path; the kernel remains available for A/B and as the base for
+    #: ops XLA can't fuse (see ops/fused_scan.py).
+    use_pallas: bool = False
 
     def __post_init__(self) -> None:
         if self.vector_search_distance_metric not in ("cosine", "dot", "l2"):
             msg = f"unknown distance metric {self.vector_search_distance_metric!r}"
             raise ValueError(msg)
-        if self.embedding_dtype not in ("bfloat16", "float16", "float32"):
+        if self.embedding_dtype not in ("bfloat16", "float16", "float32", "int8"):
             msg = f"unknown embedding dtype {self.embedding_dtype!r}"
             raise ValueError(msg)

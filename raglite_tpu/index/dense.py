@@ -55,10 +55,11 @@ EXACT_TOPK_MAX_ROWS = 131_072
 
 @partial(jax.jit, static_argnames=("num_hits", "metric", "exact"))
 def _dense_search(
-    rows: jax.Array,  # [N, d] storage dtype
+    rows: jax.Array,  # [N, d] storage dtype (int8 => row_scale required)
     row_sqnorm: jax.Array,  # [N] fp32 (for l2)
     valid: jax.Array,  # [N] bool
     queries: jax.Array,  # [B, d] fp32
+    row_scale: jax.Array | None = None,  # [N] fp32 dequant scale (int8 rows)
     *,
     num_hits: int,
     metric: str,
@@ -66,9 +67,16 @@ def _dense_search(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused distance matmul + masked top-k (replaces the reference's
     HNSW traversal + SQL ORDER BY, _search.py:65-141)."""
-    q = queries.astype(rows.dtype)
-    # [B, N] similarity on the MXU with fp32 accumulation.
-    sims = jnp.einsum("bd,nd->bn", q, rows, preferred_element_type=jnp.float32)
+    if rows.dtype == jnp.int8:
+        q_abs = jnp.max(jnp.abs(queries), axis=1)
+        q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)
+        q_i8 = jnp.clip(jnp.round(queries / q_s[:, None]), -127, 127).astype(jnp.int8)
+        sims = jnp.einsum("bd,nd->bn", q_i8, rows, preferred_element_type=jnp.int32)
+        sims = sims.astype(jnp.float32) * (q_s[:, None] * row_scale[None, :])
+    else:
+        q = queries.astype(rows.dtype)
+        # [B, N] similarity on the MXU with fp32 accumulation.
+        sims = jnp.einsum("bd,nd->bn", q, rows, preferred_element_type=jnp.float32)
     if metric == "l2":
         # Monotone in -||r - q||^2 (query norm is constant per query).
         sims = 2.0 * sims - row_sqnorm[None, :]
@@ -88,10 +96,12 @@ class DenseIndex:
         dtype: str = "bfloat16",
         metric: DistanceMetric = "cosine",
         num_devices: int = 1,
+        use_pallas: bool = True,
     ) -> None:
         self.dim = dim
         self.metric: DistanceMetric = metric
         self._dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.dtype(dtype)
+        self.use_pallas = use_pallas
         import jax as _jax
 
         self.num_devices = num_devices if num_devices > 0 else len(_jax.devices())
@@ -106,6 +116,7 @@ class DenseIndex:
         self._dev_rows: jax.Array | None = None
         self._dev_sqnorm: jax.Array | None = None
         self._dev_valid: jax.Array | None = None
+        self._dev_scale: jax.Array | None = None  # int8 dequant scales
         self._dirty = True
         self._synced_version = -1
 
@@ -172,21 +183,36 @@ class DenseIndex:
         if not self._dirty and self._dev_rows is not None:
             return
         host32 = self._host_rows.astype(np.float32)
+        if self._dtype == jnp.int8:
+            from raglite_tpu.ops.fused_scan import quantize_rows_int8
+
+            rows_host, scale_host = quantize_rows_int8(host32)
+            deq = rows_host.astype(np.float32) * scale_host[:, None]
+            sqnorm_host = (deq**2).sum(axis=1).astype(np.float32)
+        else:
+            rows_host, scale_host = host32, None
+            sqnorm_host = (host32**2).sum(axis=1).astype(np.float32)
         if self.num_devices > 1:
             from raglite_tpu.parallel.mesh import index_mesh, row_sharding
 
             mesh = index_mesh(self.num_devices)
             shard = row_sharding(mesh)
             one_d = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
-            self._dev_rows = jax.device_put(jnp.asarray(host32, dtype=self._dtype), shard)
-            self._dev_sqnorm = jax.device_put(
-                jnp.asarray((host32**2).sum(axis=1), dtype=jnp.float32), one_d
+            self._dev_rows = jax.device_put(
+                jnp.asarray(rows_host, dtype=self._dtype), shard
             )
+            self._dev_sqnorm = jax.device_put(jnp.asarray(sqnorm_host), one_d)
             self._dev_valid = jax.device_put(jnp.asarray(self._host_valid), one_d)
+            self._dev_scale = (
+                jax.device_put(jnp.asarray(scale_host), one_d)
+                if scale_host is not None
+                else None
+            )
         else:
-            self._dev_rows = jnp.asarray(host32, dtype=self._dtype)
-            self._dev_sqnorm = jnp.asarray((host32**2).sum(axis=1), dtype=jnp.float32)
+            self._dev_rows = jnp.asarray(rows_host, dtype=self._dtype)
+            self._dev_sqnorm = jnp.asarray(sqnorm_host)
             self._dev_valid = jnp.asarray(self._host_valid)
+            self._dev_scale = jnp.asarray(scale_host) if scale_host is not None else None
         self._dirty = False
 
     # --- Search -----------------------------------------------------------
@@ -227,9 +253,22 @@ class DenseIndex:
                 self._dev_sqnorm,
                 valid,
                 jnp.asarray(queries, dtype=jnp.float32),
+                self._dev_scale,
                 num_hits=max(k_local, 1),
                 metric=self.metric,
                 mesh=mesh,
+            )
+        elif self._use_fused_kernel():
+            from raglite_tpu.ops.fused_scan import fused_scan_topk
+
+            scores, idx = fused_scan_topk(
+                self._dev_rows,
+                self._dev_sqnorm,
+                valid,
+                jnp.asarray(queries, dtype=jnp.float32),
+                num_hits=k,
+                metric=self.metric,
+                row_scale=self._dev_scale,
             )
         else:
             scores, idx = _dense_search(
@@ -237,6 +276,7 @@ class DenseIndex:
                 self._dev_sqnorm,
                 valid,
                 jnp.asarray(queries, dtype=jnp.float32),
+                self._dev_scale,
                 num_hits=k,
                 metric=self.metric,
                 exact=self.num_rows <= EXACT_TOPK_MAX_ROWS,
@@ -249,15 +289,29 @@ class DenseIndex:
             idx = np.pad(idx, ((0, 0), (0, pad)))
         return scores, idx
 
+    def _use_fused_kernel(self) -> bool:
+        """Pallas fused scan on real TPU for large indexes; the pure-XLA path
+        otherwise (small indexes and CPU tests, where Mosaic is unavailable
+        or the fixed bucket width would dominate)."""
+        from raglite_tpu.ops.fused_scan import DEFAULT_NUM_BUCKETS
+
+        return (
+            self.use_pallas
+            and jax.default_backend() == "tpu"
+            and self.num_rows >= 4 * DEFAULT_NUM_BUCKETS
+        )
+
     def rows_for_chunk(self, chunk_ordinal: int) -> np.ndarray:
         return np.flatnonzero(self.row_chunk == chunk_ordinal)
 
 
 @lru_cache(maxsize=8)
 def _index_for_store(
-    store_path: str, dim: int, dtype: str, metric: str, num_devices: int
+    store_path: str, dim: int, dtype: str, metric: str, num_devices: int, use_pallas: bool
 ) -> DenseIndex:
-    return DenseIndex(dim=dim, dtype=dtype, metric=metric, num_devices=num_devices)
+    return DenseIndex(
+        dim=dim, dtype=dtype, metric=metric, num_devices=num_devices, use_pallas=use_pallas
+    )
 
 
 def dense_index_from_config(config: "RAGLiteConfig") -> DenseIndex:
@@ -271,6 +325,7 @@ def dense_index_from_config(config: "RAGLiteConfig") -> DenseIndex:
         config.embedding_dtype,
         config.vector_search_distance_metric,
         config.num_devices,
+        config.use_pallas,
     )
     index.sync(store_from_config(config))
     return index

@@ -4,21 +4,23 @@ The serving hot path (SURVEY.md §7.5; replaces the reference's HNSW
 traversal in DuckDB VSS / pgvector, /root/reference/src/raglite/_search.py:65-141).
 
 The jnp path (`index/dense.py:_dense_search`) computes ``sims = Q @ R.T``
-then ``approx_max_k`` — XLA materialises the ``[B, N]`` fp32 similarity
-matrix in HBM (5 GB at the 1.25M x 1024, B=1024 bench shape), tripling HBM
-traffic.  This kernel fuses the two: row blocks stream HBM→VMEM once, the
-distance matmul runs on the MXU, and a bucketed running max/argmax (the
-same algorithm as XLA's ``approx_max_k`` PartialReduce, Chern et al. 2022)
-stays resident in VMEM across the scan.  HBM traffic drops to the row
-matrix itself — the speed-of-light floor.
+then ``approx_max_k``.  This kernel fuses the two: row blocks stream
+HBM→VMEM once, the distance matmul runs on the MXU, and a bucketed running
+max/argmax (the same algorithm as XLA's ``approx_max_k`` PartialReduce,
+Chern et al. 2022) stays resident in VMEM across the scan.  HBM traffic is
+the row matrix itself — the speed-of-light floor.
+
+Quantization: rows may be int8 with a per-row dequantization scale; queries
+are then symmetrically quantized per-query inside.  The int8 MXU path
+doubles matmul throughput and halves HBM traffic versus bf16 — this is how
+the <2 ms p50 @ 1.25M rows/chip north star is met (BASELINE.md).
 
 Bucketing: row ``r`` belongs to bucket ``r mod L`` (L = ``num_buckets``).
 Each grid step processes one contiguous block of L rows, so bucket ``j``
-sees row ``s*L + j`` at step ``s`` — a pure elementwise max merge, no
-shuffles.  The exact final ``top_k`` over the ``[B, L]`` buckets is cheap
-outside the kernel.  Expected top-k recall loss is ~k(k-1)/(2L): <2% for
-k=40, L=2048, erased in practice by the 4x oversample + multi-vector
-group-max above it (measured chunk-level recall@10 ≈ 0.997).
+sees row ``s*L + j`` at step ``s`` — a pure elementwise max merge.  The
+exact final ``top_k`` over the ``[B, L]`` buckets is cheap outside the
+kernel.  Expected top-k recall loss is ~k(k-1)/(2L), erased in practice by
+the 4x oversample + multi-vector group-max above it.
 """
 
 from __future__ import annotations
@@ -31,31 +33,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_scan_topk", "bucketed_max_scan"]
+__all__ = ["fused_scan_topk", "bucketed_max_scan", "quantize_rows_int8"]
 
-#: Rows per grid step == number of buckets (VMEM-sized: L x d bf16 blocks).
-DEFAULT_NUM_BUCKETS = 2048
-#: Query tile (fp32 sublane-aligned).
-DEFAULT_BATCH_TILE = 128
+#: Rows per grid step == number of buckets (VMEM-sized: L x d blocks).
+DEFAULT_NUM_BUCKETS = 1024
+#: Query tile. Large tiles amortise the row stream: the row matrix is read
+#: ceil(B / batch_tile) times per batch.
+DEFAULT_BATCH_TILE = 1024
 
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _scan_kernel(q_ref, rows_ref, bias_ref, scores_ref, ids_ref, *, alpha: float):
-    """One (query-tile, row-block) step: MXU matmul + running bucket max."""
+def quantize_rows_int8(x: np.ndarray | jax.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization: returns (q [N,d] int8, scale [N] fp32)
+    with ``x ≈ q * scale[:, None]``."""
+    x = np.asarray(x, dtype=np.float32)
+    absmax = np.abs(x).max(axis=-1)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(x / scale[..., None]), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def _scan_kernel(q_ref, rows_ref, qscale_ref, rscale_ref, bias_ref, scores_ref, ids_ref):
+    """One (query-tile, row-block) step: MXU matmul + running bucket max.
+
+    sims = (q @ rows.T) * qscale[b] * rscale[n] + bias[n]
+    """
     step = pl.program_id(1)
-    # [Bt, L] similarity with fp32 accumulation on the MXU.
+    acc_t = jnp.int32 if rows_ref.dtype == jnp.int8 else jnp.float32
     sims = jax.lax.dot_general(
         q_ref[:],
         rows_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if alpha != 1.0:
-        sims = alpha * sims
-    sims = sims + bias_ref[:]  # additive mask: -sqnorm (l2) and/or -inf (invalid)
+        preferred_element_type=acc_t,
+    ).astype(jnp.float32)
+    sims = sims * (qscale_ref[:] * rscale_ref[:]) + bias_ref[:]
     num_buckets = sims.shape[1]
     row_base = step * num_buckets
     ids = row_base + jax.lax.broadcasted_iota(jnp.int32, sims.shape, dimension=1)
@@ -73,44 +87,53 @@ def _scan_kernel(q_ref, rows_ref, bias_ref, scores_ref, ids_ref, *, alpha: float
         ids_ref[:] = jnp.where(take, ids, ids_ref[:])
 
 
-@partial(
-    jax.jit,
-    static_argnames=("num_buckets", "batch_tile", "alpha", "interpret"),
-)
+@partial(jax.jit, static_argnames=("num_buckets", "batch_tile", "interpret"))
 def bucketed_max_scan(
-    queries: jax.Array,  # [B, d] (cast to rows dtype inside)
+    queries: jax.Array,  # [B, d] (cast to rows dtype inside; int8 pre-quantized)
     rows: jax.Array,  # [N, d] storage dtype; N % num_buckets == 0
     bias: jax.Array,  # [N] fp32 additive (0 / -sqnorm / -inf)
+    row_scale: jax.Array | None = None,  # [N] fp32 multiplicative (int8 dequant * alpha)
+    query_scale: jax.Array | None = None,  # [B] fp32 multiplicative
     *,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     batch_tile: int = DEFAULT_BATCH_TILE,
-    alpha: float = 1.0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Streaming scan: returns per-bucket (max score [B, L], argmax row [B, L])."""
+    """Streaming scan: per-bucket (max score [B, L], argmax row [B, L])."""
     B, d = queries.shape
     N = rows.shape[0]
     assert N % num_buckets == 0, (N, num_buckets)
     num_steps = N // num_buckets
-    Bp = _round_up(B, batch_tile)
+    Bt = min(batch_tile, _round_up(B, 8))
+    Bp = _round_up(B, Bt)
     if Bp != B:
         queries = jnp.pad(queries, ((0, Bp - B), (0, 0)))
-    q = queries.astype(rows.dtype)
-    bias2d = bias.reshape(1, N)  # sublane dim 1 == full array dim (tile-legal)
+    if row_scale is None:
+        row_scale = jnp.ones((N,), jnp.float32)
+    if query_scale is None:
+        query_scale = jnp.ones((Bp,), jnp.float32)
+    elif Bp != B:
+        query_scale = jnp.pad(query_scale, (0, Bp - B))
+    q = queries if queries.dtype == rows.dtype else queries.astype(rows.dtype)
+    # Sublane dim 1 == full array dim keeps the (1, L) blocks tile-legal.
+    bias2d = bias.reshape(1, N)
+    rscale2d = row_scale.reshape(1, N)
+    qscale2d = query_scale.reshape(Bp, 1)
 
-    grid = (Bp // batch_tile, num_steps)
-    kernel = partial(_scan_kernel, alpha=alpha)
+    grid = (Bp // Bt, num_steps)
     scores, ids = pl.pallas_call(
-        kernel,
+        _scan_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((batch_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_buckets, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_buckets), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_buckets), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((batch_tile, num_buckets), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, num_buckets), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, num_buckets), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, num_buckets), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, num_buckets), jnp.float32),
@@ -122,26 +145,27 @@ def bucketed_max_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, rows, bias2d)
+    )(q, rows, qscale2d, rscale2d, bias2d)
     return scores[:B], ids[:B]
 
 
 def fused_scan_topk(
-    rows: jax.Array,  # [N, d] storage dtype (bf16 typical), N padded by caller or here
-    row_sqnorm: jax.Array,  # [N] fp32
+    rows: jax.Array,  # [N, d] bf16/fp32 or int8 (then row_scale required)
+    row_sqnorm: jax.Array,  # [N] fp32 (of the dequantized rows)
     valid: jax.Array,  # [N] bool
     queries: jax.Array,  # [B, d] fp32
     *,
     num_hits: int,
     metric: str,
+    row_scale: jax.Array | None = None,  # [N] fp32 int8 dequant scales
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    batch_tile: int = DEFAULT_BATCH_TILE,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Drop-in fused replacement for ``_dense_search`` (same signature core).
+    """Fused replacement for ``_dense_search``: (scores [B,K], row ids [B,K]).
 
-    Returns (scores [B, K], row ids [B, K]).  Rows where ``valid`` is False
-    score -inf.  ``metric``: cosine/dot use raw inner product; l2 uses the
-    ``2*q.r - ||r||^2`` monotone transform (query norm constant per query).
+    Rows where ``valid`` is False score -inf.  ``metric``: cosine/dot use the
+    raw inner product; l2 uses the ``2*q.r - ||r||^2`` monotone transform.
     """
     N, d = rows.shape
     L = num_buckets
@@ -150,29 +174,52 @@ def fused_scan_topk(
         rows = jnp.pad(rows, ((0, Np - N), (0, 0)))
         row_sqnorm = jnp.pad(row_sqnorm, (0, Np - N))
         valid = jnp.pad(valid, (0, Np - N))
+        if row_scale is not None:
+            row_scale = jnp.pad(row_scale, (0, Np - N))
     neg = jnp.float32(-1e30)
-    if metric == "l2":
-        alpha = 2.0
-        bias = jnp.where(valid, -row_sqnorm, neg)
+    alpha = 2.0 if metric == "l2" else 1.0
+    bias = jnp.where(valid, -row_sqnorm if metric == "l2" else jnp.float32(0.0), neg)
+    query_scale = None
+    if rows.dtype == jnp.int8:
+        if row_scale is None:
+            msg = "int8 rows require row_scale"
+            raise ValueError(msg)
+        q_abs = jnp.max(jnp.abs(queries), axis=1)
+        q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)
+        queries = jnp.clip(
+            jnp.round(queries / q_s[:, None]), -127, 127
+        ).astype(jnp.int8)
+        query_scale = q_s
+        row_scale = alpha * row_scale
     else:
-        alpha = 1.0
-        bias = jnp.where(valid, jnp.float32(0.0), neg)
+        row_scale = jnp.full((Np,), alpha, jnp.float32) if alpha != 1.0 else None
     bucket_scores, bucket_ids = bucketed_max_scan(
-        queries, rows, bias, num_buckets=L, alpha=alpha, interpret=interpret
+        queries, rows, bias, row_scale, query_scale,
+        num_buckets=L, batch_tile=batch_tile, interpret=interpret,
     )
     k = min(num_hits, L)
     top_scores, top_buckets = jax.lax.top_k(bucket_scores, k)
     top_ids = jnp.take_along_axis(bucket_ids, top_buckets, axis=1)
-    # Restore -inf sentinel for masked/padded winners.
     top_scores = jnp.where(top_scores <= neg / 2, -jnp.inf, top_scores)
     return top_scores, top_ids
 
 
 def reference_bucketed_max(
-    queries: np.ndarray, rows: np.ndarray, bias: np.ndarray, *, num_buckets: int, alpha: float = 1.0
+    queries: np.ndarray,
+    rows: np.ndarray,
+    bias: np.ndarray,
+    *,
+    num_buckets: int,
+    row_scale: np.ndarray | None = None,
+    query_scale: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Numpy oracle with identical bucket semantics (tests)."""
-    sims = alpha * (queries.astype(np.float32) @ rows.astype(np.float32).T) + bias[None, :]
+    sims = queries.astype(np.float32) @ rows.astype(np.float32).T
+    if row_scale is not None:
+        sims = sims * row_scale[None, :]
+    if query_scale is not None:
+        sims = sims * query_scale[:, None]
+    sims = sims + bias[None, :]
     B, N = sims.shape
     folded = sims.reshape(B, N // num_buckets, num_buckets)
     arg = folded.argmax(axis=1)  # [B, L] step index

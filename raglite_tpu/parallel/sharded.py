@@ -31,6 +31,7 @@ def sharded_topk_search(
     row_sqnorm: jax.Array,  # [N] sharded
     valid: jax.Array,  # [N] sharded
     queries: jax.Array,  # [B, d] replicated
+    row_scale: jax.Array | None = None,  # [N] fp32 sharded (int8 dequant)
     *,
     num_hits: int,
     metric: str,
@@ -40,12 +41,23 @@ def sharded_topk_search(
 
     Returns (scores [B, K], global row ids [B, K]).
     """
+    int8 = rows.dtype == jnp.int8
+    if row_scale is None:
+        row_scale = jnp.ones((rows.shape[0],), jnp.float32)
 
-    def local_search(rows_blk, sq_blk, valid_blk, q):
+    def local_search(rows_blk, sq_blk, valid_blk, q, scale_blk):
         # Fused local distance matmul (MXU) + local top-k.
-        sims = jnp.einsum(
-            "bd,nd->bn", q.astype(rows_blk.dtype), rows_blk, preferred_element_type=jnp.float32
-        )
+        if int8:
+            q_abs = jnp.max(jnp.abs(q), axis=1)
+            q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)
+            q_i8 = jnp.clip(jnp.round(q / q_s[:, None]), -127, 127).astype(jnp.int8)
+            sims = jnp.einsum("bd,nd->bn", q_i8, rows_blk, preferred_element_type=jnp.int32)
+            sims = sims.astype(jnp.float32) * (q_s[:, None] * scale_blk[None, :])
+        else:
+            sims = jnp.einsum(
+                "bd,nd->bn", q.astype(rows_blk.dtype), rows_blk,
+                preferred_element_type=jnp.float32,
+            )
         if metric == "l2":
             sims = 2.0 * sims - sq_blk[None, :]
         sims = jnp.where(valid_blk[None, :], sims, -jnp.inf)
@@ -72,7 +84,7 @@ def sharded_topk_search(
         mapped = shard_map(
             local_search,
             mesh=mesh,
-            in_specs=(P("data"), P("data"), P("data"), P()),
+            in_specs=(P("data"), P("data"), P("data"), P(), P("data")),
             out_specs=(P(), P()),
             check_vma=False,  # outputs are replicated by the all_gather merge
         )
@@ -80,8 +92,8 @@ def sharded_topk_search(
         mapped = shard_map(
             local_search,
             mesh=mesh,
-            in_specs=(P("data"), P("data"), P("data"), P()),
+            in_specs=(P("data"), P("data"), P("data"), P(), P("data")),
             out_specs=(P(), P()),
             check_rep=False,
         )
-    return mapped(rows, row_sqnorm, valid, queries)
+    return mapped(rows, row_sqnorm, valid, queries, row_scale)

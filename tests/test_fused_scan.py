@@ -29,18 +29,49 @@ def test_bucketed_max_scan_matches_oracle() -> None:
     np.testing.assert_array_equal(np.asarray(ids), oracle_ids)
 
 
-def test_bucketed_max_scan_l2_alpha() -> None:
+def test_bucketed_max_scan_scales() -> None:
     B, N, d, L = 3, 512, 32, 128
     q = RNG.normal(size=(B, d)).astype(np.float32)
     rows = RNG.normal(size=(N, d)).astype(np.float32)
     bias = -np.sum(rows**2, axis=1).astype(np.float32)
+    row_scale = RNG.uniform(0.5, 2.0, size=N).astype(np.float32)
+    query_scale = RNG.uniform(0.5, 2.0, size=B).astype(np.float32)
     scores, ids = bucketed_max_scan(
         jnp.asarray(q), jnp.asarray(rows), jnp.asarray(bias),
-        num_buckets=L, batch_tile=8, alpha=2.0, interpret=True,
+        jnp.asarray(row_scale), jnp.asarray(query_scale),
+        num_buckets=L, batch_tile=8, interpret=True,
     )
-    oracle_scores, oracle_ids = reference_bucketed_max(q, rows, bias, num_buckets=L, alpha=2.0)
+    oracle_scores, oracle_ids = reference_bucketed_max(
+        q, rows, bias, num_buckets=L, row_scale=row_scale, query_scale=query_scale
+    )
     np.testing.assert_allclose(np.asarray(scores), oracle_scores, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ids), oracle_ids)
+
+
+def test_fused_scan_topk_int8_recall() -> None:
+    from raglite_tpu.ops.fused_scan import quantize_rows_int8
+
+    B, N, d, L, k = 4, 2048, 64, 512, 10
+    q = RNG.normal(size=(B, d)).astype(np.float32)
+    rows = RNG.normal(size=(N, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    rows_i8, scale = quantize_rows_int8(rows)
+    deq = rows_i8.astype(np.float32) * scale[:, None]
+    sq = np.sum(deq**2, axis=1).astype(np.float32)
+    valid = np.ones(N, bool)
+    scores, ids = fused_scan_topk(
+        jnp.asarray(rows_i8), jnp.asarray(sq), jnp.asarray(valid), jnp.asarray(q),
+        num_hits=k, metric="cosine", row_scale=jnp.asarray(scale),
+        num_buckets=L, interpret=True,
+    )
+    sims = q @ rows.T
+    _, exact_ids = jax.lax.top_k(jnp.asarray(sims), k)
+    ids_np, exact_np = np.asarray(ids), np.asarray(exact_ids)
+    recall = np.mean([len(set(ids_np[b]) & set(exact_np[b])) / k for b in range(B)])
+    assert recall >= 0.85, recall  # bucket loss + int8 rounding
+    # Scores must approximate the true fp32 similarities (dequant error small).
+    top_true = np.take_along_axis(sims, ids_np, axis=1)
+    np.testing.assert_allclose(np.asarray(scores), top_true, atol=0.05)
 
 
 @pytest.mark.parametrize("metric", ["cosine", "l2"])
@@ -81,3 +112,54 @@ def test_fused_scan_topk_pads_unaligned_rows() -> None:
     ids_np = np.asarray(ids)
     finite = np.isfinite(np.asarray(scores))
     assert (ids_np[finite] < N).all(), "padding row leaked"
+
+
+def test_dense_index_int8_end_to_end() -> None:
+    """int8-quantized DenseIndex returns near-identical hits to bf16."""
+    from raglite_tpu.index.dense import DenseIndex
+
+    d, n_chunks = 64, 100
+    mats = [RNG.normal(size=(2, d)).astype(np.float32) for _ in range(n_chunks)]
+    mats = [m / np.linalg.norm(m, axis=1, keepdims=True) for m in mats]
+    ids = [f"c{i}" for i in range(n_chunks)]
+    q = RNG.normal(size=(3, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    results = {}
+    for dtype in ("float32", "int8"):
+        index = DenseIndex(dim=d, dtype=dtype, metric="cosine")
+        index.append_chunks(mats, ids)
+        scores, rows = index.search(q, num_hits=10)
+        results[dtype] = (scores, rows)
+    overlap = np.mean([
+        len(set(results["int8"][1][b]) & set(results["float32"][1][b])) / 10
+        for b in range(3)
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(results["int8"][0], results["float32"][0], atol=0.03)
+
+
+def test_sharded_int8_matches_single_device() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from raglite_tpu.ops.fused_scan import quantize_rows_int8
+    from raglite_tpu.parallel.mesh import index_mesh
+    from raglite_tpu.parallel.sharded import sharded_topk_search
+
+    B, N, d, k = 3, 512, 32, 8
+    rows = RNG.normal(size=(N, d)).astype(np.float32)
+    rows_i8, scale = quantize_rows_int8(rows)
+    deq = rows_i8.astype(np.float32) * scale[:, None]
+    sq = np.sum(deq**2, axis=1).astype(np.float32)
+    q = RNG.normal(size=(B, d)).astype(np.float32)
+    mesh = index_mesh(len(jax.devices()))
+    scores, ids = sharded_topk_search(
+        jnp.asarray(rows_i8), jnp.asarray(sq), jnp.ones(N, bool), jnp.asarray(q),
+        jnp.asarray(scale), num_hits=k, metric="cosine", mesh=mesh,
+    )
+    sims = q @ deq.T
+    _, exact = jax.lax.top_k(jnp.asarray(sims), k)
+    ids_np, exact_np = np.asarray(ids), np.asarray(exact)
+    overlap = np.mean([len(set(ids_np[b]) & set(exact_np[b])) / k for b in range(B)])
+    assert overlap >= 0.9, overlap
