@@ -125,13 +125,33 @@ def main() -> None:
     elapsed = time.perf_counter() - t0 - rpc_floor
     qps = args.iters * b / elapsed
 
-    # p50 single-query latency, amortized the same way.
+    # p50 single-query latency, amortized the same way.  Small batches route
+    # through the Pallas fused scan in production (index/dense.py:
+    # _use_fused_kernel); measure that path when available.
     q1 = queries[:1]
-    np.asarray(run(q1))
+    lat_fn = run
+    if int8 and jax.default_backend() == "tpu":
+        import jax.numpy as jnp  # noqa: PLC0415
+        from raglite_tpu.ops.fused_scan import fused_scan_topk
+
+        sqnorm = jnp.zeros((n,), jnp.float32)
+
+        @jax.jit
+        def lat_fn(q):  # adapter matmul + fused scan (cosine: sqnorm unused)
+            return fused_scan_topk(
+                rows, sqnorm, valid, q @ adapter.T,
+                num_hits=args.num_hits, metric="cosine",
+                row_scale=row_scale, batch_tile=8,
+            )[0]
+
+    def _sync(x):
+        return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
+    _sync(lat_fn(q1))
     reps = 30
     t0 = time.perf_counter()
-    outs = [run(q1) for _ in range(reps)]
-    np.asarray(outs[-1][0, 0, 0])
+    outs = [lat_fn(q1) for _ in range(reps)]
+    _sync(outs[-1])
     p50_ms = float((time.perf_counter() - t0 - rpc_floor) / reps * 1000)
 
     print(

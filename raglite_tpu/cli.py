@@ -94,6 +94,19 @@ def chat(config: RAGLiteConfig) -> None:
         click.echo()
 
 
+@cli.command()
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option("--port", default=8080, show_default=True)
+@click.pass_obj
+def serve(config: RAGLiteConfig, host: str, port: int) -> None:
+    """Web chat frontend with streaming answers, uploads, and sources
+    (the reference's Chainlit app, _chainlit.py, as a zero-dependency
+    stdlib web app — webchat.py)."""
+    from raglite_tpu.webchat import create_web_app
+
+    create_web_app(config).serve(host, port)
+
+
 @cli.group()
 def mcp() -> None:
     """Model Context Protocol server."""

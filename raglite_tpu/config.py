@@ -108,14 +108,14 @@ class RAGLiteConfig:
     #: Number of devices to shard the index over (1 = single device,
     #: 0 = all local devices).
     num_devices: int = 1
-    #: Use the Pallas fused-scan kernel on the dense query path instead of
-    #: the pure-XLA einsum + approx_max_k program.  Measured on v5e, XLA's
-    #: PartialReduce fusion already runs the scan at ~66-76% of the compute
-    #: roofline and BEATS the hand-written kernel at large batch (101k vs
-    #: 73k QPS/chip at 1.25M x 1024 int8, B=1024), so the default is the
-    #: XLA path; the kernel remains available for A/B and as the base for
-    #: ops XLA can't fuse (see ops/fused_scan.py).
-    use_pallas: bool = False
+    #: Allow the Pallas fused-scan kernel on the dense query path.  The
+    #: engine routes by batch size (measured, v5e @ 1.25M x 1024 int8):
+    #: the hand-written kernel wins at small batch (1.85 vs 2.85 ms at
+    #: B=1 — it streams rows once, where XLA runs einsum and PartialReduce
+    #: as two HBM passes), while XLA's own fusion wins at large batch
+    #: (105k vs 73k QPS at B=1024).  Serving latency uses Pallas; bulk
+    #: throughput uses the XLA program.
+    use_pallas: bool = True
 
     def __post_init__(self) -> None:
         if self.vector_search_distance_metric not in ("cosine", "dot", "l2"):

@@ -258,7 +258,7 @@ class DenseIndex:
                 metric=self.metric,
                 mesh=mesh,
             )
-        elif self._use_fused_kernel():
+        elif self._use_fused_kernel(queries.shape[0]):
             from raglite_tpu.ops.fused_scan import fused_scan_topk
 
             scores, idx = fused_scan_topk(
@@ -269,6 +269,7 @@ class DenseIndex:
                 num_hits=k,
                 metric=self.metric,
                 row_scale=self._dev_scale,
+                batch_tile=8,
             )
         else:
             scores, idx = _dense_search(
@@ -289,16 +290,18 @@ class DenseIndex:
             idx = np.pad(idx, ((0, 0), (0, pad)))
         return scores, idx
 
-    def _use_fused_kernel(self) -> bool:
-        """Pallas fused scan on real TPU for large indexes; the pure-XLA path
-        otherwise (small indexes and CPU tests, where Mosaic is unavailable
-        or the fixed bucket width would dominate)."""
+    def _use_fused_kernel(self, batch: int) -> bool:
+        """Pallas fused scan on real TPU for latency-bound small batches on
+        large indexes; the pure-XLA program otherwise.  Measured crossover
+        on v5e @ 1.25M x 1024 int8: Pallas 1.85 ms vs XLA 2.85 ms at B=1,
+        XLA 105k vs Pallas 73k QPS at B=1024 (see config.use_pallas)."""
         from raglite_tpu.ops.fused_scan import DEFAULT_NUM_BUCKETS
 
         return (
             self.use_pallas
+            and batch <= 32
             and jax.default_backend() == "tpu"
-            and self.num_rows >= 4 * DEFAULT_NUM_BUCKETS
+            and self.num_rows >= 16 * DEFAULT_NUM_BUCKETS
         )
 
     def rows_for_chunk(self, chunk_ordinal: int) -> np.ndarray:

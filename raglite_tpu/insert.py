@@ -42,14 +42,20 @@ def _create_chunk_records(
     Returns chunk records and one multi-vector embedding matrix per chunk.
     """
     assert document.content is not None
-    sentences = split_sentences(document.content, max_len=config.chunk_max_size)
-    chunklets = split_chunklets(sentences, max_size=config.chunk_max_size)
-    chunklet_embeddings = embed_strings(chunklets, config=config)
-    chunks, chunk_embeddings = split_chunks(
-        chunklets=chunklets,
-        chunklet_embeddings=chunklet_embeddings,
-        max_size=config.chunk_max_size,
-    )
+    from raglite_tpu.utils.trace import phase
+
+    with phase("insert.split_sentences"):
+        sentences = split_sentences(document.content, max_len=config.chunk_max_size)
+    with phase("insert.split_chunklets"):
+        chunklets = split_chunklets(sentences, max_size=config.chunk_max_size)
+    with phase("insert.embed"):
+        chunklet_embeddings = embed_strings(chunklets, config=config)
+    with phase("insert.split_chunks"):
+        chunks, chunk_embeddings = split_chunks(
+            chunklets=chunklets,
+            chunklet_embeddings=chunklet_embeddings,
+            max_size=config.chunk_max_size,
+        )
     # Chunk records carry rolling contextual headings (reference: _insert.py:103-111).
     chunk_records: list[Chunk] = []
     headings = ""

@@ -80,11 +80,14 @@ def vector_search(
 
         metadata_filter = {**self_query_filter(query, config=config), **(metadata_filter or {})}
     # Embed the query (reference: _search.py:54-56).
-    query_embedding = (
-        embed_strings([query], config=config)[0, :].astype(np.float32)
-        if isinstance(query, str)
-        else np.ravel(np.asarray(query, dtype=np.float32))
-    )
+    from raglite_tpu.utils.trace import phase
+
+    with phase("search.embed_query"):
+        query_embedding = (
+            embed_strings([query], config=config)[0, :].astype(np.float32)
+            if isinstance(query, str)
+            else np.ravel(np.asarray(query, dtype=np.float32))
+        )
     # Apply the query adapter as a matmul (reference: _search.py:58-62).
     if config.vector_search_query_adapter:
         adapter = store.index_metadata.get("query_adapter")
@@ -102,9 +105,10 @@ def vector_search(
         if not cmask.any():
             return [], []
         row_mask = cmask[index.row_chunk]
-    scores, row_ids = index.search(
-        query_embedding[None, :], num_hits=min(num_hits, index.num_rows), row_mask=row_mask
-    )
+    with phase("search.dense_scan"):
+        scores, row_ids = index.search(
+            query_embedding[None, :], num_hits=min(num_hits, index.num_rows), row_mask=row_mask
+        )
     # Multi-vector aggregation: max similarity per chunk (reference: :143-152).
     best: dict[int, float] = {}
     for score, row in zip(scores[0], row_ids[0]):

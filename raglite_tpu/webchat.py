@@ -1,0 +1,287 @@
+"""First-party web chat frontend (stdlib HTTP + SSE).
+
+The reference ships a Chainlit app (/root/reference/src/raglite/_chainlit.py:
+settings widgets :24-62, attachment handling :70-91, streamed ``async_rag``
+with a retrieval callback and deduped source elements :92-114).  Chainlit is
+a heavyweight optional dependency; this module provides the same surface as
+a zero-dependency web app:
+
+- ``GET /``              single-page chat UI
+- ``POST /api/chat``     streamed RAG answer as Server-Sent Events;
+                         ``sources`` events carry the retrieved chunk spans
+- ``POST /api/upload``   insert an attached document (small documents are
+                         inlined into the message instead, like the
+                         reference's <attachment> path, _chainlit.py:70-91)
+- ``GET/POST /api/settings``  runtime store/llm/embedder/query-adapter
+                         settings (the reference's settings widgets)
+
+Run with ``raglite-tpu serve`` (cli.py) or ``create_web_app().serve()``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from dataclasses import replace
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from raglite_tpu.config import RAGLiteConfig
+
+__all__ = ["WebChatApp", "create_web_app"]
+
+#: Attachments up to this many characters are inlined into the prompt
+#: instead of being inserted into the knowledge base (reference inlines
+#: documents that fit half the context window, _chainlit.py:74-84).
+INLINE_ATTACHMENT_MAX_CHARS = 8_192
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>RAGLite-TPU</title>
+<style>
+body { font-family: system-ui, sans-serif; margin: 0; display: flex; height: 100vh; }
+#main { flex: 3; display: flex; flex-direction: column; padding: 1rem; }
+#sources { flex: 1; border-left: 1px solid #ddd; padding: 1rem; overflow-y: auto; }
+#log { flex: 1; overflow-y: auto; white-space: pre-wrap; }
+.msg { margin: .5rem 0; padding: .5rem .75rem; border-radius: .5rem; }
+.user { background: #e8f0fe; }
+.assistant { background: #f6f6f6; }
+.source { font-size: .85rem; border-bottom: 1px solid #eee; padding: .4rem 0; }
+form { display: flex; gap: .5rem; }
+input[type=text] { flex: 1; padding: .5rem; }
+</style></head>
+<body>
+<div id="main">
+  <h3>RAGLite-TPU chat</h3>
+  <div id="log"></div>
+  <form id="f">
+    <input type="text" id="q" placeholder="Ask the knowledge base..." autofocus>
+    <input type="file" id="file">
+    <button>Send</button>
+  </form>
+</div>
+<div id="sources"><h4>Sources</h4><div id="srclist"></div></div>
+<script>
+const log = document.getElementById('log');
+const srclist = document.getElementById('srclist');
+const f = document.getElementById('f');
+function add(cls, text) {
+  const d = document.createElement('div');
+  d.className = 'msg ' + cls; d.textContent = text;
+  log.appendChild(d); log.scrollTop = log.scrollHeight; return d;
+}
+f.onsubmit = async (e) => {
+  e.preventDefault();
+  const q = document.getElementById('q');
+  const file = document.getElementById('file');
+  if (file.files.length) {
+    const fd = new FormData();
+    const body = await file.files[0].text();
+    await fetch('/api/upload', {method: 'POST', headers: {'X-Filename': file.files[0].name},
+                                body});
+    add('assistant', 'Uploaded ' + file.files[0].name);
+    file.value = '';
+  }
+  if (!q.value) return;
+  const text = q.value; q.value = '';
+  add('user', text);
+  const out = add('assistant', '');
+  const res = await fetch('/api/chat', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({messages: [{role: 'user', content: text}]})});
+  const reader = res.body.getReader();
+  const dec = new TextDecoder();
+  let buf = '';
+  for (;;) {
+    const {done, value} = await reader.read();
+    if (done) break;
+    buf += dec.decode(value, {stream: true});
+    let i;
+    while ((i = buf.indexOf('\\n\\n')) >= 0) {
+      const evt = buf.slice(0, i); buf = buf.slice(i + 2);
+      const lines = evt.split('\\n');
+      let type = 'message', data = '';
+      for (const l of lines) {
+        if (l.startsWith('event: ')) type = l.slice(7);
+        if (l.startsWith('data: ')) data += l.slice(6);
+      }
+      if (type === 'token') out.textContent += JSON.parse(data);
+      if (type === 'sources') {
+        srclist.innerHTML = '';
+        for (const s of JSON.parse(data)) {
+          const d = document.createElement('div');
+          d.className = 'source';
+          d.textContent = s.headings + ' — ' + s.preview;
+          srclist.appendChild(d);
+        }
+      }
+    }
+  }
+};
+</script>
+</body></html>
+"""
+
+
+class WebChatApp:
+    """Holds mutable runtime settings + the HTTP server plumbing."""
+
+    def __init__(self, config: RAGLiteConfig | None = None) -> None:
+        self.config = config or RAGLiteConfig()
+        self._inline_docs: list[str] = []
+
+    # --- Request handlers (exercised directly by tests) -------------------
+
+    def handle_settings_get(self) -> dict[str, Any]:
+        return {
+            "store_path": self.config.store_path,
+            "llm": self.config.llm,
+            "embedder": self.config.embedder,
+            "vector_search_query_adapter": self.config.vector_search_query_adapter,
+        }
+
+    def handle_settings_post(self, body: dict[str, Any]) -> dict[str, Any]:
+        """Update runtime settings (the reference's settings widgets,
+        _chainlit.py:24-62)."""
+        allowed = {"store_path", "llm", "embedder", "vector_search_query_adapter"}
+        updates = {k: v for k, v in body.items() if k in allowed}
+        self.config = replace(self.config, **updates)
+        return self.handle_settings_get()
+
+    def handle_upload(self, filename: str, data: bytes) -> dict[str, Any]:
+        """Small texts are inlined as context; larger ones are inserted into
+        the knowledge base (reference: _chainlit.py:70-91)."""
+        from raglite_tpu.documents import Document
+        from raglite_tpu.insert import insert_documents
+
+        try:
+            text = data.decode("utf-8")
+        except UnicodeDecodeError:
+            text = ""
+        if text and len(text) <= INLINE_ATTACHMENT_MAX_CHARS:
+            self._inline_docs.append(text)
+            return {"status": "inlined", "filename": filename}
+        if text:
+            document = Document.from_text(text, filename=filename)
+        else:  # binary (e.g. PDF) — parse via the document pipeline
+            import tempfile
+            from pathlib import Path
+
+            with tempfile.NamedTemporaryFile(suffix=Path(filename).suffix, delete=False) as fh:
+                fh.write(data)
+                tmp = fh.name
+            document = Document.from_path(tmp)
+        insert_documents([document], config=self.config)
+        return {"status": "inserted", "filename": filename, "id": document.id}
+
+    def chat_events(self, messages: list[dict[str, Any]]):
+        """Yield SSE event tuples ``(event, json_payload)`` for one turn."""
+        from raglite_tpu.rag import rag
+
+        if self._inline_docs and messages:
+            attachments = "\n\n".join(
+                f"<attachment>{doc}</attachment>" for doc in self._inline_docs
+            )
+            messages = [
+                *messages[:-1],
+                {**messages[-1], "content": f"{attachments}\n\n{messages[-1]['content']}"},
+            ]
+            self._inline_docs = []
+        sources: list[dict[str, str]] = []
+
+        def on_retrieval(spans) -> None:
+            seen = set()
+            for span in spans:
+                key = span.document.id if span.document else id(span)
+                if key in seen:  # dedupe per document (reference: _chainlit.py:100-113)
+                    continue
+                seen.add(key)
+                text = span.content
+                sources.append(
+                    {
+                        "document": str(key),
+                        "headings": span.chunks[0].headings if span.chunks else "",
+                        "preview": text[:240],
+                    }
+                )
+
+        for token in rag(messages, on_retrieval=on_retrieval, config=self.config):
+            yield "token", json.dumps(token)
+        if sources:
+            yield "sources", json.dumps(sources)
+        yield "done", "{}"
+
+    # --- HTTP server -------------------------------------------------------
+
+    def make_server(self, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
+        app = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args) -> None:  # quiet
+                pass
+
+            def _json(self, payload: dict[str, Any], status: int = 200) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:  # noqa: N802
+                if self.path == "/":
+                    body = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/api/settings":
+                    self._json(app.handle_settings_get())
+                else:
+                    self._json({"error": "not found"}, 404)
+
+            def _body(self) -> bytes:
+                length = int(self.headers.get("Content-Length", "0"))
+                return self.rfile.read(length)
+
+            def do_POST(self) -> None:  # noqa: N802
+                if self.path == "/api/settings":
+                    self._json(app.handle_settings_post(json.loads(self._body() or b"{}")))
+                elif self.path == "/api/upload":
+                    filename = self.headers.get("X-Filename", "upload.txt")
+                    self._json(app.handle_upload(filename, self._body()))
+                elif self.path == "/api/chat":
+                    payload = json.loads(self._body() or b"{}")
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    try:
+                        for event, data in app.chat_events(payload.get("messages", [])):
+                            self.wfile.write(
+                                f"event: {event}\ndata: {data}\n\n".encode()
+                            )
+                            self.wfile.flush()
+                    except BrokenPipeError:
+                        pass
+                else:
+                    self._json({"error": "not found"}, 404)
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8080) -> None:
+        server = self.make_server(host, port)
+        print(f"RAGLite-TPU web chat on http://{host}:{server.server_address[1]}")  # noqa: T201
+        server.serve_forever()
+
+    def serve_background(self, host: str = "127.0.0.1", port: int = 0) -> tuple[ThreadingHTTPServer, int]:
+        """Start on a background thread (tests); returns (server, port)."""
+        server = self.make_server(host, port)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        return server, server.server_address[1]
+
+
+def create_web_app(config: RAGLiteConfig | None = None) -> WebChatApp:
+    return WebChatApp(config)

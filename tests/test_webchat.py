@@ -1,0 +1,83 @@
+"""Web chat frontend tests (webchat.py — the Chainlit-app analogue,
+reference: _chainlit.py).  Drives the real HTTP server over a socket."""
+
+import json
+import urllib.request
+
+import pytest
+
+from raglite_tpu.config import RAGLiteConfig
+from raglite_tpu.webchat import create_web_app
+
+
+@pytest.fixture(scope="module")
+def app_port():
+    config = RAGLiteConfig(store_path=":memory:", embedder="hash:256", llm="echo")
+    app = create_web_app(config)
+    server, port = app.serve_background()
+    yield app, port
+    server.shutdown()
+
+
+def _get(port: int, path: str) -> tuple[int, bytes]:
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as response:
+        return response.status, response.read()
+
+
+def _post(port: int, path: str, data: bytes, headers: dict | None = None) -> tuple[int, bytes]:
+    request = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, headers=headers or {}, method="POST"
+    )
+    with urllib.request.urlopen(request) as response:
+        return response.status, response.read()
+
+
+def test_index_page(app_port) -> None:
+    _, port = app_port
+    status, body = _get(port, "/")
+    assert status == 200
+    assert b"RAGLite-TPU chat" in body
+
+
+def test_settings_roundtrip(app_port) -> None:
+    app, port = app_port
+    status, body = _get(port, "/api/settings")
+    assert status == 200
+    settings = json.loads(body)
+    assert settings["llm"] == "echo"
+    status, body = _post(
+        port, "/api/settings", json.dumps({"vector_search_query_adapter": False}).encode()
+    )
+    assert json.loads(body)["vector_search_query_adapter"] is False
+    assert app.config.vector_search_query_adapter is False
+
+
+def test_upload_small_inlines_large_inserts(app_port) -> None:
+    app, port = app_port
+    status, body = _post(port, "/api/upload", b"tiny note", {"X-Filename": "note.txt"})
+    assert json.loads(body)["status"] == "inlined"
+    big = ("Relativity paragraph. " * 600).encode()
+    status, body = _post(port, "/api/upload", big, {"X-Filename": "big.md"})
+    payload = json.loads(body)
+    assert payload["status"] == "inserted"
+    assert payload["id"]
+
+
+def test_chat_streams_tokens_and_sources(app_port) -> None:
+    app, port = app_port
+    # Ensure there is something to retrieve.
+    corpus = "# Simultaneity\n\n" + "Einstein defines simultaneity via light signals. " * 200
+    _post(port, "/api/upload", corpus.encode(), {"X-Filename": "specrel.md"})
+    status, body = _post(
+        port,
+        "/api/chat",
+        json.dumps({"messages": [{"role": "user", "content": "How is simultaneity defined?"}]}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    assert status == 200
+    text = body.decode()
+    events = [e for e in text.split("\n\n") if e.strip()]
+    kinds = [line[7:] for e in events for line in e.split("\n") if line.startswith("event: ")]
+    assert "token" in kinds
+    assert kinds[-1] == "done"
+    assert "sources" in kinds  # the echo LLM issues a search tool call
