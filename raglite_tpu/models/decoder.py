@@ -196,12 +196,25 @@ class JaxChatLLM:
     }
 
     def __init__(self, spec: str = "tiny", *, seed: int = 0, dtype=jnp.bfloat16) -> None:
-        cfg = dict(self._PRESETS.get(spec, self._PRESETS["tiny"]))
+        if spec.startswith("ckpt:"):
+            # orbax checkpoint written by save_checkpoint() below.
+            from raglite_tpu.models.checkpoint import load_checkpoint
+
+            params, cfg = load_checkpoint(spec.removeprefix("ckpt:"))
+            self.params = params
+        else:
+            cfg = dict(self._PRESETS.get(spec, self._PRESETS["tiny"]))
+            self.params = init_decoder_params(cfg, seed=seed, dtype=dtype)
         self.cfg = cfg
-        self.params = init_decoder_params(cfg, seed=seed, dtype=dtype)
         self.model = DecoderModel(cfg)
         self.tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
         self.context_size = cfg["max_len"]
+
+    def save_checkpoint(self, path: str) -> None:
+        """Write an orbax checkpoint loadable via ``jax:ckpt:<path>``."""
+        from raglite_tpu.models.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.params, self.cfg)
 
     # --- Prompting --------------------------------------------------------
 

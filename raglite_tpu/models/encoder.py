@@ -200,7 +200,13 @@ class TransformerEncoder:
 
         import os
 
-        if os.path.isdir(spec) or spec.endswith(".safetensors"):
+        if spec.startswith("ckpt:"):
+            # orbax checkpoint written by save_checkpoint() below.
+            from raglite_tpu.models.checkpoint import load_checkpoint
+
+            params, cfg = load_checkpoint(spec.removeprefix("ckpt:"))
+            tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
+        elif os.path.isdir(spec) or spec.endswith(".safetensors"):
             cfg, params, tokenizer = load_pretrained_encoder(spec, dtype=dtype)
         else:
             cfg = dict(self._PRESETS.get(spec, self._PRESETS["tiny"]))
@@ -213,6 +219,12 @@ class TransformerEncoder:
         self.max_tokens = cfg["max_len"]
         self._model = EncoderModel(cfg)
         self._forward = jax.jit(self._model.apply_tokens)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Write an orbax checkpoint loadable via ``flax:ckpt:<path>``."""
+        from raglite_tpu.models.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self._params, self._cfg)
 
     def count_tokens(self, texts: list[str]) -> list[int]:
         return [len(self._tokenizer.encode(t)) for t in texts]
