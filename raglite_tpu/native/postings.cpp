@@ -16,6 +16,8 @@
 // the Python fallback tokenizer (index/keyword.py:tokenize) mirrors it.
 
 #include <cstdint>
+#include <cmath>
+#include <algorithm>
 #include <cstring>
 #include <cstdio>
 #include <string>
@@ -96,9 +98,203 @@ inline bool is_word_cp(uint32_t cp) {
   return !is_unicode_punct(cp);
 }
 
+inline bool is_space_cp(uint32_t cp) {
+  return cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == '\f' ||
+         cp == '\v' || cp == 0x85 || cp == 0xA0 || (cp >= 0x2000 && cp <= 0x200A) ||
+         cp == 0x2028 || cp == 0x2029 || cp == 0x202F || cp == 0x205F || cp == 0x3000;
+}
+
+// Lowercase: ASCII + Latin-1 uppercase letters (matches str.lower() for the
+// Latin-1 range; other scripts pass through — only affects which hash row a
+// rare token maps to).
+inline uint32_t lower_cp(uint32_t cp) {
+  if (cp >= 'A' && cp <= 'Z') return cp + 32;
+  if (cp >= 0xC0 && cp <= 0xDE && cp != 0xD7) return cp + 32;
+  return cp;
+}
+
+// zlib-compatible CRC32 (reflected 0xEDB88320).
+struct Crc32Table {
+  uint32_t t[256];
+  Crc32Table() {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int j = 0; j < 8; ++j) c = (c & 1) ? (0xEDB88320u ^ (c >> 1)) : (c >> 1);
+      t[i] = c;
+    }
+  }
+};
+static const Crc32Table kCrc;
+
+inline uint32_t crc32_bytes(const char* data, size_t len) {
+  uint32_t c = 0xFFFFFFFFu;
+  for (size_t i = 0; i < len; ++i) {
+    c = kCrc.t[(c ^ static_cast<uint8_t>(data[i])) & 0xFF] ^ (c >> 8);
+  }
+  return c ^ 0xFFFFFFFFu;
+}
+
+// Tokenizer matching Python's `re.findall(r"\w+|[^\w\s]", text.lower())`:
+// word-char runs, plus single non-word non-space codepoints.
+struct HashToken {
+  std::vector<uint32_t> cps;  // lowercased codepoints
+};
+
 }  // namespace
 
 extern "C" {
+
+// Featurize text for the hash encoder (models/encoder.py:HashEncoder):
+// per token emit crc32 hashes of the token and of the character trigrams of
+// "#token#" (when the token has >2 codepoints), with sign from crc bit 31.
+// Outputs: ids [cap] int32, signs [cap] float, bounds [max_tokens+1] int64
+// (feature range per token).  Returns the token count (bounds[n] = total
+// features); negative return = cap exceeded.
+int32_t rlt_hash_featurize(const char* text, int64_t len, int32_t max_tokens,
+                           uint32_t mask, int32_t* ids, float* signs,
+                           int64_t* bounds, int64_t cap) {
+  const uint8_t* s = reinterpret_cast<const uint8_t*>(text);
+  int64_t i = 0;
+  int32_t n_tokens = 0;
+  int64_t n_feats = 0;
+  std::vector<uint32_t> cps;
+  std::string utf8;
+  bounds[0] = 0;
+
+  auto emit_feature = [&](const std::string& bytes) -> bool {
+    if (n_feats >= cap) return false;
+    uint32_t h = crc32_bytes(bytes.data(), bytes.size());
+    ids[n_feats] = static_cast<int32_t>(h & mask);
+    signs[n_feats] = ((h >> 31) & 1) ? 1.0f : -1.0f;
+    ++n_feats;
+    return true;
+  };
+  auto encode = [](std::string& out, const uint32_t* cps, size_t n) {
+    out.clear();
+    for (size_t k = 0; k < n; ++k) append_cp(out, cps[k]);
+  };
+  auto emit_token = [&]() -> bool {
+    if (cps.empty()) return true;
+    if (n_tokens >= max_tokens) { cps.clear(); return true; }
+    encode(utf8, cps.data(), cps.size());
+    if (!emit_feature(utf8)) return false;
+    if (cps.size() > 2) {
+      std::vector<uint32_t> padded;
+      padded.reserve(cps.size() + 2);
+      padded.push_back('#');
+      padded.insert(padded.end(), cps.begin(), cps.end());
+      padded.push_back('#');
+      for (size_t k = 0; k + 2 < padded.size(); ++k) {
+        encode(utf8, padded.data() + k, 3);
+        if (!emit_feature(utf8)) return false;
+      }
+    }
+    ++n_tokens;
+    bounds[n_tokens] = n_feats;
+    cps.clear();
+    return true;
+  };
+
+  while (i < len) {
+    uint32_t cp = lower_cp(decode_utf8(s, len, i));
+    if (is_word_cp(cp)) {
+      cps.push_back(cp);
+    } else {
+      if (!emit_token()) return -1;
+      if (!is_space_cp(cp) && n_tokens < max_tokens) {
+        // Single punctuation token ([^\w\s] branch of the regex).
+        cps.push_back(cp);
+        if (!emit_token()) return -1;
+      }
+    }
+    if (n_tokens >= max_tokens) break;
+  }
+  if (!emit_token()) return -1;
+  return n_tokens;
+}
+
+// Fused hash embedding (models/encoder.py:HashEncoder CPU fast path):
+// tokenize, hash features, and accumulate signed table rows directly into
+// per-token output rows — no [features, dim] intermediate.  ``table`` is the
+// fp32 feature table [mask+1, dim]; ``out`` is [max_tokens, dim] (caller
+// zero-fills).  Rows are L2-normalized.  Returns the token count.
+int32_t rlt_hash_embed(const char* text, int64_t len, int32_t max_tokens,
+                       uint32_t mask, const float* table, int32_t dim,
+                       float* out) {
+  const uint8_t* s = reinterpret_cast<const uint8_t*>(text);
+  int64_t i = 0;
+  int32_t n_tokens = 0;
+  std::vector<uint32_t> cps;
+  std::string utf8;
+
+  auto accumulate = [&](const std::string& bytes, float* row) {
+    uint32_t h = crc32_bytes(bytes.data(), bytes.size());
+    const float sign = ((h >> 31) & 1) ? 1.0f : -1.0f;
+    const float* src = table + static_cast<int64_t>(h & mask) * dim;
+    for (int32_t k = 0; k < dim; ++k) row[k] += sign * src[k];
+  };
+  auto encode = [](std::string& o, const uint32_t* cps, size_t n) {
+    o.clear();
+    for (size_t k = 0; k < n; ++k) append_cp(o, cps[k]);
+  };
+  auto emit_token = [&]() {
+    if (cps.empty()) return;
+    if (n_tokens >= max_tokens) { cps.clear(); return; }
+    float* row = out + static_cast<int64_t>(n_tokens) * dim;
+    encode(utf8, cps.data(), cps.size());
+    accumulate(utf8, row);
+    if (cps.size() > 2) {
+      std::vector<uint32_t> padded;
+      padded.reserve(cps.size() + 2);
+      padded.push_back('#');
+      padded.insert(padded.end(), cps.begin(), cps.end());
+      padded.push_back('#');
+      for (size_t k = 0; k + 2 < padded.size(); ++k) {
+        encode(utf8, padded.data() + k, 3);
+        accumulate(utf8, row);
+      }
+    }
+    double norm = 0.0;
+    for (int32_t k = 0; k < dim; ++k) norm += static_cast<double>(row[k]) * row[k];
+    const float inv = 1.0f / static_cast<float>(std::max(std::sqrt(norm), 1e-6));
+    for (int32_t k = 0; k < dim; ++k) row[k] *= inv;
+    ++n_tokens;
+    cps.clear();
+  };
+
+  while (i < len && n_tokens < max_tokens) {
+    uint32_t cp = lower_cp(decode_utf8(s, len, i));
+    if (is_word_cp(cp)) {
+      cps.push_back(cp);
+    } else {
+      emit_token();
+      if (!is_space_cp(cp) && n_tokens < max_tokens) {
+        cps.push_back(cp);
+        emit_token();
+      }
+    }
+  }
+  emit_token();
+  return n_tokens;
+}
+
+// Token count only (models/encoder.py:count_tokens fast path).
+int32_t rlt_count_tokens(const char* text, int64_t len) {
+  const uint8_t* s = reinterpret_cast<const uint8_t*>(text);
+  int64_t i = 0;
+  int32_t n = 0;
+  bool in_word = false;
+  while (i < len) {
+    uint32_t cp = decode_utf8(s, len, i);
+    if (is_word_cp(cp)) {
+      if (!in_word) { ++n; in_word = true; }
+    } else {
+      in_word = false;
+      if (!is_space_cp(cp)) ++n;
+    }
+  }
+  return n;
+}
 
 void* rlt_builder_new() { return new Builder(); }
 

@@ -87,3 +87,51 @@ def test_keyword_index_native_vs_python_search_parity() -> None:
         ids_p, scores_p = python_index.search(query, num_hits=4)
         assert ids_n == ids_p, query
         np.testing.assert_allclose(scores_n, scores_p, rtol=1e-5)
+
+
+def test_native_hash_featurize_matches_python() -> None:
+    from raglite_tpu.models.encoder import HashEncoder, _TOKEN_RE
+    from raglite_tpu.native import hash_featurize, count_tokens
+
+    encoder = HashEncoder(dim=32)
+    for text in CORPUS + ["punct...only?!", "a bb ccc dddd"]:
+        tokens = _TOKEN_RE.findall(text.lower())[: encoder.max_tokens]
+        py_ids, py_signs, py_bounds = [], [], [0]
+        for token in tokens:
+            f_ids, f_signs = encoder._features(token)
+            py_ids.extend(f_ids)
+            py_signs.extend(f_signs)
+            py_bounds.append(len(py_ids))
+        ids, signs, bounds, n = hash_featurize(
+            text, max_tokens=encoder.max_tokens, mask=encoder._mask
+        )
+        assert n == len(tokens), text
+        np.testing.assert_array_equal(ids, np.asarray(py_ids, np.int32))
+        np.testing.assert_array_equal(signs, np.asarray(py_signs, np.float32))
+        np.testing.assert_array_equal(bounds, np.asarray(py_bounds, np.int64))
+        assert count_tokens(text) == len(tokens)
+
+
+def test_native_fused_hash_embed_matches_jax_pool() -> None:
+    import jax.numpy as jnp
+
+    from raglite_tpu.models.encoder import HashEncoder, _hash_pool
+    from raglite_tpu.native import hash_embed
+
+    encoder = HashEncoder(dim=64)
+    text = "Einstein defines simultaneity operationally; clocks synchronize via light signals."
+    ids, signs, bounds, n = encoder._featurize(text)
+    f_pad, t_pad = 512, 64
+    segments = np.repeat(np.arange(n, dtype=np.int32), np.diff(bounds))
+    jax_out = np.asarray(
+        _hash_pool(
+            encoder._table,
+            jnp.asarray(np.pad(ids, (0, f_pad - len(ids)))),
+            jnp.asarray(np.pad(signs, (0, f_pad - len(signs)))),
+            jnp.asarray(np.pad(segments, (0, f_pad - len(segments)), constant_values=t_pad)),
+            num_segments=t_pad + 1,
+        )
+    )[:n]
+    table_np = np.ascontiguousarray(np.asarray(encoder._table, np.float32))
+    cpp_out = hash_embed(text, table_np, max_tokens=encoder.max_tokens, mask=encoder._mask)
+    np.testing.assert_allclose(cpp_out, jax_out, rtol=2e-4, atol=2e-5)
