@@ -10,13 +10,14 @@ sklearn (reference: _markdown.py:57-58).
 from __future__ import annotations
 
 import re
+from html.parser import HTMLParser
 from pathlib import Path
 
 import numpy as np
 
 from raglite_tpu.utils.pdf import PdfPage, parse_pdf
 
-__all__ = ["document_to_markdown", "parsed_pdf_to_markdown"]
+__all__ = ["document_to_markdown", "parsed_pdf_to_markdown", "html_to_markdown"]
 
 
 def _kmeans_1d(values: np.ndarray, weights: np.ndarray, k: int, iters: int = 50) -> np.ndarray:
@@ -198,8 +199,106 @@ def document_to_markdown(doc_path: Path | str) -> str:
         return "\n\n".join(parsed_pdf_to_markdown(pages))
     if doc_path.suffix in (".md", ".txt"):
         return doc_path.read_text()
+    if doc_path.suffix in (".html", ".htm"):
+        return html_to_markdown(doc_path.read_text())
     try:
         return doc_path.read_text()
     except UnicodeDecodeError as error:
         msg = f"unsupported document format: {doc_path.suffix}"
         raise ValueError(msg) from error
+
+
+class _HtmlToMarkdown(HTMLParser):
+    """Minimal HTML → Markdown (headings, paragraphs, lists, emphasis,
+    links, code, blockquotes).  First-party replacement for the reference's
+    pypandoc fallback (_markdown.py:197-221) for the HTML case."""
+
+    _SKIP = {"script", "style", "head", "title", "meta", "nav"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip_depth = 0
+        self._list_stack: list[str] = []
+        self._href: str | None = None
+
+    def _newline(self, n: int = 2) -> None:
+        joined = "".join(self.parts)
+        while joined.endswith("\n" * (n + 1)):
+            return
+        if joined and not joined.endswith("\n" * n):
+            self.parts.append("\n" * n)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in self._SKIP:
+            self._skip_depth += 1
+            return
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._newline()
+            self.parts.append("#" * int(tag[1]) + " ")
+        elif tag == "p" or tag == "div":
+            self._newline()
+        elif tag == "br":
+            self.parts.append("\n")
+        elif tag in ("ul", "ol"):
+            self._list_stack.append(tag)
+            self._newline()
+        elif tag == "li":
+            indent = "  " * max(len(self._list_stack) - 1, 0)
+            marker = "-" if (self._list_stack and self._list_stack[-1] == "ul") else "1."
+            self._newline(1)
+            self.parts.append(f"{indent}{marker} ")
+        elif tag in ("strong", "b"):
+            self.parts.append("**")
+        elif tag in ("em", "i"):
+            self.parts.append("*")
+        elif tag == "code":
+            self.parts.append("`")
+        elif tag == "pre":
+            self._newline()
+            self.parts.append("```\n")
+        elif tag == "blockquote":
+            self._newline()
+            self.parts.append("> ")
+        elif tag == "a":
+            self._href = dict(attrs).get("href")
+            self.parts.append("[")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in self._SKIP:
+            self._skip_depth = max(self._skip_depth - 1, 0)
+            return
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6", "p", "div", "blockquote"):
+            self._newline()
+        elif tag in ("ul", "ol"):
+            if self._list_stack:
+                self._list_stack.pop()
+            self._newline()
+        elif tag in ("strong", "b"):
+            self.parts.append("**")
+        elif tag in ("em", "i"):
+            self.parts.append("*")
+        elif tag == "code":
+            self.parts.append("`")
+        elif tag == "pre":
+            self.parts.append("\n```")
+            self._newline()
+        elif tag == "a":
+            self.parts.append(f"]({self._href})" if self._href else "]")
+            self._href = None
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if "".join(self.parts).endswith(("\n", "# ", "- ", "1. ", "> ")) or not self.parts:
+            data = data.lstrip("\n")
+        if data.strip() or data == " ":
+            self.parts.append(re.sub(r"[ \t]+", " ", data.replace("\n", " ")))
+
+
+def html_to_markdown(html: str) -> str:
+    """Convert HTML to Markdown with the stdlib parser."""
+    parser = _HtmlToMarkdown()
+    parser.feed(html)
+    parser.close()
+    return re.sub(r"\n{3,}", "\n\n", "".join(parser.parts)).strip() + "\n"

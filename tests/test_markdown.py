@@ -42,3 +42,31 @@ def test_pdf_parser_pages() -> None:
     pages = parse_pdf(SPECREL_PDF)
     assert len(pages) == 23
     assert all(page.blocks for page in pages)
+
+
+def test_html_to_markdown() -> None:
+    from raglite_tpu.markdown import html_to_markdown
+
+    html = (
+        "<html><head><title>skip</title></head><body>"
+        "<h1>Relativity</h1><p>On <strong>simultaneity</strong> and <em>light</em>.</p>"
+        "<ul><li>alpha</li><li>beta <code>c</code></li></ul>"
+        '<p>See <a href="http://x.test">the paper</a>.</p>'
+        "</body></html>"
+    )
+    markdown = html_to_markdown(html)
+    assert "# Relativity" in markdown
+    assert "**simultaneity**" in markdown
+    assert "- alpha" in markdown
+    assert "[the paper](http://x.test)" in markdown
+    assert "skip" not in markdown
+
+
+def test_document_to_markdown_html(tmp_path) -> None:
+    from raglite_tpu.markdown import document_to_markdown
+
+    page = tmp_path / "page.html"
+    page.write_text("<h2>Section</h2><p>Body text.</p>")
+    markdown = document_to_markdown(page)
+    assert markdown.startswith("## Section")
+    assert "Body text." in markdown
