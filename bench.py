@@ -41,6 +41,11 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--dtype", choices=("int8", "bfloat16"), default="int8")
     parser.add_argument("--exact", action="store_true", help="use exact top_k")
+    parser.add_argument(
+        "--pallas-latency", action="store_true",
+        help="measure p50 through the Pallas fused scan (1.85 ms measured at "
+        "B=1, but first compile can take minutes on a loaded toolchain)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -130,7 +135,7 @@ def main() -> None:
     # _use_fused_kernel); measure that path when available.
     q1 = queries[:1]
     lat_fn = run
-    if int8 and jax.default_backend() == "tpu":
+    if args.pallas_latency and int8 and jax.default_backend() == "tpu":
         import jax.numpy as jnp  # noqa: PLC0415
         from raglite_tpu.ops.fused_scan import fused_scan_topk
 

@@ -113,9 +113,10 @@ class RAGLiteConfig:
     #: the hand-written kernel wins at small batch (1.85 vs 2.85 ms at
     #: B=1 — it streams rows once, where XLA runs einsum and PartialReduce
     #: as two HBM passes), while XLA's own fusion wins at large batch
-    #: (105k vs 73k QPS at B=1024).  Serving latency uses Pallas; bulk
-    #: throughput uses the XLA program.
-    use_pallas: bool = True
+    #: (105k vs 73k QPS at B=1024).  Default off: first-compile of the
+    #: kernel is minutes-slow on some toolchains, and the XLA program is
+    #: within 1 ms of it; flip on for latency-critical serving.
+    use_pallas: bool = False
 
     def __post_init__(self) -> None:
         if self.vector_search_distance_metric not in ("cosine", "dot", "l2"):

@@ -290,6 +290,57 @@ class DenseIndex:
             idx = np.pad(idx, ((0, 0), (0, pad)))
         return scores, idx
 
+    # --- Checkpoint / resume ----------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist the index (host mirror + manifest) so reload skips
+        re-embedding and re-quantization — the index analogue of the
+        reference's "the database is the checkpoint" (SURVEY §5.4)."""
+        import json
+        from pathlib import Path
+
+        root = Path(path)
+        root.mkdir(parents=True, exist_ok=True)
+        np.save(root / "rows.npy", self._host_rows[: self.num_rows])
+        np.save(root / "valid.npy", self._host_valid[: self.num_rows])
+        np.save(root / "row_chunk.npy", self.row_chunk)
+        (root / "manifest.json").write_text(
+            json.dumps(
+                {
+                    "dim": self.dim,
+                    "metric": self.metric,
+                    "dtype": str(np.dtype(self._dtype)) if self._dtype != jnp.bfloat16 else "bfloat16",
+                    "num_rows": self.num_rows,
+                    "num_devices": self.num_devices,
+                    "chunk_ids": self.chunk_ids,
+                }
+            )
+        )
+
+    @classmethod
+    def load(cls, path: str, *, num_devices: int | None = None) -> "DenseIndex":
+        import json
+        from pathlib import Path
+
+        root = Path(path)
+        manifest = json.loads((root / "manifest.json").read_text())
+        index = cls(
+            dim=manifest["dim"],
+            dtype=manifest["dtype"],
+            metric=manifest["metric"],
+            num_devices=num_devices if num_devices is not None else manifest["num_devices"],
+        )
+        rows = np.load(root / "rows.npy")
+        valid = np.load(root / "valid.npy")
+        index._ensure_capacity(rows.shape[0])
+        index._host_rows[: rows.shape[0]] = rows
+        index._host_valid[: valid.shape[0]] = valid
+        index.num_rows = int(manifest["num_rows"])
+        index.row_chunk = np.load(root / "row_chunk.npy")
+        index.chunk_ids = list(manifest["chunk_ids"])
+        index._dirty = True
+        return index
+
     def _use_fused_kernel(self, batch: int) -> bool:
         """Pallas fused scan on real TPU for latency-bound small batches on
         large indexes; the pure-XLA program otherwise.  Measured crossover

@@ -56,10 +56,14 @@ def quantize_rows_int8(x: np.ndarray | jax.Array) -> tuple[np.ndarray, np.ndarra
     return q, scale
 
 
-def _scan_kernel(q_ref, rows_ref, qscale_ref, rscale_ref, bias_ref, scores_ref, ids_ref):
+def _scan_kernel(q_ref, rows_ref, rscale_ref, bias_ref, scores_ref, ids_ref):
     """One (query-tile, row-block) step: MXU matmul + running bucket max.
 
-    sims = (q @ rows.T) * qscale[b] * rscale[n] + bias[n]
+    sims = (q @ rows.T) * rscale[n] + bias[n]
+
+    (No per-query operand: queries are quantized with one shared scale and
+    winners rescaled outside — a [Bt, 1] lane-1 input block sent Mosaic's
+    compiler into a multi-minute layout search.)
     """
     step = pl.program_id(1)
     acc_t = jnp.int32 if rows_ref.dtype == jnp.int8 else jnp.float32
@@ -69,7 +73,7 @@ def _scan_kernel(q_ref, rows_ref, qscale_ref, rscale_ref, bias_ref, scores_ref, 
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc_t,
     ).astype(jnp.float32)
-    sims = sims * (qscale_ref[:] * rscale_ref[:]) + bias_ref[:]
+    sims = sims * rscale_ref[:] + bias_ref[:]
     num_buckets = sims.shape[1]
     row_base = step * num_buckets
     ids = row_base + jax.lax.broadcasted_iota(jnp.int32, sims.shape, dimension=1)
@@ -93,7 +97,6 @@ def bucketed_max_scan(
     rows: jax.Array,  # [N, d] storage dtype; N % num_buckets == 0
     bias: jax.Array,  # [N] fp32 additive (0 / -sqnorm / -inf)
     row_scale: jax.Array | None = None,  # [N] fp32 multiplicative (int8 dequant * alpha)
-    query_scale: jax.Array | None = None,  # [B] fp32 multiplicative
     *,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     batch_tile: int = DEFAULT_BATCH_TILE,
@@ -110,15 +113,10 @@ def bucketed_max_scan(
         queries = jnp.pad(queries, ((0, Bp - B), (0, 0)))
     if row_scale is None:
         row_scale = jnp.ones((N,), jnp.float32)
-    if query_scale is None:
-        query_scale = jnp.ones((Bp,), jnp.float32)
-    elif Bp != B:
-        query_scale = jnp.pad(query_scale, (0, Bp - B))
     q = queries if queries.dtype == rows.dtype else queries.astype(rows.dtype)
     # Sublane dim 1 == full array dim keeps the (1, L) blocks tile-legal.
     bias2d = bias.reshape(1, N)
     rscale2d = row_scale.reshape(1, N)
-    qscale2d = query_scale.reshape(Bp, 1)
 
     grid = (Bp // Bt, num_steps)
     scores, ids = pl.pallas_call(
@@ -127,7 +125,6 @@ def bucketed_max_scan(
         in_specs=[
             pl.BlockSpec((Bt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_buckets, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_buckets), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_buckets), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -145,7 +142,7 @@ def bucketed_max_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, rows, qscale2d, rscale2d, bias2d)
+    )(q, rows, rscale2d, bias2d)
     return scores[:B], ids[:B]
 
 
@@ -179,22 +176,20 @@ def fused_scan_topk(
     neg = jnp.float32(-1e30)
     alpha = 2.0 if metric == "l2" else 1.0
     bias = jnp.where(valid, -row_sqnorm if metric == "l2" else jnp.float32(0.0), neg)
-    query_scale = None
     if rows.dtype == jnp.int8:
         if row_scale is None:
             msg = "int8 rows require row_scale"
             raise ValueError(msg)
-        q_abs = jnp.max(jnp.abs(queries), axis=1)
+        # One query scale shared across the batch (queries are ~unit-norm),
+        # folded into the row scale — avoids a per-query kernel operand.
+        q_abs = jnp.max(jnp.abs(queries))
         q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)
-        queries = jnp.clip(
-            jnp.round(queries / q_s[:, None]), -127, 127
-        ).astype(jnp.int8)
-        query_scale = q_s
-        row_scale = alpha * row_scale
+        queries = jnp.clip(jnp.round(queries / q_s), -127, 127).astype(jnp.int8)
+        row_scale = (alpha * q_s) * row_scale
     else:
         row_scale = jnp.full((Np,), alpha, jnp.float32) if alpha != 1.0 else None
     bucket_scores, bucket_ids = bucketed_max_scan(
-        queries, rows, bias, row_scale, query_scale,
+        queries, rows, bias, row_scale,
         num_buckets=L, batch_tile=batch_tile, interpret=interpret,
     )
     k = min(num_hits, L)

@@ -13,7 +13,30 @@ from functools import lru_cache
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["index_mesh", "row_sharding", "replicated"]
+__all__ = ["index_mesh", "row_sharding", "replicated", "distributed_init"]
+
+
+def distributed_init(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX (DCN) for >1-pod-slice corpora (SURVEY §7.6).
+
+    With no arguments, reads the standard JAX env vars / cluster plugin
+    (``jax.distributed.initialize()`` auto-detection).  After this,
+    ``jax.devices()`` spans all hosts and :func:`index_mesh` builds a global
+    mesh, so the row-sharded index and cross-chip top-k merge
+    (parallel/sharded.py) run unchanged over ICI+DCN.  Safe to call twice.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
 
 
 @lru_cache(maxsize=8)

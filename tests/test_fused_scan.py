@@ -35,14 +35,13 @@ def test_bucketed_max_scan_scales() -> None:
     rows = RNG.normal(size=(N, d)).astype(np.float32)
     bias = -np.sum(rows**2, axis=1).astype(np.float32)
     row_scale = RNG.uniform(0.5, 2.0, size=N).astype(np.float32)
-    query_scale = RNG.uniform(0.5, 2.0, size=B).astype(np.float32)
     scores, ids = bucketed_max_scan(
         jnp.asarray(q), jnp.asarray(rows), jnp.asarray(bias),
-        jnp.asarray(row_scale), jnp.asarray(query_scale),
+        jnp.asarray(row_scale),
         num_buckets=L, batch_tile=8, interpret=True,
     )
     oracle_scores, oracle_ids = reference_bucketed_max(
-        q, rows, bias, num_buckets=L, row_scale=row_scale, query_scale=query_scale
+        q, rows, bias, num_buckets=L, row_scale=row_scale
     )
     np.testing.assert_allclose(np.asarray(scores), oracle_scores, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ids), oracle_ids)

@@ -66,3 +66,38 @@ def test_end_to_end_sharded_config(tmp_path) -> None:
     )
     ids, scores = vector_search("which insects sing at night?", num_results=3, config=config)
     assert ids and scores
+
+
+def test_dense_index_save_load_roundtrip(tmp_path) -> None:
+    import numpy as np
+
+    from raglite_tpu.index.dense import DenseIndex
+
+    rng = np.random.default_rng(11)
+    index = DenseIndex(dim=32, dtype="int8", metric="cosine")
+    mats = [rng.normal(size=(2, 32)).astype(np.float32) for _ in range(20)]
+    index.append_chunks(mats, [f"c{i}" for i in range(20)])
+    q = rng.normal(size=(2, 32)).astype(np.float32)
+    scores_a, rows_a = index.search(q, num_hits=5)
+
+    index.save(str(tmp_path / "idx"))
+    restored = DenseIndex.load(str(tmp_path / "idx"))
+    assert restored.chunk_ids == index.chunk_ids
+    assert restored.num_rows == index.num_rows
+    scores_b, rows_b = restored.search(q, num_hits=5)
+    np.testing.assert_array_equal(rows_a, rows_b)
+    np.testing.assert_allclose(scores_a, scores_b, rtol=1e-5)
+
+
+def test_distributed_init_is_safe_locally() -> None:
+    from raglite_tpu.parallel.mesh import distributed_init
+
+    # Single-process: auto-detection either no-ops or raises internally and
+    # is swallowed; jax must stay usable.
+    import jax
+
+    try:
+        distributed_init()
+    except Exception as err:  # pragma: no cover
+        raise AssertionError(f"distributed_init must not raise: {err}") from err
+    assert len(jax.devices()) >= 1
