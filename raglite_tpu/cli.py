@@ -165,6 +165,54 @@ def bench(config: RAGLiteConfig, dataset: str, measure: str, num_queries: int) -
 
 
 @cli.command()
+@click.argument("document_ids", nargs=-1)
+@click.pass_obj
+def delete(config: RAGLiteConfig, document_ids: tuple[str, ...]) -> None:
+    """Delete documents by id (reference public API: delete_documents)."""
+    from raglite_tpu.delete import delete_documents
+
+    delete_documents(list(document_ids), config=config)
+    click.echo(f"Deleted {len(document_ids)} document(s).")
+
+
+@cli.command("update-adapter")
+@click.pass_obj
+def update_adapter(config: RAGLiteConfig) -> None:
+    """Train the Procrustes query adapter from stored evals
+    (reference: update_query_adapter, _query_adapter.py:41)."""
+    from raglite_tpu.query_adapter import update_query_adapter
+
+    adapter = update_query_adapter(config=config)
+    click.echo(f"Query adapter updated: shape {adapter.shape}.")
+
+
+@cli.group()
+def evals() -> None:
+    """Generate, answer, and score evals (reference: _eval.py)."""
+
+
+@evals.command("insert")
+@click.option("--num-evals", default=10, show_default=True)
+@click.pass_obj
+def evals_insert(config: RAGLiteConfig, num_evals: int) -> None:
+    from raglite_tpu.evals import insert_evals
+
+    insert_evals(num_evals=num_evals, config=config)
+    click.echo(f"Inserted up to {num_evals} eval(s).")
+
+
+@evals.command("run")
+@click.option("--num-evals", default=10, show_default=True)
+@click.pass_obj
+def evals_run(config: RAGLiteConfig, num_evals: int) -> None:
+    """Answer stored evals and print first-party quality metrics."""
+    from raglite_tpu.evals import evaluate
+
+    df = evaluate(num_evals, config=config)
+    click.echo(df.to_string())
+
+
+@cli.command()
 @click.pass_obj
 def stats(config: RAGLiteConfig) -> None:
     """Show store/index statistics."""

@@ -98,3 +98,57 @@ def test_ir_benchmark_synthetic(tmp_path) -> None:
     assert set(df.index) == {"multivector", "keyword", "hybrid"}
     assert (df["AP@10"] > 0.6).all(), df
     assert df.loc["hybrid", "AP@10"] >= 0.9, df
+
+
+def test_cli_delete_adapter_evals(tmp_path) -> None:
+    """delete / update-adapter / evals subcommands end-to-end on a tiny KB."""
+    from raglite_tpu.cli import cli
+
+    runner = CliRunner()
+    store = str(tmp_path / "kb")
+    base = ["--store-path", store, "--embedder", "hash:256", "--llm", "echo"]
+    doc = tmp_path / "doc.md"
+    doc.write_text("# Physics\n\n" + "Light speed is constant in vacuum. " * 120)
+    other = tmp_path / "other.md"
+    other.write_text("# Cooking\n\n" + "Bread rises when yeast ferments sugar. " * 120)
+    assert runner.invoke(cli, [*base, "insert", str(doc), str(other)]).exit_code == 0
+
+    result = runner.invoke(cli, [*base, "evals", "insert", "--num-evals", "2"])
+    assert result.exit_code == 0, result.output
+
+    # The echo LLM judges every candidate relevant, so a tiny KB yields no
+    # negative retrievals; synthesize per-document evals for adapter training
+    # (same approach as tests/test_query_adapter.py).
+    from raglite_tpu.config import RAGLiteConfig as _Config
+    from raglite_tpu.documents import Document, Eval
+    from raglite_tpu.store import store_from_config
+
+    config = _Config(store_path=store, embedder="hash:256", llm="echo")
+    kb = store_from_config(config)
+    for source in (doc, other):
+        doc_id = Document.from_path(source).id
+        chunk_ids = [c for c in kb.chunk_order if kb.chunks[c].document_id == doc_id]
+        kb.add_evals(
+            [
+                Eval.from_chunks(
+                    question=f"About {source.stem}?",
+                    contexts=[kb.get_chunk(c) for c in chunk_ids],
+                    ground_truth=source.stem,
+                )
+            ]
+        )
+
+    result = runner.invoke(cli, [*base, "update-adapter"])
+    assert result.exit_code == 0, result.output
+    assert "shape" in result.output
+
+    result = runner.invoke(cli, [*base, "evals", "run", "--num-evals", "2"])
+    assert result.exit_code == 0, result.output
+
+    from raglite_tpu.documents import Document
+
+    doc_id = Document.from_path(doc).id
+    result = runner.invoke(cli, [*base, "delete", doc_id])
+    assert result.exit_code == 0, result.output
+    result = runner.invoke(cli, [*base, "search", "light", "--method", "keyword"])
+    assert result.exit_code == 0
