@@ -17,11 +17,36 @@ import click
 from raglite_tpu.config import RAGLiteConfig
 
 
+def _dotenv() -> dict[str, str]:
+    """RAGLITE_TPU_* settings from a ``.env`` file in the working directory
+    (the reference reads .env via pydantic-settings, _cli.py:13-23)."""
+    from pathlib import Path
+
+    env_path = Path(".env")
+    if not env_path.is_file():
+        return {}
+    values: dict[str, str] = {}
+    for line in env_path.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key, value = key.strip(), value.strip().strip("'\"")
+        if key.startswith("RAGLITE_TPU_"):
+            values[key] = value
+    return values
+
+
 def _config_from_options(store_path: str | None, llm: str | None, embedder: str | None) -> RAGLiteConfig:
     kwargs = {}
-    store_path = store_path or os.environ.get("RAGLITE_TPU_STORE_PATH")
-    llm = llm or os.environ.get("RAGLITE_TPU_LLM")
-    embedder = embedder or os.environ.get("RAGLITE_TPU_EMBEDDER")
+    dotenv = _dotenv()
+
+    def setting(name: str) -> str | None:
+        return os.environ.get(name) or dotenv.get(name)
+
+    store_path = store_path or setting("RAGLITE_TPU_STORE_PATH")
+    llm = llm or setting("RAGLITE_TPU_LLM")
+    embedder = embedder or setting("RAGLITE_TPU_EMBEDDER")
     if store_path:
         kwargs["store_path"] = store_path
     if llm:

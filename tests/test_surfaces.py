@@ -152,3 +152,29 @@ def test_cli_delete_adapter_evals(tmp_path) -> None:
     assert result.exit_code == 0, result.output
     result = runner.invoke(cli, [*base, "search", "light", "--method", "keyword"])
     assert result.exit_code == 0
+
+
+def test_cli_dotenv_settings(tmp_path, monkeypatch) -> None:
+    """RAGLITE_TPU_* settings load from .env (reference: _cli.py:13-23)."""
+    from raglite_tpu.cli import cli
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / ".env").write_text(
+        'RAGLITE_TPU_LLM="jax:tiny"\nRAGLITE_TPU_EMBEDDER=hash:128\n# comment\n'
+    )
+    captured = {}
+
+    runner = CliRunner()
+
+    @cli.command("showcfg")
+    @__import__("click").pass_obj
+    def showcfg(config):  # pragma: no cover - body runs via runner
+        captured["llm"] = config.llm
+        captured["embedder"] = config.embedder
+
+    try:
+        result = runner.invoke(cli, ["showcfg"])
+        assert result.exit_code == 0, result.output
+        assert captured == {"llm": "jax:tiny", "embedder": "hash:128"}
+    finally:
+        cli.commands.pop("showcfg", None)
