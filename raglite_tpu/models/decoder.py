@@ -250,8 +250,12 @@ class JaxChatLLM:
         max_new_tokens: int = 128,
         temperature: float = 0.0,
         json_constrained: bool = False,
+        automaton=None,
         seed: int = 0,
     ) -> Iterator[int]:
+        """``automaton`` (any object with allowed_bytes/feed/done/can_end/
+        completion_bytes — JsonAutomaton or SchemaAutomaton) constrains the
+        byte stream; ``json_constrained`` is the schema-less shorthand."""
         tok = self.tokenizer
         ids = tok.encode(prompt)[-(self.context_size - max_new_tokens - 1) :]
         ids = [tok.BOS, *ids]
@@ -263,7 +267,8 @@ class JaxChatLLM:
         logits, cache = _prefill(self.model, self.params, jnp.asarray(batch_ids), cache)
         cache_len = len(ids)
         last_logits = np.asarray(logits[0, cache_len - 1])
-        automaton = JsonAutomaton() if json_constrained else None
+        if automaton is None and json_constrained:
+            automaton = JsonAutomaton()
         key = jax.random.PRNGKey(seed)
         # Base mask: only byte tokens and EOS are ever valid outputs for the
         # byte tokenizer (ids beyond OFFSET+255 are unused vocabulary).
@@ -371,11 +376,24 @@ class JaxChatLLM:
         if response_format is not None:
             prompt = self._format_messages(messages, tools)
             prompt += "Respond with a JSON object.\n"
+            # A json_schema response format compiles to a schema automaton so
+            # output conforms to the SPECIFIC schema, not just JSON — the
+            # reference's json_schema_to_gbnf equivalent
+            # (_chatml_function_calling.py:483-501).
+            schema = None
+            if isinstance(response_format, dict):
+                schema = response_format.get("json_schema", {}).get("schema")
+            automaton = None
+            if schema:
+                from raglite_tpu.models.schema_automaton import SchemaAutomaton
+
+                automaton = SchemaAutomaton(schema)
             tokens = self._generate_tokens(
                 prompt,
                 max_new_tokens=int(sampling.get("max_tokens", 256)),
                 temperature=float(sampling.get("temperature", 0.0)),
                 json_constrained=True,
+                automaton=automaton,
             )
             content = "".join(self._decode_stream(tokens))
             return ChatResponse(content=content)
