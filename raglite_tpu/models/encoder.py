@@ -252,6 +252,16 @@ class TransformerEncoder:
         self._model = EncoderModel(cfg)
         self._forward = jax.jit(self._model.apply_tokens)
 
+        # Batched mean-pooled embedding in one jitted program (bucketed
+        # shapes): the throughput path for index builds — one [B, T] forward
+        # instead of B single-text forwards.
+        def _pooled(params, ids, mask):
+            hidden = self._model.apply_tokens(params, ids, mask)
+            denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
+            return jnp.sum(hidden * mask[:, :, None], axis=1) / denom
+
+        self._forward_pooled = jax.jit(_pooled)
+
     def save_checkpoint(self, path: str) -> None:
         """Write an orbax checkpoint loadable via ``flax:ckpt:<path>``."""
         from raglite_tpu.models.checkpoint import save_checkpoint
@@ -278,11 +288,33 @@ class TransformerEncoder:
         return self._run(ids)
 
     def embed(self, texts: list[str]) -> np.ndarray:
+        """Batched mean-pooled embeddings: texts bucket by padded length and
+        run as [B, T] forwards (compiles once per (B, T) bucket) — the
+        throughput path for index builds, versus B single-text forwards."""
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
-        for i, text in enumerate(texts):
-            tok = self.embed_token_level(text)
-            if tok.shape[0]:
-                out[i] = tok.mean(axis=0)
+        encoded = [
+            np.asarray(self._tokenizer.encode(t)[: self.max_tokens], np.int32) for t in texts
+        ]
+        buckets: dict[int, list[int]] = {}
+        for i, ids in enumerate(encoded):
+            if ids.size == 0:
+                continue
+            buckets.setdefault(_round_up(max(ids.size, 8), 128), []).append(i)
+        for pad, members in buckets.items():
+            for start in range(0, len(members), 64):  # batch tile
+                group = members[start : start + 64]
+                bpad = _round_up(len(group), 8)
+                ids = np.zeros((bpad, pad), np.int32)
+                mask = np.zeros((bpad, pad), np.bool_)
+                for row, i in enumerate(group):
+                    ids[row, : encoded[i].size] = encoded[i]
+                    mask[row, : encoded[i].size] = True
+                pooled = np.asarray(
+                    self._forward_pooled(self._params, jnp.asarray(ids), jnp.asarray(mask)),
+                    dtype=np.float32,
+                )
+                for row, i in enumerate(group):
+                    out[i] = pooled[row]
         return out
 
 

@@ -78,3 +78,19 @@ def test_flax_encoder_path() -> None:
     np.testing.assert_allclose(
         np.linalg.norm(emb.astype(np.float32), axis=1), 1.0, atol=1e-2
     )
+
+
+def test_transformer_encoder_end_to_end_insert_search(tmp_path) -> None:
+    """Late-chunking insert + search through the JAX transformer encoder
+    (the production embedding path; reference embeds via llama.cpp bge-m3)."""
+    from raglite_tpu import Document, RAGLiteConfig, insert_documents, vector_search
+
+    config = RAGLiteConfig(
+        store_path=str(tmp_path / "kb"), embedder="flax:tiny", llm="echo"
+    )
+    doc = Document.from_text(
+        "# Photons\n\n" + "Photons are quanta of light with momentum. " * 60
+    )
+    insert_documents([doc], config=config)
+    ids, scores = vector_search("quanta of light", num_results=3, config=config)
+    assert ids and all(s == s for s in scores)  # finite scores, hits returned
