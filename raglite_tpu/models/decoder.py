@@ -332,9 +332,55 @@ class JaxChatLLM:
         if buffer:
             yield buffer.decode("utf-8", errors="replace")
 
+    def _forced_tool_call(self, messages, tools, tool_choice, sampling):
+        """Two-phase grammar-forced tool call (the reference forces the
+        decision with a GBNF grammar, then the arguments with the tool's
+        JSON-schema grammar, _chatml_function_calling.py:411-525)."""
+        import json as _json
+        import uuid as _uuid
+
+        from raglite_tpu.models.llm import ToolCall
+        from raglite_tpu.models.schema_automaton import SchemaAutomaton
+
+        by_name = {t["function"]["name"]: t for t in tools}
+        if isinstance(tool_choice, dict):
+            name = tool_choice.get("function", {}).get("name") or next(iter(by_name))
+        elif len(by_name) == 1:
+            name = next(iter(by_name))
+        else:
+            # Phase 1: constrained choice of the tool name.
+            prompt = self._format_messages(messages, tools) + "Choose a tool.\n"
+            chooser = SchemaAutomaton(
+                {"type": "object", "properties": {"name": {"enum": list(by_name)}}}
+            )
+            tokens = self._generate_tokens(
+                prompt, max_new_tokens=64, temperature=0.0, automaton=chooser
+            )
+            choice = "".join(self._decode_stream(tokens))
+            name = _json.loads(choice).get("name", next(iter(by_name)))
+        tool = by_name.get(name) or next(iter(by_name.values()))
+        # Phase 2: arguments constrained by the tool's parameter schema.
+        schema = tool["function"].get("parameters") or {"type": "object"}
+        prompt = self._format_messages(messages, tools) + f"Arguments for {name}:\n"
+        tokens = self._generate_tokens(
+            prompt,
+            max_new_tokens=int(sampling.get("max_tokens", 128)),
+            temperature=float(sampling.get("temperature", 0.0)),
+            json_constrained=True,
+            automaton=SchemaAutomaton(schema),
+        )
+        arguments = "".join(self._decode_stream(tokens))
+        return ToolCall(id=f"call_{_uuid.uuid4().hex[:8]}", name=name, arguments=arguments)
+
     def stream(self, messages, *, tools=None, tool_choice=None, **sampling):
         from raglite_tpu.models.llm import ToolCall
 
+        forced = tools and (
+            tool_choice == "required" or isinstance(tool_choice, dict)
+        )
+        if forced:
+            yield self._forced_tool_call(messages, tools, tool_choice, sampling)
+            return
         prompt = self._format_messages(messages, tools)
         temperature = float(sampling.get("temperature", 0.0))
         max_new = int(sampling.get("max_tokens", 128))

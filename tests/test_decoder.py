@@ -120,3 +120,57 @@ def test_decoder_kv_cache_consistency() -> None:
     np.testing.assert_allclose(
         np.asarray(full_logits[0, 3:6]), np.stack(step_logits), rtol=2e-4, atol=2e-4
     )
+
+
+def test_jax_llm_forced_tool_call_conforms_to_schema() -> None:
+    """tool_choice='required' / named forces a schema-valid tool call
+    (reference matrix: tests/test_chatml_function_calling.py there)."""
+    import json
+
+    from raglite_tpu.models.decoder import JaxChatLLM
+    from raglite_tpu.models.llm import ToolCall
+
+    tools = [
+        {
+            "type": "function",
+            "function": {
+                "name": "search_knowledge_base",
+                "description": "Search the KB.",
+                "parameters": {
+                    "type": "object",
+                    "properties": {"query": {"type": "string"}},
+                    "required": ["query"],
+                },
+            },
+        },
+        {
+            "type": "function",
+            "function": {
+                "name": "other_tool",
+                "parameters": {"type": "object", "properties": {"n": {"type": "integer"}}},
+            },
+        },
+    ]
+    llm = JaxChatLLM("tiny")
+    for choice in ("required", {"type": "function", "function": {"name": "other_tool"}}):
+        response = llm.complete(
+            [{"role": "user", "content": "find simultaneity"}],
+            tools=tools,
+            tool_choice=choice,
+            max_tokens=48,
+        )
+        assert len(response.tool_calls) == 1
+        call = response.tool_calls[0]
+        assert isinstance(call, ToolCall)
+        args = json.loads(call.arguments)
+        if call.name == "search_knowledge_base":
+            assert set(args) == {"query"} and isinstance(args["query"], str)
+        else:
+            assert set(args) == {"n"} and isinstance(args["n"], int)
+    named = llm.complete(
+        [{"role": "user", "content": "x"}],
+        tools=tools,
+        tool_choice={"type": "function", "function": {"name": "other_tool"}},
+        max_tokens=32,
+    )
+    assert named.tool_calls[0].name == "other_tool"
