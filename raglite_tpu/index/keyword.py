@@ -156,26 +156,30 @@ class KeywordIndex:
             chunk, tf, idf = chunk[keep], tf[keep], idf[keep]
             if chunk.size == 0:
                 return [], []
-        # Pad the posting axis to a bucketed size to bound recompilation.
+        # Pad both the posting axis and the chunk axis to bucketed sizes so
+        # the jitted scorer compiles once per bucket, not once per corpus
+        # size (inserts would otherwise trigger a recompile per search).
         p_pad = _round_up(len(chunk), 512)
-        chunk = np.pad(chunk, (0, p_pad - len(chunk)), constant_values=n)  # paddings drop
+        n_pad = _round_up(n, 256)
+        chunk = np.pad(chunk, (0, p_pad - len(chunk)), constant_values=n_pad)  # paddings drop
         tf = np.pad(tf, (0, p_pad - len(tf)))
         idf = np.pad(idf, (0, p_pad - len(idf)))
         doc_len = np.asarray(self.doc_len, dtype=np.float32)
         avg_len = max(float(doc_len.mean()), 1.0)
         len_norm = (1.0 - 0.75) + 0.75 * doc_len / avg_len
+        len_norm = np.pad(len_norm, (0, n_pad - n), constant_values=1.0)
         k = min(num_hits, n)
         scores, ordinals = bm25_topk(
             jnp.asarray(chunk),
             jnp.asarray(tf),
             jnp.asarray(idf),
             jnp.asarray(len_norm),
-            num_chunks=n,
+            num_chunks=n_pad,
             num_hits=k,
         )
         scores = np.asarray(scores)
         ordinals = np.asarray(ordinals)
-        hits = scores > 0.0
+        hits = (scores > 0.0) & (ordinals < n)  # drop padded chunk ordinals
         return (
             [self.chunk_ids[int(o)] for o in ordinals[hits]],
             [float(s) for s in scores[hits]],
