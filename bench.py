@@ -51,6 +51,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: repeated bench runs (and the driver's
+    # round-end run) skip XLA compiles entirely.
+    from pathlib import Path
+
+    cache_dir = Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     n, d, b = args.rows, args.dim, args.batch
     key = jax.random.PRNGKey(0)
     k_rows, k_q, k_adapter = jax.random.split(key, 3)
