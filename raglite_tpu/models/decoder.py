@@ -243,12 +243,54 @@ class JaxChatLLM:
 
     # --- Generation -------------------------------------------------------
 
+    #: Recommended sampling defaults for Qwen-class models (the reference
+    #: registers the same for its local provider, _litellm.py:168-177).
+    RECOMMENDED_SAMPLING = {"temperature": 0.7, "top_p": 0.8, "top_k": 20, "min_p": 0.0}
+
+    @staticmethod
+    def _sample_host(
+        logits: np.ndarray,
+        *,
+        temperature: float,
+        top_p: float,
+        top_k: int,
+        min_p: float,
+        rng: np.random.Generator,
+    ) -> int:
+        """Temperature + top-k + nucleus (top-p) + min-p sampling over one
+        logit vector (host-side; the device loop uses greedy/gumbel)."""
+        if temperature <= 0.0:
+            return int(np.argmax(logits))
+        finite = np.isfinite(logits)
+        scaled = np.where(finite, logits / max(temperature, 1e-4), -np.inf)
+        probs = np.exp(scaled - np.max(scaled[finite]))
+        probs = np.where(finite, probs, 0.0)
+        probs /= probs.sum()
+        if top_k and top_k > 0:
+            cutoff = np.partition(probs, -top_k)[-top_k]
+            probs = np.where(probs >= cutoff, probs, 0.0)
+        if min_p and min_p > 0.0:
+            probs = np.where(probs >= min_p * probs.max(), probs, 0.0)
+        if top_p and top_p < 1.0:
+            order = np.argsort(probs)[::-1]
+            csum = np.cumsum(probs[order])
+            keep = csum <= top_p
+            keep[0] = True  # always keep the top token
+            mask = np.zeros_like(probs, dtype=bool)
+            mask[order[keep]] = True
+            probs = np.where(mask, probs, 0.0)
+        probs /= probs.sum()
+        return int(rng.choice(len(probs), p=probs))
+
     def _generate_tokens(
         self,
         prompt: str,
         *,
         max_new_tokens: int = 128,
         temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        min_p: float = 0.0,
         json_constrained: bool = False,
         automaton=None,
         seed: int = 0,
@@ -269,7 +311,6 @@ class JaxChatLLM:
         last_logits = np.asarray(logits[0, cache_len - 1])
         if automaton is None and json_constrained:
             automaton = JsonAutomaton()
-        key = jax.random.PRNGKey(seed)
         # Base mask: only byte tokens and EOS are ever valid outputs for the
         # byte tokenizer (ids beyond OFFSET+255 are unused vocabulary).
         base_mask = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
@@ -287,17 +328,16 @@ class JaxChatLLM:
                 m[tok.EOS] = 0.0
             return m
 
+        rng = np.random.default_rng(seed)
         # First token from the prefill logits (host-side to keep one code path).
         for _ in range(max_new_tokens):
             if automaton is not None:
                 mask = byte_mask()
             masked = last_logits + mask
-            if temperature <= 0.0:
-                token = int(np.argmax(masked))
-            else:
-                key, sub = jax.random.split(key)
-                gumbel = -np.log(-np.log(np.asarray(jax.random.uniform(sub, masked.shape)) + 1e-9) + 1e-9)
-                token = int(np.argmax(masked / max(temperature, 1e-4) + gumbel))
+            token = self._sample_host(
+                masked, temperature=temperature, top_p=top_p, top_k=top_k,
+                min_p=min_p, rng=rng,
+            )
             if token == tok.EOS:
                 break
             yield token
@@ -382,13 +422,20 @@ class JaxChatLLM:
             yield self._forced_tool_call(messages, tools, tool_choice, sampling)
             return
         prompt = self._format_messages(messages, tools)
-        temperature = float(sampling.get("temperature", 0.0))
         max_new = int(sampling.get("max_tokens", 128))
         text_parts: list[str] = []
         in_tool = False
         tool_buf: list[str] = []
         for piece in self._decode_stream(
-            self._generate_tokens(prompt, max_new_tokens=max_new, temperature=temperature)
+            self._generate_tokens(
+                prompt,
+                max_new_tokens=max_new,
+                temperature=float(sampling.get("temperature", 0.0)),
+                top_p=float(sampling.get("top_p", 1.0)),
+                top_k=int(sampling.get("top_k", 0)),
+                min_p=float(sampling.get("min_p", 0.0)),
+                seed=int(sampling.get("seed", 0)),
+            )
         ):
             text_parts.append(piece)
             joined = "".join(text_parts)

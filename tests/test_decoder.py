@@ -174,3 +174,52 @@ def test_jax_llm_forced_tool_call_conforms_to_schema() -> None:
         max_tokens=32,
     )
     assert named.tool_calls[0].name == "other_tool"
+
+
+def test_sampling_controls() -> None:
+    """top-k / top-p / min-p / temperature sampling behavior
+    (reference sampling defaults: _litellm.py:168-177)."""
+    import numpy as np
+
+    from raglite_tpu.models.decoder import JaxChatLLM
+
+    rng = np.random.default_rng(0)
+    logits = np.array([5.0, 4.0, 1.0, -2.0, -np.inf], dtype=np.float32)
+    # Greedy at temperature 0.
+    assert JaxChatLLM._sample_host(
+        logits, temperature=0.0, top_p=1.0, top_k=0, min_p=0.0, rng=rng
+    ) == 0
+    # top_k=1 == greedy even at high temperature.
+    for _ in range(5):
+        assert JaxChatLLM._sample_host(
+            logits, temperature=5.0, top_p=1.0, top_k=1, min_p=0.0, rng=rng
+        ) == 0
+    # top_p tiny keeps only the top token.
+    for _ in range(5):
+        assert JaxChatLLM._sample_host(
+            logits, temperature=1.0, top_p=1e-6, top_k=0, min_p=0.0, rng=rng
+        ) == 0
+    # min_p close to 1 keeps only near-max tokens.
+    for _ in range(5):
+        assert JaxChatLLM._sample_host(
+            logits, temperature=1.0, top_p=1.0, top_k=0, min_p=0.99, rng=rng
+        ) == 0
+    # Unconstrained sampling never picks the -inf token and explores.
+    draws = {
+        JaxChatLLM._sample_host(
+            logits, temperature=2.0, top_p=1.0, top_k=0, min_p=0.0, rng=rng
+        )
+        for _ in range(200)
+    }
+    assert 4 not in draws
+    assert len(draws) >= 2
+    # Streaming accepts the sampling kwargs end-to-end.
+    llm = JaxChatLLM("tiny")
+    pieces = [
+        p for p in llm.stream(
+            [{"role": "user", "content": "hi"}],
+            max_tokens=8, temperature=0.7, top_p=0.8, top_k=20, min_p=0.05, seed=7,
+        )
+        if isinstance(p, str)
+    ]
+    assert isinstance("".join(pieces), str)
