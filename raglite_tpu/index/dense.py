@@ -117,7 +117,8 @@ class DenseIndex:
         self._dev_sqnorm: jax.Array | None = None
         self._dev_valid: jax.Array | None = None
         self._dev_scale: jax.Array | None = None  # int8 dequant scales
-        self._dirty = True
+        self._dirty = True  # full re-upload required (capacity/valid changed)
+        self._dev_rows_synced = 0  # rows already on device (append watermark)
         self._synced_version = -1
 
     # --- Build / mutate (host mirror) ------------------------------------
@@ -125,6 +126,7 @@ class DenseIndex:
     def _ensure_capacity(self, needed: int) -> None:
         if needed <= self.capacity:
             return
+        self._dirty = True  # reallocation invalidates the device arrays
         # Capacity is a multiple of devices x lanes so the row axis shards
         # evenly over the mesh.
         new_cap = _round_up(max(needed, 2 * max(self.capacity, 1)), _LANE * self.num_devices)
@@ -150,7 +152,8 @@ class DenseIndex:
         new_row_chunk = np.repeat(base_ord + np.arange(len(counts), dtype=np.int64), counts)
         self.row_chunk = np.concatenate([self.row_chunk, new_row_chunk])
         self.num_rows += total
-        self._dirty = True
+        # Appends within existing capacity upload incrementally (the
+        # _ensure_capacity call above sets _dirty when reallocating).
 
     def rebuild(self, store: "Store") -> None:
         self.chunk_ids = []
@@ -180,8 +183,44 @@ class DenseIndex:
         self._synced_version = store.version
 
     def _refresh_device(self) -> None:
-        if not self._dirty and self._dev_rows is not None:
-            return
+        if self._dev_rows is not None and not self._dirty:
+            if self._dev_rows_synced == self.num_rows:
+                return
+            if self.num_devices == 1:
+                self._append_to_device()
+                return
+        self._full_upload()
+
+    def _append_to_device(self) -> None:
+        """Upload only rows appended since the last sync (single device):
+        O(new rows) transfer + a device-side dynamic_update_slice, instead
+        of re-uploading the whole matrix on every insert batch."""
+        start, end = self._dev_rows_synced, self.num_rows
+        new32 = self._host_rows[start:end].astype(np.float32)
+        if self._dtype == jnp.int8:
+            from raglite_tpu.ops.fused_scan import quantize_rows_int8
+
+            new_rows, new_scale = quantize_rows_int8(new32)
+            deq = new_rows.astype(np.float32) * new_scale[:, None]
+            new_sqnorm = (deq**2).sum(axis=1).astype(np.float32)
+            self._dev_scale = jax.lax.dynamic_update_slice(
+                self._dev_scale, jnp.asarray(new_scale), (start,)
+            )
+        else:
+            new_rows = new32
+            new_sqnorm = (new32**2).sum(axis=1).astype(np.float32)
+        self._dev_rows = jax.lax.dynamic_update_slice(
+            self._dev_rows, jnp.asarray(new_rows, dtype=self._dtype), (start, 0)
+        )
+        self._dev_sqnorm = jax.lax.dynamic_update_slice(
+            self._dev_sqnorm, jnp.asarray(new_sqnorm), (start,)
+        )
+        self._dev_valid = jax.lax.dynamic_update_slice(
+            self._dev_valid, jnp.asarray(self._host_valid[start:end]), (start,)
+        )
+        self._dev_rows_synced = end
+
+    def _full_upload(self) -> None:
         host32 = self._host_rows.astype(np.float32)
         if self._dtype == jnp.int8:
             from raglite_tpu.ops.fused_scan import quantize_rows_int8
@@ -214,6 +253,7 @@ class DenseIndex:
             self._dev_valid = jnp.asarray(self._host_valid)
             self._dev_scale = jnp.asarray(scale_host) if scale_host is not None else None
         self._dirty = False
+        self._dev_rows_synced = self.num_rows
 
     # --- Search -----------------------------------------------------------
 

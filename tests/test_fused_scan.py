@@ -162,3 +162,33 @@ def test_sharded_int8_matches_single_device() -> None:
     ids_np, exact_np = np.asarray(ids), np.asarray(exact)
     overlap = np.mean([len(set(ids_np[b]) & set(exact_np[b])) / k for b in range(B)])
     assert overlap >= 0.9, overlap
+
+
+def test_dense_index_incremental_append_matches_full_rebuild() -> None:
+    """Appends within capacity upload incrementally; results must equal a
+    freshly-built index over the same rows."""
+    from raglite_tpu.index.dense import DenseIndex
+
+    d = 32
+    q = RNG.normal(size=(2, d)).astype(np.float32)
+    mats_a = [RNG.normal(size=(2, d)).astype(np.float32) for _ in range(10)]
+    mats_b = [RNG.normal(size=(2, d)).astype(np.float32) for _ in range(5)]
+
+    for dtype in ("float32", "int8"):
+        incremental = DenseIndex(dim=d, dtype=dtype)
+        incremental.append_chunks(mats_a, [f"a{i}" for i in range(10)])
+        incremental.search(q, num_hits=4)  # force first (full) upload
+        incremental.append_chunks(mats_b, [f"b{i}" for i in range(5)])
+        was_incremental = not incremental._dirty  # capacity big enough?
+        scores_inc, rows_inc = incremental.search(q, num_hits=8)
+
+        fresh = DenseIndex(dim=d, dtype=dtype)
+        fresh.append_chunks(mats_a + mats_b, [f"a{i}" for i in range(10)] + [f"b{i}" for i in range(5)])
+        scores_full, rows_full = fresh.search(q, num_hits=8)
+
+        np.testing.assert_array_equal(rows_inc, rows_full)
+        np.testing.assert_allclose(scores_inc, scores_full, rtol=1e-5)
+        assert incremental._dev_rows_synced == incremental.num_rows
+        # The capacity policy (lane-multiple growth) should have allowed the
+        # incremental path at these sizes.
+        assert was_incremental or incremental.capacity >= incremental.num_rows
