@@ -134,13 +134,19 @@ class EchoLLM:
             return f"Based on the retrieved context: {context_bits[0]}"
         return f"Echo: {question}"
 
-    def _json_for_schema(self, schema: dict[str, Any], user_prompt: str, name: str = "") -> Any:
+    @staticmethod
+    def _significant_words(text: str) -> set[str]:
+        return {w.lower() for w in re.findall(r"\w{4,}", text)}
+
+    def _json_for_schema(
+        self, schema: dict[str, Any], user_prompt: str, name: str = "", system_prompt: str = ""
+    ) -> Any:
         t = schema.get("type")
         if "enum" in schema:
             return schema["enum"][0]
         if t == "object" or "properties" in schema:
             return {
-                key: self._json_for_schema(sub, user_prompt, key)
+                key: self._json_for_schema(sub, user_prompt, key, system_prompt)
                 for key, sub in schema.get("properties", {}).items()
             }
         if t == "array":
@@ -150,13 +156,31 @@ class EchoLLM:
         if t == "number":
             return 0.0
         if t == "boolean":
+            # Relevance-style judgments ("does this context answer the
+            # question?") decide by lexical overlap between the quoted
+            # question in the system prompt and the provided context, so
+            # eval generation gets real negatives (the reference gets this
+            # from an actual LLM judge, _eval.py:97-133).
+            quoted = re.findall(r'"([^"]{8,})"', system_prompt)
+            if quoted:
+                question_words = self._significant_words(quoted[0])
+                overlap = question_words & self._significant_words(user_prompt)
+                return len(overlap) >= min(2, max(len(question_words), 1))
             return True
         if isinstance(t, list):  # e.g. ["integer", "null"]
-            return None if "null" in t else self._json_for_schema({"type": t[0]}, user_prompt, name)
+            return (
+                None
+                if "null" in t
+                else self._json_for_schema({"type": t[0]}, user_prompt, name, system_prompt)
+            )
         if "anyOf" in schema:
             options = schema["anyOf"]
             null = next((o for o in options if o.get("type") == "null"), None)
-            return None if null is not None else self._json_for_schema(options[0], user_prompt, name)
+            return (
+                None
+                if null is not None
+                else self._json_for_schema(options[0], user_prompt, name, system_prompt)
+            )
         # String fields: honor common semantic field names so downstream
         # validators (e.g. eval question rules, _eval.py:51-60 there) pass.
         hint = f"{name} {schema.get('description', '')}".lower()
@@ -191,7 +215,12 @@ class EchoLLM:
             user = next(
                 (str(m.get("content", "")) for m in reversed(messages) if m.get("role") == "user"), ""
             )
-            return ChatResponse(content=json.dumps(self._json_for_schema(schema, user)))
+            system = next(
+                (str(m.get("content", "")) for m in messages if m.get("role") == "system"), ""
+            )
+            return ChatResponse(
+                content=json.dumps(self._json_for_schema(schema, user, system_prompt=system))
+            )
         if tools and not have_context and tool_choice != "none":
             query = last.strip().split("\n")[-1][:200]
             call = ToolCall(

@@ -37,3 +37,27 @@ def test_generate_eval_requires_documents(tmp_path) -> None:
     config = RAGLiteConfig(store_path=str(tmp_path / "empty"), embedder="hash:128")
     with pytest.raises(ValueError, match="insert_documents"):
         generate_eval(config=config)
+
+
+def test_generate_eval_judges_negatives(tmp_path) -> None:
+    """The echo judge's lexical-overlap relevance decision yields gold chunk
+    sets that are a strict subset of the corpus on a multi-topic KB
+    (reference gets this from a real LLM judge, _eval.py:97-133)."""
+    from raglite_tpu import Document, RAGLiteConfig, insert_documents
+    from raglite_tpu.evals import insert_evals
+    from raglite_tpu.store import store_from_config
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "kb"), embedder="hash:128", llm="echo")
+    insert_documents(
+        [
+            Document.from_text("# Optics\n\n" + "Refraction bends light through prisms. " * 60),
+            Document.from_text("# Baking\n\n" + "Yeast ferments dough for bread. " * 60),
+        ],
+        config=config,
+    )
+    insert_evals(num_evals=4, config=config)
+    store = store_from_config(config)
+    assert store.evals, "evals were generated"
+    total_chunks = len(store.chunk_order)
+    strict_subset = any(len(ev.chunk_ids) < total_chunks for ev in store.evals.values())
+    assert strict_subset, "every eval marked the whole corpus relevant"
