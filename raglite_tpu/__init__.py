@@ -23,6 +23,7 @@ from raglite_tpu.search import (
     search_and_rerank_chunk_spans,
     search_and_rerank_chunks,
     vector_search,
+    vector_search_batch,
 )
 
 __all__ = [
@@ -37,6 +38,7 @@ __all__ = [
     "hybrid_search",
     "keyword_search",
     "vector_search",
+    "vector_search_batch",
     "reciprocal_rank_fusion",
     "retrieve_chunks",
     "retrieve_chunk_spans",

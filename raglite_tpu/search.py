@@ -121,6 +121,55 @@ def vector_search(
     return [index.chunk_ids[o] for o, _ in ranked], [s for _, s in ranked]
 
 
+def vector_search_batch(
+    queries: list[str],
+    *,
+    num_results: int = 3,
+    oversample: int = 4,
+    metadata_filter: MetadataFilter | None = None,
+    config: RAGLiteConfig | None = None,
+) -> list[tuple[list[ChunkId], list[float]]]:
+    """Batched :func:`vector_search`: one [B, N] fused device scan for B
+    queries instead of B single-query dispatches — the throughput path for
+    offline evaluation and serving (no reference analogue; its SQL engine
+    executes per-query)."""
+    config = config or RAGLiteConfig()
+    if not queries:
+        return []
+    store = store_from_config(config)
+    embeddings = embed_strings(queries, config=config).astype(np.float32)
+    if config.vector_search_query_adapter:
+        adapter = store.index_metadata.get("query_adapter")
+        if adapter is not None:
+            embeddings = embeddings @ np.asarray(adapter, dtype=np.float32).T
+    index = dense_index_from_config(config)
+    if index.num_rows == 0:
+        return [([], []) for _ in queries]
+    corrected_oversample = oversample * config.chunk_max_size / 2048
+    num_hits = max(1, round(corrected_oversample)) * max(num_results, 10)
+    row_mask = None
+    if adapt_metadata(metadata_filter):
+        cmask = _chunk_mask(store, adapt_metadata(metadata_filter))
+        if not cmask.any():
+            return [([], []) for _ in queries]
+        row_mask = cmask[index.row_chunk]
+    scores, row_ids = index.search(
+        embeddings, num_hits=min(num_hits, index.num_rows), row_mask=row_mask
+    )
+    results: list[tuple[list[ChunkId], list[float]]] = []
+    for b in range(len(queries)):
+        best: dict[int, float] = {}
+        for score, row in zip(scores[b], row_ids[b]):
+            if not np.isfinite(score):
+                continue
+            ordinal = int(index.row_chunk[row])
+            if score > best.get(ordinal, -np.inf):
+                best[ordinal] = float(score)
+        ranked = sorted(best.items(), key=lambda kv: kv[1], reverse=True)[:num_results]
+        results.append(([index.chunk_ids[o] for o, _ in ranked], [s for _, s in ranked]))
+    return results
+
+
 def keyword_search(
     query: str,
     *,

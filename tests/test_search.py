@@ -122,3 +122,22 @@ def test_vector_search_accepts_embedding(raglite_test_config: RAGLiteConfig) -> 
     q = embed_strings(["simultaneity of events"], config=raglite_test_config)[0]
     ids, scores = vector_search(np.asarray(q), num_results=3, config=raglite_test_config)
     assert ids and scores
+
+
+def test_vector_search_batch_matches_single(raglite_test_config) -> None:
+    """Batched search returns the same ranked chunks as per-query calls."""
+    from raglite_tpu import vector_search, vector_search_batch
+
+    queries = [
+        "How does Einstein define simultaneity?",
+        "What happens to moving clocks?",
+        "velocity of light in empty space",
+    ]
+    batched = vector_search_batch(queries, num_results=5, config=raglite_test_config)
+    assert len(batched) == len(queries)
+    for query, (ids_b, scores_b) in zip(queries, batched):
+        ids_s, scores_s = vector_search(query, num_results=5, config=raglite_test_config)
+        assert ids_b == ids_s, query
+        import numpy as np
+
+        np.testing.assert_allclose(scores_b, scores_s, rtol=1e-4)
