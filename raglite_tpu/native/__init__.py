@@ -97,6 +97,10 @@ def load_native() -> ctypes.CDLL | None:
             ctypes.c_void_p, c_i32, ctypes.c_void_p,
         ]
         lib.rlt_hash_embed.restype = c_i32
+        lib.rlt_solve_boundaries.argtypes = [
+            ctypes.c_void_p, c_i64, c_i64, c_i64, ctypes.c_float, ctypes.c_void_p,
+        ]
+        lib.rlt_solve_boundaries.restype = c_i64
         _LIB = lib
         return _LIB
 
@@ -238,6 +242,26 @@ def hash_embed(
         data, len(data), max_tokens, mask, table.ctypes.data, dim, out.ctypes.data
     )
     return out[:n]
+
+
+def solve_boundaries(
+    probas: np.ndarray, *, min_len: int, window: int | None, threshold: float
+) -> list[int] | None | bool:
+    """C++ fast path for the sentence-boundary DP
+    (sentences.py:_solve_boundaries).  Returns the boundary list, None for
+    infeasible, or False when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return False
+    probas32 = np.ascontiguousarray(probas, dtype=np.float32)
+    out = np.empty(max(len(probas32), 1), np.int64)
+    count = lib.rlt_solve_boundaries(
+        probas32.ctypes.data, len(probas32), min_len,
+        window if window is not None else 0, float(threshold), out.ctypes.data,
+    )
+    if count < 0:
+        return None
+    return [int(x) for x in out[:count]]
 
 
 def count_tokens(text: str) -> int | None:

@@ -278,6 +278,57 @@ int32_t rlt_hash_embed(const char* text, int64_t len, int32_t max_tokens,
   return n_tokens;
 }
 
+// Sentence-boundary DP (sentences.py:_solve_boundaries fast path): pick
+// boundary positions maximizing sum(probas[i] - threshold) subject to every
+// segment having length in [min_len, window].  Monotone-deque sliding-window
+// maximum, O(n).  Returns the number of boundaries written to `out`
+// (capacity n), 0 for "no boundaries", or -1 for "infeasible" (the Python
+// caller maps -1 to None).
+int64_t rlt_solve_boundaries(const float* probas, int64_t n, int64_t min_len,
+                             int64_t window /* <= 0 -> unbounded */,
+                             float threshold, int64_t* out) {
+  if (n <= 0) return 0;
+  const bool bounded = window > 0;
+  const int64_t win = bounded ? window : n + 1;
+  const int64_t lo = min_len - 1;
+  const int64_t hi = n - min_len - 1;
+  const double NEG = -1e300;
+  if (hi < lo) return 0;  // matches the Python oracle's early [] return
+  std::vector<double> dp(static_cast<size_t>(n), NEG);
+  std::vector<int64_t> back(static_cast<size_t>(n), -1);
+  std::vector<int64_t> dq(static_cast<size_t>(n));  // deque as ring-ish array
+  int64_t dq_head = 0, dq_tail = 0;                 // [head, tail)
+  for (int64_t i = lo; i <= hi; ++i) {
+    const int64_t j = i - min_len;
+    if (j >= lo && dp[j] > NEG) {
+      while (dq_tail > dq_head && dp[dq[dq_tail - 1]] <= dp[j]) --dq_tail;
+      dq[dq_tail++] = j;
+    }
+    while (dq_tail > dq_head && dq[dq_head] < i - win) ++dq_head;
+    const double score = static_cast<double>(probas[i]) - threshold;
+    if (i + 1 <= win) dp[i] = score;
+    if (dq_tail > dq_head) {
+      const double cand = dp[dq[dq_head]] + score;
+      if (cand > dp[i]) {
+        dp[i] = cand;
+        back[i] = dq[dq_head];
+      }
+    }
+  }
+  const int64_t tail_lo = bounded ? std::max(lo, n - win - 1) : lo;
+  const bool no_split_ok = !bounded || n <= win;
+  double best = no_split_ok ? 0.0 : NEG;
+  int64_t best_i = -1;
+  for (int64_t i = tail_lo; i <= hi; ++i) {
+    if (dp[i] > best) { best = dp[i]; best_i = i; }
+  }
+  if (best_i == -1) return no_split_ok ? 0 : -1;
+  int64_t count = 0;
+  for (int64_t pos = best_i; pos >= 0; pos = back[pos]) out[count++] = pos;
+  std::reverse(out, out + count);
+  return count;
+}
+
 // Token count only (models/encoder.py:count_tokens fast path).
 int32_t rlt_count_tokens(const char* text, int64_t len) {
   const uint8_t* s = reinterpret_cast<const uint8_t*>(text);

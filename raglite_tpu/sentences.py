@@ -129,6 +129,13 @@ def _solve_boundaries(
     _split_sentences.py:115-131).  Uses a monotone-deque sliding-window
     maximum for O(n) (an infinite window degenerates to a running max).
     """
+    from raglite_tpu.native import solve_boundaries as native_solve
+
+    native = native_solve(
+        np.asarray(probas), min_len=min_len, window=max_len, threshold=SENTENCE_THRESHOLD
+    )
+    if native is not False:  # C++ fast path (native/postings.cpp)
+        return native
     n = len(probas)
     window = max_len if max_len is not None else n + 1
     lo, hi = min_len - 1, n - min_len - 1

@@ -135,3 +135,29 @@ def test_native_fused_hash_embed_matches_jax_pool() -> None:
     table_np = np.ascontiguousarray(np.asarray(encoder._table, np.float32))
     cpp_out = hash_embed(text, table_np, max_tokens=encoder.max_tokens, mask=encoder._mask)
     np.testing.assert_allclose(cpp_out, jax_out, rtol=2e-4, atol=2e-5)
+
+
+def test_native_boundary_dp_matches_python_fuzz() -> None:
+    """The C++ sentence-boundary DP is byte-identical to the Python DP over
+    randomized inputs (300 cases; sentences.py:_solve_boundaries)."""
+    import raglite_tpu.native as native_mod
+    import raglite_tpu.sentences as sentences_mod
+
+    rng = np.random.default_rng(3)
+
+    def python_solve(probas, min_len, max_len):
+        original = native_mod.solve_boundaries
+        native_mod.solve_boundaries = lambda *a, **k: False
+        try:
+            return sentences_mod._solve_boundaries(probas, min_len=min_len, max_len=max_len)
+        finally:
+            native_mod.solve_boundaries = original
+
+    for _ in range(300):
+        n = int(rng.integers(1, 200))
+        probas = rng.uniform(0, 1, n).astype(np.float32)
+        min_len = int(rng.integers(1, 8))
+        max_len = None if rng.random() < 0.4 else int(rng.integers(min_len, 4 * min_len + 20))
+        expected = python_solve(probas, min_len, max_len)
+        actual = sentences_mod._solve_boundaries(probas, min_len=min_len, max_len=max_len)
+        assert actual == expected, (n, min_len, max_len)
