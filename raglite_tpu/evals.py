@@ -17,7 +17,7 @@ from typing import ClassVar
 import numpy as np
 import pandas as pd
 from pydantic import BaseModel, ConfigDict, Field, field_validator
-from tqdm.auto import tqdm, trange
+from tqdm.auto import tqdm
 
 from raglite_tpu.config import RAGLiteConfig
 from raglite_tpu.documents import Eval

@@ -115,7 +115,8 @@ class HashEncoder:
         )
         self._table_np: np.ndarray | None = None  # host copy for the C++ path
 
-    # Host-side featurization (to be replaced by the C++ tokenizer).
+    # Python featurization oracle (production path is the C++ featurizer,
+    # native/postings.cpp:rlt_hash_featurize; parity is fuzz-tested).
     def _features(self, token: str) -> tuple[list[int], list[float]]:
         feats = [token]
         padded = f"#{token}#"
@@ -228,7 +229,7 @@ class TransformerEncoder:
 
     def __init__(self, spec: str = "tiny", *, seed: int = 0, dtype=jnp.bfloat16) -> None:
         from raglite_tpu.models.transformer import EncoderModel, init_encoder_params
-        from raglite_tpu.models.tokenizer import ByteTokenizer, load_tokenizer
+        from raglite_tpu.models.tokenizer import ByteTokenizer
 
         import os
 

@@ -9,7 +9,6 @@ candidate sub-vector.  One batched matmul on the MXU + two reductions.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
