@@ -14,6 +14,11 @@ a zero-dependency web app:
                          reference's <attachment> path, _chainlit.py:70-91)
 - ``GET/POST /api/settings``  runtime store/llm/embedder/query-adapter
                          settings (the reference's settings widgets)
+- ``POST /api/search``   direct retrieval (vector/keyword/hybrid, optional
+                         rerank + metadata filter) — the persistent TPU
+                         index-server role that maps to the reference's
+                         Postgres server mode (SURVEY §2.2)
+- ``GET /api/stats``     store/index stats + phase timings
 
 Run with ``raglite-tpu serve`` (cli.py) or ``create_web_app().serve()``.
 """
@@ -174,6 +179,75 @@ class WebChatApp:
         insert_documents([document], config=self.config)
         return {"status": "inserted", "filename": filename, "id": document.id}
 
+    def handle_search(self, body: dict[str, Any]) -> dict[str, Any]:
+        """Direct retrieval API — the persistent TPU index-server role that
+        maps to the reference's Postgres server mode (SURVEY §2.2).
+
+        body: {"query", "method": vector|keyword|hybrid, "num_results",
+               "metadata_filter", "rerank": bool}
+        """
+        from raglite_tpu.search import (
+            hybrid_search,
+            keyword_search,
+            retrieve_chunks,
+            search_and_rerank_chunks,
+            vector_search,
+        )
+
+        query = str(body.get("query", ""))
+        method = body.get("method", "hybrid")
+        num_results = int(body.get("num_results", 5))
+        metadata_filter = body.get("metadata_filter")
+        if body.get("rerank"):
+            search = {"vector": vector_search, "keyword": keyword_search}.get(
+                method, hybrid_search
+            )
+            chunks = search_and_rerank_chunks(
+                query, num_results=num_results, search=search,
+                metadata_filter=metadata_filter, config=self.config,
+            )
+            ids = [chunk.id for chunk in chunks]
+            scores = [None] * len(chunks)
+        else:
+            search = {"vector": vector_search, "keyword": keyword_search}.get(
+                method, hybrid_search
+            )
+            ids, scores = search(
+                query, num_results=num_results,
+                metadata_filter=metadata_filter, config=self.config,
+            )
+            chunks = retrieve_chunks(ids, config=self.config)
+        return {
+            "query": query,
+            "method": method,
+            "results": [
+                {
+                    "chunk_id": chunk_id,
+                    "score": score,
+                    "document_id": chunk.document_id if chunk else None,
+                    "headings": chunk.headings if chunk else "",
+                    "body": (chunk.body if chunk else "")[:2000],
+                }
+                for chunk_id, score, chunk in zip(ids, scores, chunks)
+            ],
+        }
+
+    def handle_stats(self) -> dict[str, Any]:
+        from raglite_tpu.index.dense import dense_index_from_config
+        from raglite_tpu.store import store_from_config
+        from raglite_tpu.utils.trace import report
+
+        store = store_from_config(self.config)
+        index = dense_index_from_config(self.config)
+        return {
+            "documents": len(store.documents),
+            "chunks": len(store.chunk_order),
+            "index_rows": index.num_rows,
+            "index_dtype": self.config.embedding_dtype,
+            "num_devices": index.num_devices,
+            "phases": report(),
+        }
+
     def chat_events(self, messages: list[dict[str, Any]]):
         """Yield SSE event tuples ``(event, json_payload)`` for one turn."""
         from raglite_tpu.rag import rag
@@ -238,6 +312,8 @@ class WebChatApp:
                     self.wfile.write(body)
                 elif self.path == "/api/settings":
                     self._json(app.handle_settings_get())
+                elif self.path == "/api/stats":
+                    self._json(app.handle_stats())
                 else:
                     self._json({"error": "not found"}, 404)
 
@@ -248,6 +324,8 @@ class WebChatApp:
             def do_POST(self) -> None:  # noqa: N802
                 if self.path == "/api/settings":
                     self._json(app.handle_settings_post(json.loads(self._body() or b"{}")))
+                elif self.path == "/api/search":
+                    self._json(app.handle_search(json.loads(self._body() or b"{}")))
                 elif self.path == "/api/upload":
                     filename = self.headers.get("X-Filename", "upload.txt")
                     self._json(app.handle_upload(filename, self._body()))

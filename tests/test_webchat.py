@@ -81,3 +81,31 @@ def test_chat_streams_tokens_and_sources(app_port) -> None:
     assert "token" in kinds
     assert kinds[-1] == "done"
     assert "sources" in kinds  # the echo LLM issues a search tool call
+
+
+def test_search_and_stats_endpoints(app_port) -> None:
+    app, port = app_port
+    corpus = "# Waves\n\n" + "Interference patterns emerge from coherent waves. " * 200
+    _post(port, "/api/upload", corpus.encode(), {"X-Filename": "waves.md"})
+    for method in ("hybrid", "vector", "keyword"):
+        status, body = _post(
+            port,
+            "/api/search",
+            json.dumps({"query": "coherent interference", "method": method, "num_results": 3}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        assert status == 200
+        payload = json.loads(body)
+        assert payload["method"] == method
+        assert payload["results"], method
+        assert "body" in payload["results"][0]
+    # Reranked variant
+    status, body = _post(
+        port, "/api/search",
+        json.dumps({"query": "coherent interference", "rerank": True, "num_results": 3}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    assert json.loads(body)["results"]
+    status, body = _get(port, "/api/stats")
+    stats = json.loads(body)
+    assert stats["chunks"] >= 1 and stats["index_rows"] >= 1
