@@ -101,6 +101,8 @@ def load_native() -> ctypes.CDLL | None:
             ctypes.c_void_p, c_i64, c_i64, c_i64, ctypes.c_float, ctypes.c_void_p,
         ]
         lib.rlt_solve_boundaries.restype = c_i64
+        lib.rlt_split_chunklets.argtypes = [ctypes.c_void_p] * 4 + [c_i64, c_i64, ctypes.c_void_p]
+        lib.rlt_split_chunklets.restype = c_i64
         _LIB = lib
         return _LIB
 
@@ -262,6 +264,33 @@ def solve_boundaries(
     if count < 0:
         return None
     return [int(x) for x in out[:count]]
+
+
+def split_chunklet_cuts(
+    probas: np.ndarray,
+    pref_proba: np.ndarray,
+    pref_stmt: np.ndarray,
+    pref_len: np.ndarray,
+    *,
+    max_size: int,
+) -> list[int] | None:
+    """C++ fast path for the default-cost chunklet DP
+    (chunklets.py:split_chunklets).  Returns interior cut indices, or None
+    when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(probas)
+    probas64 = np.ascontiguousarray(probas, np.float64)
+    pp = np.ascontiguousarray(pref_proba, np.float64)
+    ps = np.ascontiguousarray(pref_stmt, np.float64)
+    pl = np.ascontiguousarray(pref_len, np.int64)
+    cuts = np.empty(max(n, 1), np.int64)
+    count = lib.rlt_split_chunklets(
+        probas64.ctypes.data, pp.ctypes.data, ps.ctypes.data, pl.ctypes.data,
+        n, max_size, cuts.ctypes.data,
+    )
+    return [int(x) for x in cuts[:count]]
 
 
 def count_tokens(text: str) -> int | None:

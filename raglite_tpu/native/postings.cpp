@@ -329,6 +329,44 @@ int64_t rlt_solve_boundaries(const float* probas, int64_t n, int64_t min_len,
   return count;
 }
 
+// Chunklet-partition DP (chunklets.py:split_chunklets default-cost fast
+// path): minimize sum over chunklets of
+//   (1 - p[first]) + sum(p[rest]) + (s - 3)^2 / sqrt(s) / 2
+// where s = statements in the chunklet, subject to each chunklet fitting in
+// max_size characters (a single oversize sentence stands alone).  O(n*w)
+// exact DP over prefix sums.  Writes interior cut indices to `cuts` and
+// returns their count.
+int64_t rlt_split_chunklets(const double* probas, const double* pref_proba,
+                            const double* pref_stmt, const int64_t* pref_len,
+                            int64_t n, int64_t max_size, int64_t* cuts) {
+  if (n <= 0) return 0;
+  std::vector<double> dp(static_cast<size_t>(n) + 1, 1e300);
+  std::vector<int64_t> back(static_cast<size_t>(n) + 1, -1);
+  dp[0] = 0.0;
+  int64_t lo = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    while (lo < i && pref_len[i] - pref_len[lo] > max_size) ++lo;
+    int64_t j_begin = lo, j_end = i;  // predecessors [j_begin, j_end)
+    if (j_begin >= j_end) j_begin = i - 1;  // oversize sentence stands alone
+    double best = 1e300;
+    int64_t best_j = -1;
+    for (int64_t j = j_begin; j < j_end; ++j) {
+      const double s = pref_stmt[i] - pref_stmt[j];
+      const double s_safe = std::max(s, 1e-6);
+      const double cost = dp[j] + (1.0 - probas[j]) +
+                          (pref_proba[i] - pref_proba[j + 1]) +
+                          (s - 3.0) * (s - 3.0) / std::sqrt(s_safe) / 2.0;
+      if (cost < best) { best = cost; best_j = j; }
+    }
+    dp[i] = best;
+    back[i] = best_j;
+  }
+  int64_t count = 0;
+  for (int64_t i = back[n]; i > 0; i = back[i]) cuts[count++] = i;
+  std::reverse(cuts, cuts + count);
+  return count;
+}
+
 // Token count only (models/encoder.py:count_tokens fast path).
 int32_t rlt_count_tokens(const char* text, int64_t len) {
   const uint8_t* s = reinterpret_cast<const uint8_t*>(text);

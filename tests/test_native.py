@@ -161,3 +161,35 @@ def test_native_boundary_dp_matches_python_fuzz() -> None:
         expected = python_solve(probas, min_len, max_len)
         actual = sentences_mod._solve_boundaries(probas, min_len=min_len, max_len=max_len)
         assert actual == expected, (n, min_len, max_len)
+
+
+def test_native_chunklet_dp_matches_python_fuzz() -> None:
+    """The C++ chunklet DP matches the Python DP over randomized inputs
+    (chunklets.py:split_chunklets default-cost path)."""
+    import raglite_tpu.chunklets as chunklets_mod
+    import raglite_tpu.native as native_mod
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "waves", "light", "clock", "frame"]
+
+    def python_split(sentences, max_size):
+        original = native_mod.split_chunklet_cuts
+        native_mod.split_chunklet_cuts = lambda *a, **k: None
+        try:
+            return chunklets_mod.split_chunklets(sentences, max_size=max_size)
+        finally:
+            native_mod.split_chunklet_cuts = original
+
+    for _ in range(120):
+        n = int(rng.integers(1, 60))
+        sentences = []
+        for _ in range(n):
+            k = int(rng.integers(1, 14))
+            prefix = "# " if rng.random() < 0.15 else ("- " if rng.random() < 0.1 else "")
+            sentences.append(
+                prefix + " ".join(rng.choice(words, k)) + (".\n" if rng.random() < 0.5 else ". ")
+            )
+        max_size = int(rng.integers(30, 400))
+        assert python_split(sentences, max_size) == chunklets_mod.split_chunklets(
+            sentences, max_size=max_size
+        )
