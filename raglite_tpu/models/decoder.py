@@ -500,9 +500,12 @@ class JaxChatLLM:
         return ChatResponse(content="".join(parts) or None, tool_calls=tool_calls)
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(3,))
 def _jax_forward_one(model: DecoderModel, params, token: int, cache, cache_len: int):
-    """Single-token decode forward; returns last-position logits [V]."""
+    """Single-token decode forward; returns last-position logits [V].
+
+    The KV cache buffer is donated: the dynamic_update_slice happens
+    in place instead of copying the whole cache every step."""
     ids = jnp.asarray([[token]], dtype=jnp.int32)
     logits, cache = model.forward(params, ids, cache, jnp.asarray(cache_len, jnp.int32))
     return logits[0, -1], cache
