@@ -257,12 +257,25 @@ class DenseIndex:
 
     # --- Search -----------------------------------------------------------
 
+    def _adapter_device(self, adapter: np.ndarray | None) -> jax.Array | None:
+        """Cached device copy of the query adapter (re-uploaded only when the
+        store's adapter object changes — BASELINE: the adapter is applied as
+        an HBM matmul on device, not a host matmul)."""
+        if adapter is None:
+            return None
+        key = id(adapter)
+        if getattr(self, "_adapter_key", None) != key:
+            self._adapter_key = key
+            self._adapter_dev = jnp.asarray(np.asarray(adapter, dtype=np.float32))
+        return self._adapter_dev
+
     def search(
         self,
         queries: np.ndarray,  # [B, d] fp32 (normalized upstream for cosine)
         *,
         num_hits: int,
         row_mask: np.ndarray | None = None,
+        adapter: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top ``num_hits`` sub-vector rows per query.
 
@@ -271,11 +284,17 @@ class DenseIndex:
         replacing the reference's filter-then-rank SQL plan,
         _search.py:96-141 — on a brute-force scan, pre-filtering is always
         at least as fast, so the 100k crossover heuristic collapses).
+        ``adapter`` is the trained query adapter, applied as a device matmul
+        before the scan (reference: _search.py:58-62 does it in numpy).
         """
         if self.num_rows == 0:
             b = queries.shape[0]
             return (np.full((b, num_hits), -np.inf), np.zeros((b, num_hits), dtype=np.int64))
         self._refresh_device()
+        queries_dev = jnp.asarray(queries, dtype=jnp.float32)
+        adapter_dev = self._adapter_device(adapter)
+        if adapter_dev is not None:
+            queries_dev = queries_dev @ adapter_dev.T
         valid = self._dev_valid
         if row_mask is not None:
             padded = np.zeros((self.capacity,), dtype=np.bool_)
@@ -292,7 +311,7 @@ class DenseIndex:
                 self._dev_rows,
                 self._dev_sqnorm,
                 valid,
-                jnp.asarray(queries, dtype=jnp.float32),
+                queries_dev,
                 self._dev_scale,
                 num_hits=max(k_local, 1),
                 metric=self.metric,
@@ -305,7 +324,7 @@ class DenseIndex:
                 self._dev_rows,
                 self._dev_sqnorm,
                 valid,
-                jnp.asarray(queries, dtype=jnp.float32),
+                queries_dev,
                 num_hits=k,
                 metric=self.metric,
                 row_scale=self._dev_scale,
@@ -316,7 +335,7 @@ class DenseIndex:
                 self._dev_rows,
                 self._dev_sqnorm,
                 valid,
-                jnp.asarray(queries, dtype=jnp.float32),
+                queries_dev,
                 self._dev_scale,
                 num_hits=k,
                 metric=self.metric,

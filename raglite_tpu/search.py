@@ -88,11 +88,13 @@ def vector_search(
             if isinstance(query, str)
             else np.ravel(np.asarray(query, dtype=np.float32))
         )
-    # Apply the query adapter as a matmul (reference: _search.py:58-62).
-    if config.vector_search_query_adapter:
-        adapter = store.index_metadata.get("query_adapter")
-        if adapter is not None:
-            query_embedding = (np.asarray(adapter) @ query_embedding).astype(np.float32)
+    # The query adapter is applied as a device (HBM) matmul inside
+    # index.search (reference does it in numpy, _search.py:58-62).
+    adapter = (
+        store.index_metadata.get("query_adapter")
+        if config.vector_search_query_adapter
+        else None
+    )
     index = dense_index_from_config(config)
     if index.num_rows == 0:
         return [], []
@@ -107,7 +109,10 @@ def vector_search(
         row_mask = cmask[index.row_chunk]
     with phase("search.dense_scan"):
         scores, row_ids = index.search(
-            query_embedding[None, :], num_hits=min(num_hits, index.num_rows), row_mask=row_mask
+            query_embedding[None, :],
+            num_hits=min(num_hits, index.num_rows),
+            row_mask=row_mask,
+            adapter=adapter,
         )
     # Multi-vector aggregation: max similarity per chunk (reference: :143-152).
     best: dict[int, float] = {}
@@ -138,10 +143,11 @@ def vector_search_batch(
         return []
     store = store_from_config(config)
     embeddings = embed_strings(queries, config=config).astype(np.float32)
-    if config.vector_search_query_adapter:
-        adapter = store.index_metadata.get("query_adapter")
-        if adapter is not None:
-            embeddings = embeddings @ np.asarray(adapter, dtype=np.float32).T
+    adapter = (
+        store.index_metadata.get("query_adapter")
+        if config.vector_search_query_adapter
+        else None
+    )
     index = dense_index_from_config(config)
     if index.num_rows == 0:
         return [([], []) for _ in queries]
@@ -154,7 +160,7 @@ def vector_search_batch(
             return [([], []) for _ in queries]
         row_mask = cmask[index.row_chunk]
     scores, row_ids = index.search(
-        embeddings, num_hits=min(num_hits, index.num_rows), row_mask=row_mask
+        embeddings, num_hits=min(num_hits, index.num_rows), row_mask=row_mask, adapter=adapter
     )
     results: list[tuple[list[ChunkId], list[float]]] = []
     for b in range(len(queries)):
