@@ -15,6 +15,7 @@ from raglite_tpu.query_adapter import update_query_adapter
 from raglite_tpu.rag import add_context, async_rag, rag, retrieve_context
 from raglite_tpu.search import (
     hybrid_search,
+    hybrid_search_batch,
     keyword_search,
     reciprocal_rank_fusion,
     rerank_chunks,
@@ -36,6 +37,7 @@ __all__ = [
     "delete_documents",
     "delete_documents_by_metadata",
     "hybrid_search",
+    "hybrid_search_batch",
     "keyword_search",
     "vector_search",
     "vector_search_batch",

@@ -239,6 +239,38 @@ def hybrid_search(  # noqa: PLR0913
     return ids[:num_results], scores[:num_results]
 
 
+def hybrid_search_batch(  # noqa: PLR0913
+    queries: list[str],
+    *,
+    num_results: int = 3,
+    oversample: int = 2,
+    vector_search_weight: float = 0.75,
+    keyword_search_weight: float = 0.25,
+    metadata_filter: MetadataFilter | None = None,
+    config: RAGLiteConfig | None = None,
+) -> list[tuple[list[ChunkId], list[float]]]:
+    """Batched :func:`hybrid_search`: the dense half runs as one fused
+    device scan for all queries (vector_search_batch); keyword + RRF fuse
+    per query on the host (tiny)."""
+    vector_results = vector_search_batch(
+        queries,
+        num_results=oversample * num_results,
+        metadata_filter=metadata_filter,
+        config=config,
+    )
+    results: list[tuple[list[ChunkId], list[float]]] = []
+    for query, (vs_ids, _) in zip(queries, vector_results):
+        ks_ids, _ = keyword_search(
+            query, num_results=oversample * num_results,
+            metadata_filter=metadata_filter, config=config,
+        )
+        ids, scores = reciprocal_rank_fusion(
+            [vs_ids, ks_ids], weights=[vector_search_weight, keyword_search_weight]
+        )
+        results.append((ids[:num_results], scores[:num_results]))
+    return results
+
+
 def retrieve_chunks(
     chunk_ids: list[ChunkId], *, config: RAGLiteConfig | None = None
 ) -> list[Chunk]:

@@ -141,3 +141,18 @@ def test_vector_search_batch_matches_single(raglite_test_config) -> None:
         import numpy as np
 
         np.testing.assert_allclose(scores_b, scores_s, rtol=1e-4)
+
+
+def test_hybrid_search_batch_matches_single(raglite_test_config) -> None:
+    from raglite_tpu import hybrid_search, hybrid_search_batch
+
+    queries = ["simultaneity of events", "length of moving rods"]
+    batched = hybrid_search_batch(queries, num_results=4, config=raglite_test_config)
+    for query, (ids_b, scores_b) in zip(queries, batched):
+        ids_s, scores_s = hybrid_search(query, num_results=4, config=raglite_test_config)
+        # Batched and single scans can reorder near-ties deep in the
+        # oversampled candidate list, perturbing RRF scores slightly.
+        assert ids_b == ids_s, query
+        import numpy as np
+
+        np.testing.assert_allclose(scores_b, scores_s, rtol=0.05)
