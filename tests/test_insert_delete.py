@@ -116,3 +116,27 @@ def test_store_persistence_roundtrip(tmp_path) -> None:
     for cid in original.chunk_order:
         np.testing.assert_array_equal(reloaded.embeddings[cid], original.embeddings[cid])
     assert reloaded.metadata == original.metadata
+
+
+def test_search_never_returns_deleted_chunks(tmp_path) -> None:
+    """After delete, no search method can surface the deleted document's
+    chunks (index tombstone/rebuild; reference: tests/test_delete.py)."""
+    from raglite_tpu import delete_documents, hybrid_search, keyword_search
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "kb"), embedder="hash:128", llm="echo")
+    keep = Document.from_text("# Llamas\n\n" + "Llamas hum to communicate with their herd. " * 50)
+    drop = Document.from_text("# Volcano\n\n" + "Magma rises through volcanic vents. " * 50)
+    insert_documents([keep, drop], config=config)
+    from raglite_tpu.store import store_from_config
+
+    store = store_from_config(config)
+    dropped_chunks = {c for c in store.chunk_order if store.chunks[c].document_id == drop.id}
+    assert dropped_chunks
+
+    delete_documents([drop.id], config=config)
+    for method in (vector_search, keyword_search, hybrid_search):
+        ids, _ = method("magma volcanic vents", num_results=8, config=config)
+        assert not (set(ids) & dropped_chunks), method.__name__
+    # The surviving document still retrieves.
+    ids, _ = vector_search("llamas humming herd", num_results=3, config=config)
+    assert ids
