@@ -232,6 +232,19 @@ class WebChatApp:
             ],
         }
 
+    def handle_delete(self, body: dict[str, Any]) -> dict[str, Any]:
+        """Delete documents by id or metadata filter (completes the HTTP
+        CRUD surface; reference deletes only through the Python API)."""
+        from raglite_tpu.delete import delete_documents, delete_documents_by_metadata
+
+        document_ids = body.get("document_ids") or []
+        metadata_filter = body.get("metadata_filter")
+        if document_ids:
+            delete_documents(list(document_ids), config=self.config)
+        elif metadata_filter:
+            delete_documents_by_metadata(metadata_filter, config=self.config)
+        return {"deleted_ids": document_ids, "metadata_filter": metadata_filter}
+
     def handle_stats(self) -> dict[str, Any]:
         from raglite_tpu.index.dense import dense_index_from_config
         from raglite_tpu.store import store_from_config
@@ -326,6 +339,8 @@ class WebChatApp:
                     self._json(app.handle_settings_post(json.loads(self._body() or b"{}")))
                 elif self.path == "/api/search":
                     self._json(app.handle_search(json.loads(self._body() or b"{}")))
+                elif self.path == "/api/delete":
+                    self._json(app.handle_delete(json.loads(self._body() or b"{}")))
                 elif self.path == "/api/upload":
                     filename = self.headers.get("X-Filename", "upload.txt")
                     self._json(app.handle_upload(filename, self._body()))

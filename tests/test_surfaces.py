@@ -178,3 +178,24 @@ def test_cli_dotenv_settings(tmp_path, monkeypatch) -> None:
         assert captured == {"llm": "jax:tiny", "embedder": "hash:128"}
     finally:
         cli.commands.pop("showcfg", None)
+
+
+def test_mcp_install_writes_desktop_config(tmp_path, monkeypatch) -> None:
+    """`mcp install` writes the Claude desktop config entry
+    (reference: _cli.py:58-103)."""
+    import json as _json
+
+    from raglite_tpu.cli import cli
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["--store-path", str(tmp_path / "kb"), "mcp", "install", "--server-name", "testkb"]
+    )
+    assert result.exit_code == 0, result.output
+    config_file = tmp_path / ".config" / "Claude" / "claude_desktop_config.json"
+    assert config_file.exists()
+    desktop = _json.loads(config_file.read_text())
+    assert "testkb" in desktop["mcpServers"]
+    args = desktop["mcpServers"]["testkb"]["args"]
+    assert "mcp" in args and "run" in args

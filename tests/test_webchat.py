@@ -109,3 +109,24 @@ def test_search_and_stats_endpoints(app_port) -> None:
     status, body = _get(port, "/api/stats")
     stats = json.loads(body)
     assert stats["chunks"] >= 1 and stats["index_rows"] >= 1
+
+
+def test_delete_endpoint(app_port) -> None:
+    app, port = app_port
+    doc = "# Minerals\n\n" + "Quartz crystals form hexagonal prisms. " * 300
+    _, body = _post(port, "/api/upload", doc.encode(), {"X-Filename": "minerals.md"})
+    doc_id = json.loads(body)["id"]
+    status, body = _post(
+        port, "/api/delete",
+        json.dumps({"document_ids": [doc_id]}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    assert status == 200
+    assert json.loads(body)["deleted_ids"] == [doc_id]
+    _, body = _post(
+        port, "/api/search",
+        json.dumps({"query": "quartz hexagonal prisms", "method": "keyword"}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    results = json.loads(body)["results"]
+    assert all(r["document_id"] != doc_id for r in results)
