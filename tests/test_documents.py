@@ -66,3 +66,29 @@ def test_eval_from_chunks() -> None:
     assert ev.document_id == doc.id
     assert ev.chunk_ids == [c0.id]
     assert ev.contexts == [c0.content]
+
+
+def test_corrupt_store_records_raise_cleanly(tmp_path) -> None:
+    """Corrupt persisted records raise a parse error, not an opaque crash."""
+    import pytest
+
+    from raglite_tpu.store import Store
+
+    root = tmp_path / "kb"
+    root.mkdir()
+    (root / "records.msgpack").write_bytes(b"\xc1 corrupt \xff")
+    with pytest.raises(Exception):  # noqa: B017 - any decode error is acceptable
+        Store(str(root))
+
+
+def test_python_dash_m_entrypoint() -> None:
+    import subprocess
+    import sys
+
+    result = subprocess.run(
+        [sys.executable, "-m", "raglite_tpu", "--help"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+    assert result.returncode == 0
+    assert "RAGLite-TPU" in result.stdout or "raglite-tpu" in result.stdout
