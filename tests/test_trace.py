@@ -60,3 +60,13 @@ def test_progress_meter_tty_and_silent() -> None:
     with trace.Progress(2, "quiet", stream=silent) as progress:
         progress.update(2)
     assert silent.getvalue() == ""
+
+
+def test_trace_session_writes_profile(tmp_path) -> None:
+    """jax.profiler trace capture produces trace artifacts."""
+    import jax.numpy as jnp
+
+    with trace.trace_session(str(tmp_path)):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    produced = list(tmp_path.rglob("*"))
+    assert any(p.is_file() for p in produced), produced
