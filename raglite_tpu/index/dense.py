@@ -260,12 +260,13 @@ class DenseIndex:
     def _adapter_device(self, adapter: np.ndarray | None) -> jax.Array | None:
         """Cached device copy of the query adapter (re-uploaded only when the
         store's adapter object changes — BASELINE: the adapter is applied as
-        an HBM matmul on device, not a host matmul)."""
+        an HBM matmul on device, not a host matmul).  The cache keeps a
+        reference to the host array and compares with ``is`` — an ``id()``
+        key could collide when a freed array's address is recycled."""
         if adapter is None:
             return None
-        key = id(adapter)
-        if getattr(self, "_adapter_key", None) != key:
-            self._adapter_key = key
+        if getattr(self, "_adapter_host", None) is not adapter:
+            self._adapter_host = adapter
             self._adapter_dev = jnp.asarray(np.asarray(adapter, dtype=np.float32))
         return self._adapter_dev
 

@@ -77,6 +77,12 @@ def _create_chunk_records(
         for group, full_vec in zip(chunk_embeddings, full):
             if config.vector_search_multivector:
                 blended = MULTIVECTOR_ALPHA * group + (1 - MULTIVECTOR_ALPHA) * full_vec[None, :]
+                # L2-normalize the blended rows: the cosine scan scores by raw
+                # dot product (index/dense.py treats cosine as dot over
+                # normalized rows), so unnormalized blends (row norms ~0.7-1.0)
+                # would skew rankings vs the reference's true-cosine SQL.
+                norms = np.linalg.norm(blended, axis=1, keepdims=True)
+                blended = blended / np.maximum(norms, 1e-12)
                 matrices.append(np.asarray(blended, dtype=np.float16))
             else:
                 matrices.append(np.asarray(full_vec[None, :], dtype=np.float16))

@@ -553,6 +553,10 @@ void rlt_builder_save(void* h, char* out) {
 
 // Rebuild a Builder from a serialized blob; returns handle or null.
 void* rlt_builder_load(const char* data, int64_t len) {
+  // Every count and offset read from the blob is validated against `len`
+  // before use: a truncated or corrupt blob must yield nullptr (the Python
+  // side raises "corrupt postings blob"), never an out-of-bounds read, a
+  // negative-size vector exception escaping extern "C", or a huge alloc.
   if (len < 40) return nullptr;
   const char* p = data;
   auto get = [&p](void* dst, size_t n) { std::memcpy(dst, p, n); p += n; };
@@ -560,16 +564,37 @@ void* rlt_builder_load(const char* data, int64_t len) {
   get(&magic, 8);
   if (magic != kMagic) return nullptr;
   get(&n_terms, 8); get(&n_chunks, 8); get(&n_post, 8); get(&dict_bytes, 8);
-  Builder* b = new Builder();
+  if (n_terms < 0 || n_chunks < 0 || n_post < 0 || dict_bytes < 0) return nullptr;
+  // Guard the size arithmetic itself against overflow before computing it.
+  const int64_t kMax = len;  // every section must fit inside the blob
+  if (n_terms > kMax / 8 || n_post > kMax / 4 || n_chunks > kMax / 4 ||
+      dict_bytes > kMax) {
+    return nullptr;
+  }
+  const int64_t expected = 40 + 2 * (n_terms + 1) * 8 + 2 * n_post * 4 +
+                           n_chunks * 4 + dict_bytes;
+  if (expected != len) return nullptr;
   std::vector<int64_t> offsets(n_terms + 1);
   get(offsets.data(), offsets.size() * 8);
   std::vector<int32_t> chunks(n_post), tf(n_post);
   get(chunks.data(), chunks.size() * 4);
   get(tf.data(), tf.size() * 4);
-  b->doc_len.resize(n_chunks);
-  get(b->doc_len.data(), n_chunks * 4);
+  std::vector<int32_t> doc_len(n_chunks);
+  get(doc_len.data(), n_chunks * 4);
   std::vector<int64_t> term_offsets(n_terms + 1);
   get(term_offsets.data(), term_offsets.size() * 8);
+  // Posting offsets: monotone, starting at 0, ending at n_post.
+  if (offsets[0] != 0 || offsets[n_terms] != n_post) return nullptr;
+  for (int64_t t = 0; t < n_terms; ++t) {
+    if (offsets[t + 1] < offsets[t]) return nullptr;
+  }
+  // Term-string offsets: monotone and within the dictionary section.
+  if (term_offsets[0] != 0 || term_offsets[n_terms] != dict_bytes) return nullptr;
+  for (int64_t t = 0; t < n_terms; ++t) {
+    if (term_offsets[t + 1] < term_offsets[t]) return nullptr;
+  }
+  Builder* b = new Builder();
+  b->doc_len = std::move(doc_len);
   b->terms.resize(n_terms);
   b->postings.resize(n_terms);
   for (int64_t t = 0; t < n_terms; ++t) {

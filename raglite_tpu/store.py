@@ -15,7 +15,6 @@ Concurrency mirrors the reference: an ``lru_cache``d store per path
 from __future__ import annotations
 
 import json
-import pickle
 from dataclasses import asdict
 from functools import lru_cache
 from pathlib import Path
@@ -215,7 +214,7 @@ class Store:
             stacked = np.zeros((0, 0), dtype=np.float16)
         np.save(root / "embeddings.npy", stacked)
         np.save(root / "embedding_counts.npy", counts)
-        (root / "index_metadata.pkl").write_bytes(pickle.dumps(self.index_metadata))
+        self._save_index_metadata(root)
         (root / "manifest.json").write_text(
             json.dumps({"format_version": _FORMAT_VERSION, "version": self.version})
         )
@@ -247,10 +246,31 @@ class Store:
         self.metadata = records.get("metadata", {})
         for e in records.get("evals", []):
             self.evals[e["id"]] = Eval(**e)
-        meta_path = root / "index_metadata.pkl"
-        if meta_path.exists():
-            self.index_metadata = pickle.loads(meta_path.read_bytes())  # noqa: S301
+        self._load_index_metadata(root)
         self.version = records.get("version", 0)
+
+    def _save_index_metadata(self, root: Path) -> None:
+        """Persist index_metadata without pickle: numpy arrays go into an
+        ``.npz`` (loadable with allow_pickle=False), everything else into
+        msgpack.  Loading a store must never execute attacker-supplied
+        bytecode (the reference pickles its IndexMetadata table,
+        _database.py:433-462 — a known weakness we do not inherit)."""
+        arrays = {k: v for k, v in self.index_metadata.items() if isinstance(v, np.ndarray)}
+        plain = {k: v for k, v in self.index_metadata.items() if not isinstance(v, np.ndarray)}
+        np.savez(root / "index_metadata.npz", **arrays)
+        (root / "index_metadata.msgpack").write_bytes(msgpack.packb(plain, use_bin_type=True))
+        legacy = root / "index_metadata.pkl"
+        if legacy.exists():
+            legacy.unlink()
+
+    def _load_index_metadata(self, root: Path) -> None:
+        npz_path = root / "index_metadata.npz"
+        if npz_path.exists():
+            with np.load(npz_path, allow_pickle=False) as data:
+                self.index_metadata = {k: data[k] for k in data.files}
+        msg_path = root / "index_metadata.msgpack"
+        if msg_path.exists():
+            self.index_metadata.update(msgpack.unpackb(msg_path.read_bytes(), raw=False))
 
 
 @lru_cache(maxsize=8)

@@ -147,8 +147,13 @@ class WebChatApp:
 
     def handle_settings_post(self, body: dict[str, Any]) -> dict[str, Any]:
         """Update runtime settings (the reference's settings widgets,
-        _chainlit.py:24-62)."""
-        allowed = {"store_path", "llm", "embedder", "vector_search_query_adapter"}
+        _chainlit.py:24-62).
+
+        ``store_path`` is deliberately NOT settable over HTTP: repointing the
+        store to an attacker-chosen directory would let a drive-by page read
+        or clobber arbitrary on-disk stores. Choose the store at launch.
+        """
+        allowed = {"llm", "embedder", "vector_search_query_adapter"}
         updates = {k: v for k, v in body.items() if k in allowed}
         self.config = replace(self.config, **updates)
         return self.handle_settings_get()
@@ -217,6 +222,10 @@ class WebChatApp:
                 metadata_filter=metadata_filter, config=self.config,
             )
             chunks = retrieve_chunks(ids, config=self.config)
+        # Look chunks up by id rather than positional zip: retrieve_chunks
+        # silently drops ids deleted concurrently, which would shift every
+        # subsequent body/score under the wrong chunk_id.
+        by_id = {chunk.id: chunk for chunk in chunks}
         return {
             "query": query,
             "method": method,
@@ -228,7 +237,8 @@ class WebChatApp:
                     "headings": chunk.headings if chunk else "",
                     "body": (chunk.body if chunk else "")[:2000],
                 }
-                for chunk_id, score, chunk in zip(ids, scores, chunks)
+                for chunk_id, score in zip(ids, scores)
+                for chunk in (by_id.get(chunk_id),)
             ],
         }
 
@@ -334,7 +344,26 @@ class WebChatApp:
                 length = int(self.headers.get("Content-Length", "0"))
                 return self.rfile.read(length)
 
+            def _same_origin(self) -> bool:
+                """Reject cross-site POSTs: a drive-by web page sends an
+                Origin header naming its own site; same-origin requests (and
+                non-browser clients, which send no Origin) name this host."""
+                origin = self.headers.get("Origin")
+                if origin is None:
+                    return True
+                host = self.headers.get("Host", "")
+                return origin.split("://", 1)[-1] == host
+
             def do_POST(self) -> None:  # noqa: N802
+                if not self._same_origin():
+                    self._json({"error": "cross-origin request rejected"}, 403)
+                    return
+                if self.path in ("/api/settings", "/api/search", "/api/delete", "/api/chat"):
+                    ctype = self.headers.get("Content-Type", "")
+                    has_body = int(self.headers.get("Content-Length", "0")) > 0
+                    if has_body and "application/json" not in ctype:
+                        self._json({"error": "Content-Type must be application/json"}, 415)
+                        return
                 if self.path == "/api/settings":
                     self._json(app.handle_settings_post(json.loads(self._body() or b"{}")))
                 elif self.path == "/api/search":

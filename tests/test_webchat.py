@@ -25,8 +25,9 @@ def _get(port: int, path: str) -> tuple[int, bytes]:
 
 
 def _post(port: int, path: str, data: bytes, headers: dict | None = None) -> tuple[int, bytes]:
+    merged = {"Content-Type": "application/json", **(headers or {})}
     request = urllib.request.Request(
-        f"http://127.0.0.1:{port}{path}", data=data, headers=headers or {}, method="POST"
+        f"http://127.0.0.1:{port}{path}", data=data, headers=merged, method="POST"
     )
     with urllib.request.urlopen(request) as response:
         return response.status, response.read()
@@ -130,3 +131,45 @@ def test_delete_endpoint(app_port) -> None:
     )
     results = json.loads(body)["results"]
     assert all(r["document_id"] != doc_id for r in results)
+
+
+def test_cross_origin_post_rejected(app_port) -> None:
+    """A drive-by page's POST (foreign Origin header) must be refused."""
+    app, port = app_port
+    request = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/settings",
+        data=json.dumps({"llm": "evil"}).encode(),
+        headers={"Content-Type": "application/json", "Origin": "http://evil.example"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(request)
+    assert err.value.code == 403
+    assert app.config.llm == "echo"
+    # Same-origin posts (Origin names this host) still work.
+    status, _ = _post(
+        port, "/api/settings", b"{}", {"Origin": f"http://127.0.0.1:{port}"}
+    )
+    assert status == 200
+
+
+def test_store_path_not_settable_over_http(app_port) -> None:
+    """Repointing the store over HTTP is an arbitrary-filesystem primitive;
+    the settings endpoint must ignore it."""
+    app, port = app_port
+    before = app.config.store_path
+    _post(port, "/api/settings", json.dumps({"store_path": "/etc"}).encode())
+    assert app.config.store_path == before
+
+
+def test_non_json_content_type_rejected(app_port) -> None:
+    _, port = app_port
+    request = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/settings",
+        data=b"llm=evil",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(request)
+    assert err.value.code == 415
