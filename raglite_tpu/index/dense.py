@@ -86,6 +86,37 @@ def _dense_search(
     return jax.lax.approx_max_k(sims, num_hits, recall_target=0.95)
 
 
+@partial(jax.jit, static_argnames=("num_results",))
+def _group_max_topk(
+    scores: jax.Array,  # [B, K] descending sub-vector scores
+    row_ids: jax.Array,  # [B, K]
+    row_chunk: jax.Array,  # [capacity] row -> chunk ordinal (-1 for padding)
+    *,
+    num_results: int,
+) -> jax.Array:
+    """On-device multi-vector L-inf aggregation + final chunk ranking.
+
+    Replaces the reference's ``GROUP BY chunk_id, MAX(sim)`` SQL aggregation
+    (_search.py:143-152) — and round 1's host-side Python dict loop, which
+    cost ~40k dict ops per 1024-batch.  ``scores`` arrive sorted descending
+    from top-k, so a chunk's first occurrence carries its max; later
+    occurrences are masked with an O(K^2) pairwise comparison (K <= ~160,
+    so the [B, K, K] bool intermediate is tiny).
+
+    Returns one packed [2, B, num_results] array (scores; chunk ordinals as
+    float32) — a single device->host transfer.
+    """
+    k = scores.shape[1]
+    chunks = row_chunk[row_ids]  # [B, K]
+    same = chunks[:, None, :] == chunks[:, :, None]  # [B, K, K]
+    tri = jnp.tril(jnp.ones((k, k), bool), k=-1)
+    is_repeat = jnp.any(same & tri[None], axis=-1)
+    chunk_scores = jnp.where(is_repeat, -jnp.inf, scores)
+    final_scores, pos = jax.lax.top_k(chunk_scores, min(num_results, k))
+    final_chunks = jnp.take_along_axis(chunks, pos, axis=1)
+    return jnp.stack([final_scores, final_chunks.astype(jnp.float32)])
+
+
 class DenseIndex:
     """Host-mirrored, device-resident dense index synced from a Store."""
 
@@ -117,6 +148,7 @@ class DenseIndex:
         self._dev_sqnorm: jax.Array | None = None
         self._dev_valid: jax.Array | None = None
         self._dev_scale: jax.Array | None = None  # int8 dequant scales
+        self._dev_row_chunk: jax.Array | None = None  # row -> chunk ordinal
         self._dirty = True  # full re-upload required (capacity/valid changed)
         self._dev_rows_synced = 0  # rows already on device (append watermark)
         self._synced_version = -1
@@ -218,6 +250,11 @@ class DenseIndex:
         self._dev_valid = jax.lax.dynamic_update_slice(
             self._dev_valid, jnp.asarray(self._host_valid[start:end]), (start,)
         )
+        self._dev_row_chunk = jax.lax.dynamic_update_slice(
+            self._dev_row_chunk,
+            jnp.asarray(self.row_chunk[start:end], dtype=jnp.int32),
+            (start,),
+        )
         self._dev_rows_synced = end
 
     def _full_upload(self) -> None:
@@ -231,12 +268,17 @@ class DenseIndex:
         else:
             rows_host, scale_host = host32, None
             sqnorm_host = (host32**2).sum(axis=1).astype(np.float32)
+        # Row -> chunk ordinal, padded to capacity with -1 (the on-device
+        # group-max filters non-finite scores, so padding never surfaces).
+        row_chunk_host = np.full((self.capacity,), -1, dtype=np.int32)
+        row_chunk_host[: len(self.row_chunk)] = self.row_chunk
         if self.num_devices > 1:
             from raglite_tpu.parallel.mesh import index_mesh, row_sharding
 
             mesh = index_mesh(self.num_devices)
             shard = row_sharding(mesh)
             one_d = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+            replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
             self._dev_rows = jax.device_put(
                 jnp.asarray(rows_host, dtype=self._dtype), shard
             )
@@ -247,11 +289,13 @@ class DenseIndex:
                 if scale_host is not None
                 else None
             )
+            self._dev_row_chunk = jax.device_put(jnp.asarray(row_chunk_host), replicated)
         else:
             self._dev_rows = jnp.asarray(rows_host, dtype=self._dtype)
             self._dev_sqnorm = jnp.asarray(sqnorm_host)
             self._dev_valid = jnp.asarray(self._host_valid)
             self._dev_scale = jnp.asarray(scale_host) if scale_host is not None else None
+            self._dev_row_chunk = jnp.asarray(row_chunk_host)
         self._dirty = False
         self._dev_rows_synced = self.num_rows
 
@@ -265,6 +309,8 @@ class DenseIndex:
         key could collide when a freed array's address is recycled."""
         if adapter is None:
             return None
+        if isinstance(adapter, jax.Array):
+            return adapter
         if getattr(self, "_adapter_host", None) is not adapter:
             self._adapter_host = adapter
             self._adapter_dev = jnp.asarray(np.asarray(adapter, dtype=np.float32))
@@ -291,6 +337,28 @@ class DenseIndex:
         if self.num_rows == 0:
             b = queries.shape[0]
             return (np.full((b, num_hits), -np.inf), np.zeros((b, num_hits), dtype=np.int64))
+        scores, idx = self._scan_device(
+            queries, num_hits=num_hits, row_mask=row_mask, adapter=adapter
+        )
+        scores = np.asarray(scores)
+        idx = np.asarray(idx, dtype=np.int64)
+        if scores.shape[1] < num_hits:  # pad to requested width
+            pad = num_hits - scores.shape[1]
+            scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)))
+        return scores, idx
+
+    def _scan_device(
+        self,
+        queries: np.ndarray,
+        *,
+        num_hits: int,
+        row_mask: np.ndarray | None,
+        adapter: np.ndarray | None,
+        exact: bool | None = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Fused scan returning DEVICE arrays (scores [B,K], row ids [B,K])
+        so downstream aggregation can stay on device."""
         self._refresh_device()
         queries_dev = jnp.asarray(queries, dtype=jnp.float32)
         adapter_dev = self._adapter_device(adapter)
@@ -308,7 +376,7 @@ class DenseIndex:
 
             mesh = index_mesh(self.num_devices)
             k_local = min(k, self.capacity // self.num_devices)
-            scores, idx = sharded_topk_search(
+            return sharded_topk_search(
                 self._dev_rows,
                 self._dev_sqnorm,
                 valid,
@@ -318,10 +386,12 @@ class DenseIndex:
                 metric=self.metric,
                 mesh=mesh,
             )
-        elif self._use_fused_kernel(queries.shape[0]):
+        if exact is None:
+            exact = self.num_rows <= EXACT_TOPK_MAX_ROWS
+        if not exact and self._use_fused_kernel(queries.shape[0]):
             from raglite_tpu.ops.fused_scan import fused_scan_topk
 
-            scores, idx = fused_scan_topk(
+            return fused_scan_topk(
                 self._dev_rows,
                 self._dev_sqnorm,
                 valid,
@@ -331,24 +401,121 @@ class DenseIndex:
                 row_scale=self._dev_scale,
                 batch_tile=8,
             )
-        else:
-            scores, idx = _dense_search(
-                self._dev_rows,
-                self._dev_sqnorm,
-                valid,
-                queries_dev,
-                self._dev_scale,
-                num_hits=k,
-                metric=self.metric,
-                exact=self.num_rows <= EXACT_TOPK_MAX_ROWS,
+        return _dense_search(
+            self._dev_rows,
+            self._dev_sqnorm,
+            valid,
+            queries_dev,
+            self._dev_scale,
+            num_hits=k,
+            metric=self.metric,
+            exact=exact,
+        )
+
+    def search_chunks(
+        self,
+        queries: np.ndarray,  # [B, d] fp32
+        *,
+        num_hits: int,
+        num_results: int,
+        row_mask: np.ndarray | None = None,
+        adapter: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top ``num_results`` CHUNKS per query: fused scan + on-device
+        multi-vector group-max + final ranking, one host fetch.
+
+        Returns (chunk_scores [B, R] fp32, chunk_ordinals [B, R] int64);
+        slots past the last real hit have score -inf and ordinal -1.  This
+        is the full reference vector_search SQL plan (_search.py:65-152) as
+        one device pipeline — the production path `vector_search_batch`
+        ships AND the path bench.py measures.
+        """
+        b = queries.shape[0]
+        if self.num_rows == 0:
+            return (
+                np.full((b, num_results), -np.inf, dtype=np.float32),
+                np.full((b, num_results), -1, dtype=np.int64),
             )
-        scores = np.asarray(scores)
-        idx = np.asarray(idx, dtype=np.int64)
-        if scores.shape[1] < num_hits:  # pad to requested width
-            pad = num_hits - scores.shape[1]
-            scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
-            idx = np.pad(idx, ((0, 0), (0, pad)))
-        return scores, idx
+        packed = np.asarray(
+            self.search_chunks_device(
+                queries,
+                num_hits=num_hits,
+                num_results=num_results,
+                row_mask=row_mask,
+                adapter=adapter,
+            )
+        )
+        chunk_scores = packed[0]
+        chunk_ordinals = packed[1].astype(np.int64)
+        chunk_ordinals[~np.isfinite(chunk_scores)] = -1
+        if chunk_scores.shape[1] < num_results:
+            pad = num_results - chunk_scores.shape[1]
+            chunk_scores = np.pad(chunk_scores, ((0, 0), (0, pad)), constant_values=-np.inf)
+            chunk_ordinals = np.pad(chunk_ordinals, ((0, 0), (0, pad)), constant_values=-1)
+        return chunk_scores, chunk_ordinals
+
+    def search_chunks_device(
+        self,
+        queries: np.ndarray | jax.Array,
+        *,
+        num_hits: int,
+        num_results: int,
+        row_mask: np.ndarray | None = None,
+        adapter: np.ndarray | None = None,
+        exact: bool | None = None,
+    ) -> jax.Array:
+        """Device half of :meth:`search_chunks`: returns the packed
+        [2, B, num_results] result WITHOUT fetching to the host, so servers
+        (and bench.py) can pipeline batches with the transfer overlapped."""
+        scores, idx = self._scan_device(
+            queries, num_hits=num_hits, row_mask=row_mask, adapter=adapter, exact=exact
+        )
+        return _group_max_topk(scores, idx, self._dev_row_chunk, num_results=num_results)
+
+    @classmethod
+    def from_device_arrays(
+        cls,
+        rows: jax.Array,  # [N, d] storage dtype, already on device
+        row_chunk: jax.Array,  # [N] int32 row -> chunk ordinal
+        *,
+        row_scale: jax.Array | None = None,  # [N] fp32 (int8 rows)
+        valid: jax.Array | None = None,
+        metric: DistanceMetric = "cosine",
+        num_devices: int = 1,
+        use_pallas: bool = True,
+    ) -> "DenseIndex":
+        """Search-only index over device-resident arrays (no host mirror).
+
+        Used by bench.py and large-scale serving where the embedding matrix
+        is produced on device (e.g. by the sharded encoder) and must not
+        round-trip through host RAM.  Mutation APIs require the host mirror
+        and are unsupported on an index built this way.
+        """
+        n, dim = rows.shape
+        index = cls(
+            dim=dim,
+            dtype="int8" if rows.dtype == jnp.int8 else str(rows.dtype),
+            metric=metric,
+            num_devices=num_devices,
+            use_pallas=use_pallas,
+        )
+        index.num_rows = index.capacity = n
+        index._dev_rows = rows
+        index._dev_scale = row_scale
+        index._dev_valid = valid if valid is not None else jnp.ones((n,), jnp.bool_)
+        index._dev_row_chunk = row_chunk.astype(jnp.int32)
+        if metric == "l2":
+            deq = rows.astype(jnp.float32)
+            if row_scale is not None:
+                deq = deq * row_scale[:, None]
+            index._dev_sqnorm = jnp.sum(deq * deq, axis=1)
+        else:
+            index._dev_sqnorm = jnp.zeros((n,), jnp.float32)
+        index.row_chunk = np.zeros((0,), dtype=np.int64)  # host mirror absent
+        index.chunk_ids = []
+        index._dirty = False
+        index._dev_rows_synced = n
+        return index
 
     # --- Checkpoint / resume ----------------------------------------------
 

@@ -107,23 +107,21 @@ def vector_search(
         if not cmask.any():
             return [], []
         row_mask = cmask[index.row_chunk]
+    # Fused scan + on-device multi-vector group-max aggregation
+    # (reference: :143-152) + final ranking: one device program, one fetch.
     with phase("search.dense_scan"):
-        scores, row_ids = index.search(
+        chunk_scores, chunk_ordinals = index.search_chunks(
             query_embedding[None, :],
             num_hits=min(num_hits, index.num_rows),
+            num_results=num_results,
             row_mask=row_mask,
             adapter=adapter,
         )
-    # Multi-vector aggregation: max similarity per chunk (reference: :143-152).
-    best: dict[int, float] = {}
-    for score, row in zip(scores[0], row_ids[0]):
-        if not np.isfinite(score):
-            continue
-        ordinal = int(index.row_chunk[row])
-        if score > best.get(ordinal, -np.inf):
-            best[ordinal] = float(score)
-    ranked = sorted(best.items(), key=lambda kv: kv[1], reverse=True)[:num_results]
-    return [index.chunk_ids[o] for o, _ in ranked], [s for _, s in ranked]
+    keep = chunk_ordinals[0] >= 0
+    return (
+        [index.chunk_ids[o] for o in chunk_ordinals[0][keep]],
+        [float(s) for s in chunk_scores[0][keep]],
+    )
 
 
 def vector_search_batch(
@@ -159,20 +157,22 @@ def vector_search_batch(
         if not cmask.any():
             return [([], []) for _ in queries]
         row_mask = cmask[index.row_chunk]
-    scores, row_ids = index.search(
-        embeddings, num_hits=min(num_hits, index.num_rows), row_mask=row_mask, adapter=adapter
+    chunk_scores, chunk_ordinals = index.search_chunks(
+        embeddings,
+        num_hits=min(num_hits, index.num_rows),
+        num_results=num_results,
+        row_mask=row_mask,
+        adapter=adapter,
     )
     results: list[tuple[list[ChunkId], list[float]]] = []
     for b in range(len(queries)):
-        best: dict[int, float] = {}
-        for score, row in zip(scores[b], row_ids[b]):
-            if not np.isfinite(score):
-                continue
-            ordinal = int(index.row_chunk[row])
-            if score > best.get(ordinal, -np.inf):
-                best[ordinal] = float(score)
-        ranked = sorted(best.items(), key=lambda kv: kv[1], reverse=True)[:num_results]
-        results.append(([index.chunk_ids[o] for o, _ in ranked], [s for _, s in ranked]))
+        keep = chunk_ordinals[b] >= 0
+        results.append(
+            (
+                [index.chunk_ids[o] for o in chunk_ordinals[b][keep]],
+                [float(s) for s in chunk_scores[b][keep]],
+            )
+        )
     return results
 
 
