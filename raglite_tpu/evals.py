@@ -63,11 +63,13 @@ def generate_eval(*, max_chunks: int = 20, config: RAGLiteConfig | None = None) 
     (reference: _eval.py:26-165)."""
     config = config or RAGLiteConfig()
     store = store_from_config(config)
-    if not store.chunk_order:
+    alive = store.alive_chunk_ids()
+    if not alive:
         msg = "First run `insert_documents()` before generating evals."
         raise ValueError(msg)
-    # Random seed chunk, expanded via vector search on its mean embedding.
-    seed_chunk_id = store.chunk_order[randint(0, len(store.chunk_order) - 1)]  # noqa: S311
+    # Random seed chunk (never a tombstoned one), expanded via vector search
+    # on its mean embedding.
+    seed_chunk_id = alive[randint(0, len(alive) - 1)]  # noqa: S311
     seed_matrix = store.embeddings[seed_chunk_id].astype(np.float32)
     related_chunk_ids, _ = vector_search(
         np.mean(seed_matrix, axis=0),

@@ -196,32 +196,80 @@ class DenseIndex:
         self.append_chunks(
             [store.embeddings[cid] for cid in store.chunk_order], list(store.chunk_order)
         )
+        self._apply_tombstones(store)
         self._dirty = True
         self._synced_version = store.version
+        self._synced_generation = store.generation
+
+    def _apply_tombstones(self, store: "Store") -> None:
+        """Flip the valid bit of every row of a tombstoned chunk — deletes
+        are an O(1)-per-row mask update on device, never a rebuild
+        (replacing the reference's delete + hnsw_compact_index,
+        _delete.py:130-178)."""
+        if not store.deleted_chunks:
+            self._synced_deleted = 0
+            return
+        chunk_alive = np.ones(len(self.chunk_ids), dtype=np.bool_)
+        deleted = store.deleted_chunks
+        for ordinal, cid in enumerate(self.chunk_ids):
+            if cid in deleted:
+                chunk_alive[ordinal] = False
+        new_valid = chunk_alive[self.row_chunk]
+        if not np.array_equal(new_valid, self._host_valid[: self.num_rows]):
+            self._host_valid[: self.num_rows] = new_valid
+            self._valid_dirty = True
+        self._synced_deleted = len(deleted)
 
     def sync(self, store: "Store") -> None:
-        """Incremental append when the store only grew; rebuild otherwise."""
-        if self._synced_version == store.version:
+        """Incremental append when the store only grew; tombstone-mask
+        update on deletes; full rebuild only after a compaction (store
+        generation bump) or an unrecognized log."""
+        if (
+            self._synced_version == store.version
+            and getattr(self, "_synced_generation", 0) == store.generation
+        ):
             return
         n_known = len(self.chunk_ids)
         if (
-            len(store.chunk_order) >= n_known
+            getattr(self, "_synced_generation", 0) == store.generation
+            and len(store.chunk_order) >= n_known
             and store.chunk_order[:n_known] == self.chunk_ids
         ):
             new_ids = store.chunk_order[n_known:]
-            self.append_chunks([store.embeddings[cid] for cid in new_ids], new_ids)
+            if new_ids:
+                self.append_chunks([store.embeddings[cid] for cid in new_ids], new_ids)
+            if len(store.deleted_chunks) != getattr(self, "_synced_deleted", 0):
+                self._apply_tombstones(store)
         else:
             self.rebuild(store)
         self._synced_version = store.version
+        self._synced_generation = store.generation
 
     def _refresh_device(self) -> None:
         if self._dev_rows is not None and not self._dirty:
-            if self._dev_rows_synced == self.num_rows:
-                return
-            if self.num_devices == 1:
+            if self._dev_rows_synced != self.num_rows and self.num_devices == 1:
                 self._append_to_device()
+            if self._dev_rows_synced == self.num_rows:
+                if getattr(self, "_valid_dirty", False):
+                    self._upload_valid()
                 return
         self._full_upload()
+        self._valid_dirty = False
+
+    def _upload_valid(self) -> None:
+        """Re-ship only the tombstone mask (1 bit/row): deletes never
+        re-upload the row matrix."""
+        valid_host = np.zeros((self.capacity,), dtype=np.bool_)
+        valid_host[: self.num_rows] = self._host_valid[: self.num_rows]
+        if self.num_devices > 1:
+            from raglite_tpu.parallel.mesh import index_mesh
+
+            mesh = index_mesh(self.num_devices)
+            one_d = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+            self._dev_valid = jax.device_put(jnp.asarray(valid_host), one_d)
+        else:
+            self._dev_valid = jnp.asarray(valid_host)
+        self._valid_dirty = False
 
     def _append_to_device(self) -> None:
         """Upload only rows appended since the last sync (single device):

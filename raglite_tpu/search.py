@@ -50,11 +50,11 @@ __all__ = [
 
 
 def _chunk_mask(store, metadata_filter: MetadataFilter) -> np.ndarray:
-    """Boolean mask over chunk ordinals matching the metadata filter."""
-    mask = np.zeros(len(store.chunk_order), dtype=np.bool_)
-    for i, cid in enumerate(store.chunk_order):
-        mask[i] = store.chunk_metadata_matches(store.chunks[cid], metadata_filter)
-    return mask
+    """Boolean mask over chunk ordinals matching the metadata filter,
+    computed from the store's incremental per-(field,value) ordinal
+    postings in O(matching) — not an O(corpus) scan (reference plans
+    filters in SQL, _search.py:96-141)."""
+    return store.chunk_mask_for_filter(metadata_filter)
 
 
 def vector_search(
@@ -192,7 +192,9 @@ def keyword_search(
 
         metadata_filter = {**self_query_filter(query, config=config), **(metadata_filter or {})}
     index = keyword_index_from_config(config)
-    chunk_mask = _chunk_mask(store, metadata_filter) if metadata_filter else None
+    # Tombstoned chunks are masked here (the dense index masks them via its
+    # device valid bits; BM25 postings keep them until store compaction).
+    chunk_mask = _chunk_mask(store, metadata_filter) if metadata_filter else store.alive_mask()
     ids, scores = index.search(query, num_hits=num_results, chunk_mask=chunk_mask)
     return ids[:num_results], scores[:num_results]
 

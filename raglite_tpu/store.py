@@ -1,11 +1,30 @@
 """Host-side document/chunk store.
 
 Replaces the reference's SQL backends (DuckDB / PostgreSQL,
-/root/reference/src/raglite/_database.py:518-646) with a columnar on-disk
-store: record tables serialized with msgpack, chunk-embedding matrices as
-one contiguous ``.npy`` per save, and a JSON manifest.  The store is the
-durable checkpoint (the reference treats its database the same way, SURVEY
-§5.4); the device-side HBM index (index/dense.py) is rebuilt from it.
+/root/reference/src/raglite/_database.py:518-646) with an append-only
+columnar store designed for the 10M-chunk north star:
+
+- **Append-only chunk log**: ``chunk_order`` only ever grows; deletes mark
+  tombstones (``deleted_chunks``) instead of renumbering, so the device
+  index maps deletes to an O(1) valid-mask flip rather than a rebuild
+  (replacing DuckDB's delete + ``hnsw_compact_index`` + FTS rebuild,
+  _delete.py:130-178).  Compaction rewrites the log when the tombstone
+  fraction crosses a threshold.
+- **Segment persistence**: each ``save()`` appends one segment directory
+  (records msgpack + stacked fp16 embeddings ``.npy``) holding only the
+  chunks added since the previous save, plus a small rewritten head file
+  (documents/metadata/evals/tombstones).  Saving N new chunks is O(N),
+  not O(corpus); loading memory-maps the per-segment embedding files so
+  resident memory stays bounded.
+- **Metadata ordinal postings**: per (field, value) lists of chunk
+  ordinals maintained incrementally on insert, so a filtered search
+  computes its chunk mask from the postings union/intersection in
+  O(matching) instead of an O(corpus) Python scan (the reference plans
+  filters inside SQL, _search.py:96-141).
+
+The store is the durable checkpoint (the reference treats its database the
+same way, SURVEY §5.4); device indexes (index/dense.py, index/keyword.py)
+rebuild or incrementally sync from it.
 
 Concurrency mirrors the reference: an ``lru_cache``d store per path
 (_database.py:518), and a ``FileLock`` serializing cross-process writers
@@ -15,6 +34,7 @@ Concurrency mirrors the reference: an ``lru_cache``d store per path
 from __future__ import annotations
 
 import json
+import shutil
 from dataclasses import asdict
 from functools import lru_cache
 from pathlib import Path
@@ -30,31 +50,48 @@ from raglite_tpu.types import ChunkId, DocumentId
 if TYPE_CHECKING:
     from raglite_tpu.config import RAGLiteConfig
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
+
+#: Compact the chunk log when tombstones exceed this fraction of it.
+COMPACTION_TOMBSTONE_FRACTION = 0.5
 
 
 class Store:
-    """In-memory tables with optional directory persistence."""
+    """In-memory tables over an append-only chunk log, with optional
+    segment-directory persistence."""
 
     def __init__(self, path: str) -> None:
         self.path = path
         self.persistent = path != ":memory:"
         self.documents: dict[DocumentId, Document] = {}
         self.chunks: dict[ChunkId, Chunk] = {}
-        #: Chunk ids in insertion order — the device index row-group order.
+        #: Chunk ids in insertion order — append-only; this IS the device
+        #: index row-group order.  Deletes tombstone, never remove.
         self.chunk_order: list[ChunkId] = []
-        #: Multi-vector embedding matrix per chunk (np.float16 [m, d]).
+        #: Tombstoned chunk ids (still present in chunk_order/embeddings
+        #: until compaction; masked out of every search).
+        self.deleted_chunks: set[ChunkId] = set()
+        #: Multi-vector embedding matrix per chunk (np.float16 [m, d];
+        #: views into mmap'd segment files after a load).
         self.embeddings: dict[ChunkId, np.ndarray] = {}
         #: Metadata field name -> known values (reference: Metadata table,
         #: _database.py:465-472; drives self-query filter extraction).
         self.metadata: dict[str, list[Any]] = {}
-        #: Pickled auxiliary state, e.g. the query adapter (reference:
-        #: IndexMetadata table, _database.py:433-462).
+        #: field -> value -> chunk ordinals holding it (incremental; powers
+        #: O(matching) filtered search instead of an O(corpus) scan).
+        self._meta_postings: dict[str, dict[Any, list[int]]] = {}
+        #: Auxiliary state, e.g. the query adapter (reference: IndexMetadata
+        #: table, _database.py:433-462) — persisted WITHOUT pickle.
         self.index_metadata: dict[str, Any] = {}
         self.evals: dict[str, Eval] = {}
-        #: Monotonic counter bumped on every mutation; the device index
-        #: compares it to decide when to resync.
+        #: Monotonic counter bumped on every mutation; device indexes
+        #: compare it to decide when to resync.
         self.version = 0
+        #: Monotonic counter bumped on every compaction (device indexes
+        #: must full-rebuild when it changes).
+        self.generation = 0
+        #: Chunks [0:_saved_chunks) are already persisted in segments.
+        self._saved_chunks = 0
         if self.persistent:
             Path(path).mkdir(parents=True, exist_ok=True)
             self._load()
@@ -82,28 +119,61 @@ class Store:
         self.documents[document.id] = record
         self.version += 1
 
+    def _post_metadata(self, ordinal: int, metadata: dict[str, Any]) -> None:
+        for key, value in metadata.items():
+            values = value if isinstance(value, list) else [value]
+            for v in values:
+                if isinstance(v, (str, int, float, bool)):
+                    self._meta_postings.setdefault(key, {}).setdefault(v, []).append(ordinal)
+
     def add_chunks(self, chunks: list[Chunk], embeddings: list[np.ndarray]) -> None:
         for chunk, matrix in zip(chunks, embeddings):
+            ordinal = len(self.chunk_order)
             self.chunks[chunk.id] = chunk
             self.chunk_order.append(chunk.id)
             self.embeddings[chunk.id] = np.asarray(matrix, dtype=np.float16)
+            self._post_metadata(ordinal, chunk.metadata_)
         self.version += 1
 
     def delete_documents(self, document_ids: list[DocumentId]) -> list[ChunkId]:
+        """Tombstone every chunk of the given documents (O(doc chunks), no
+        renumbering); compaction reclaims space when tombstones dominate."""
         doomed = set(document_ids)
         removed: list[ChunkId] = []
-        for cid in list(self.chunk_order):
-            if self.chunks[cid].document_id in doomed:
+        for cid, chunk in list(self.chunks.items()):
+            if chunk.document_id in doomed:
                 removed.append(cid)
                 del self.chunks[cid]
-                self.embeddings.pop(cid, None)
-        self.chunk_order = [c for c in self.chunk_order if c not in set(removed)]
+                self.deleted_chunks.add(cid)
         for did in document_ids:
             self.documents.pop(did, None)
         for eid in [e for e, ev in self.evals.items() if ev.document_id in doomed]:
             del self.evals[eid]
         self.version += 1
+        if (
+            self.chunk_order
+            and len(self.deleted_chunks) / len(self.chunk_order) > COMPACTION_TOMBSTONE_FRACTION
+        ):
+            self.compact()
         return removed
+
+    def compact(self) -> None:
+        """Rewrite the chunk log without tombstones (the analogue of the
+        reference's ``hnsw_compact_index`` + FTS rebuild postlude)."""
+        alive = [cid for cid in self.chunk_order if cid not in self.deleted_chunks]
+        self.chunk_order = alive
+        self.embeddings = {cid: self.embeddings[cid] for cid in alive}
+        self.deleted_chunks = set()
+        self._meta_postings = {}
+        for ordinal, cid in enumerate(alive):
+            self._post_metadata(ordinal, self.chunks[cid].metadata_)
+        self.generation += 1
+        self.version += 1
+        self._saved_chunks = 0  # all segments are stale; next save rewrites
+        if self.persistent:
+            segments_dir = Path(self.path) / "segments"
+            if segments_dir.exists():
+                shutil.rmtree(segments_dir)
 
     def update_metadata(self, values: dict[str, set[Any]]) -> None:
         for key, vals in values.items():
@@ -145,6 +215,31 @@ class Store:
     def has_document(self, document_id: DocumentId) -> bool:
         return document_id in self.documents
 
+    @property
+    def num_alive_chunks(self) -> int:
+        return len(self.chunk_order) - len(self.deleted_chunks)
+
+    def alive_chunk_ids(self) -> list[ChunkId]:
+        if not self.deleted_chunks:
+            return list(self.chunk_order)
+        return [cid for cid in self.chunk_order if cid not in self.deleted_chunks]
+
+    def alive_mask(self) -> np.ndarray | None:
+        """Bool mask over chunk ordinals, or None when nothing is deleted
+        (cached per store version — searches call this per query)."""
+        if not self.deleted_chunks:
+            return None
+        cached = getattr(self, "_alive_mask_cache", None)
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        mask = np.ones(len(self.chunk_order), dtype=np.bool_)
+        deleted = self.deleted_chunks
+        for i, cid in enumerate(self.chunk_order):
+            if cid in deleted:
+                mask[i] = False
+        self._alive_mask_cache = (self.version, mask)
+        return mask
+
     def get_chunk(self, chunk_id: ChunkId) -> Chunk | None:
         chunk = self.chunks.get(chunk_id)
         if chunk is not None:
@@ -175,60 +270,165 @@ class Store:
                 return False
         return True
 
+    def chunk_mask_for_filter(self, metadata_filter: dict[str, Any]) -> np.ndarray:
+        """Bool mask over chunk ordinals matching the filter, from the
+        incremental metadata postings: O(matching ordinals) per query, vs
+        the reference's COUNT-probe SQL filter planning (_search.py:96-141)
+        and round 1's O(corpus) Python scan.  Tombstoned chunks are masked.
+        Falls back to the slow scan only for unindexable (non-scalar)
+        filter values."""
+        n = len(self.chunk_order)
+        mask: np.ndarray | None = None
+        for key, wanted in metadata_filter.items():
+            wanted_list = wanted if isinstance(wanted, list) else [wanted]
+            if not all(isinstance(w, (str, int, float, bool)) for w in wanted_list):
+                return self._chunk_mask_scan(metadata_filter)
+            key_mask = np.zeros(n, dtype=np.bool_)
+            postings = self._meta_postings.get(key, {})
+            for w in wanted_list:
+                ords = postings.get(w)
+                if ords:
+                    key_mask[np.asarray(ords, dtype=np.int64)] = True
+            mask = key_mask if mask is None else (mask & key_mask)
+            if not mask.any():
+                return mask
+        if mask is None:
+            mask = np.ones(n, dtype=np.bool_)
+        alive = self.alive_mask()
+        if alive is not None:
+            mask &= alive
+        return mask
+
+    def _chunk_mask_scan(self, metadata_filter: dict[str, Any]) -> np.ndarray:
+        mask = np.zeros(len(self.chunk_order), dtype=np.bool_)
+        for i, cid in enumerate(self.chunk_order):
+            chunk = self.chunks.get(cid)
+            mask[i] = chunk is not None and self.chunk_metadata_matches(chunk, metadata_filter)
+        return mask
+
     # --- Persistence ----------------------------------------------------
 
+    def _chunk_record(self, cid: ChunkId) -> dict[str, Any]:
+        c = self.chunks.get(cid)
+        if c is None:  # tombstoned before ever being saved
+            return {"id": cid, "document_id": "", "index": -1, "headings": "",
+                    "body": "", "metadata_": {}}
+        return {
+            "id": c.id,
+            "document_id": c.document_id,
+            "index": c.index,
+            "headings": c.headings,
+            "body": c.body,
+            "metadata_": c.metadata_,
+        }
+
     def save(self) -> None:
+        """Append a segment with the not-yet-persisted chunk-log suffix and
+        rewrite the (small) head: O(new chunks), not O(corpus)."""
         if not self.persistent:
             return
         root = Path(self.path)
-        records = {
+        new_ids = self.chunk_order[self._saved_chunks :]
+        if new_ids:
+            seg_name = f"seg-{self.generation:04d}-{self._saved_chunks:010d}"
+            seg_dir = root / "segments" / seg_name
+            seg_dir.mkdir(parents=True, exist_ok=True)
+            (seg_dir / "records.msgpack").write_bytes(
+                msgpack.packb([self._chunk_record(cid) for cid in new_ids], use_bin_type=True)
+            )
+            counts = np.asarray(
+                [self.embeddings[cid].shape[0] for cid in new_ids], dtype=np.int64
+            )
+            dim = self.embeddings[new_ids[0]].shape[1] if len(new_ids) else 0
+            stacked = (
+                np.concatenate([np.asarray(self.embeddings[cid]) for cid in new_ids], axis=0)
+                if len(new_ids)
+                else np.zeros((0, dim), dtype=np.float16)
+            )
+            np.save(seg_dir / "embeddings.npy", stacked.astype(np.float16))
+            np.save(seg_dir / "counts.npy", counts)
+            self._saved_chunks = len(self.chunk_order)
+        head = {
             "format_version": _FORMAT_VERSION,
             "version": self.version,
+            "generation": self.generation,
             "documents": [
                 {k: v for k, v in asdict(d).items() if k != "content"}
                 for d in self.documents.values()
             ],
-            "chunks": [
-                {
-                    "id": c.id,
-                    "document_id": c.document_id,
-                    "index": c.index,
-                    "headings": c.headings,
-                    "body": c.body,
-                    "metadata_": c.metadata_,
-                }
-                for cid in self.chunk_order
-                if (c := self.chunks[cid])
-            ],
             "metadata": self.metadata,
             "evals": [asdict(e) for e in self.evals.values()],
+            "deleted_chunks": sorted(self.deleted_chunks),
+            "segments": sorted(
+                p.name for p in (root / "segments").iterdir()
+            ) if (root / "segments").exists() else [],
         }
-        (root / "records.msgpack").write_bytes(msgpack.packb(records, use_bin_type=True))
-        # Embeddings: one stacked fp16 matrix + per-chunk row counts.
-        counts = np.asarray(
-            [self.embeddings[cid].shape[0] for cid in self.chunk_order], dtype=np.int64
-        )
-        if len(self.chunk_order):
-            stacked = np.concatenate([self.embeddings[cid] for cid in self.chunk_order], axis=0)
-        else:
-            stacked = np.zeros((0, 0), dtype=np.float16)
-        np.save(root / "embeddings.npy", stacked)
-        np.save(root / "embedding_counts.npy", counts)
+        tmp = root / "head.msgpack.tmp"
+        tmp.write_bytes(msgpack.packb(head, use_bin_type=True))
+        tmp.replace(root / "head.msgpack")
         self._save_index_metadata(root)
-        (root / "manifest.json").write_text(
-            json.dumps({"format_version": _FORMAT_VERSION, "version": self.version})
-        )
+        # Drop pre-segment (format v1) files once superseded.
+        for legacy in ("records.msgpack", "embeddings.npy", "embedding_counts.npy",
+                       "manifest.json"):
+            legacy_path = root / legacy
+            if legacy_path.exists():
+                legacy_path.unlink()
 
     def _load(self) -> None:
         root = Path(self.path)
-        rec_path = root / "records.msgpack"
-        if not rec_path.exists():
-            return
-        records = msgpack.unpackb(rec_path.read_bytes(), raw=False)
+        if (root / "head.msgpack").exists():
+            self._load_segmented(root)
+        elif (root / "records.msgpack").exists():
+            self._load_legacy_v1(root)
+        self._load_index_metadata(root)
+        # Rebuild the metadata postings (O(corpus), once per open).
+        self._meta_postings = {}
+        for ordinal, cid in enumerate(self.chunk_order):
+            chunk = self.chunks.get(cid)
+            if chunk is not None:
+                self._post_metadata(ordinal, chunk.metadata_)
+
+    def _load_segmented(self, root: Path) -> None:
+        head = msgpack.unpackb((root / "head.msgpack").read_bytes(), raw=False)
+        for d in head["documents"]:
+            self.documents[d["id"]] = Document(**d)
+        self.metadata = head.get("metadata", {})
+        for e in head.get("evals", []):
+            self.evals[e["id"]] = Eval(**e)
+        self.deleted_chunks = set(head.get("deleted_chunks", []))
+        self.generation = head.get("generation", 0)
+        for seg_name in head.get("segments", []):
+            seg_dir = root / "segments" / seg_name
+            records = msgpack.unpackb((seg_dir / "records.msgpack").read_bytes(), raw=False)
+            counts = np.load(seg_dir / "counts.npy")
+            # Memory-map the embedding matrix: per-chunk views keep resident
+            # memory bounded at 10M-chunk scale.
+            stacked = np.load(seg_dir / "embeddings.npy", mmap_mode="r")
+            offset = 0
+            for rec, m in zip(records, counts):
+                cid = rec["id"]
+                self.chunk_order.append(cid)
+                self.embeddings[cid] = stacked[offset : offset + int(m)]
+                offset += int(m)
+                if cid not in self.deleted_chunks and rec["index"] >= 0:
+                    self.chunks[cid] = Chunk(
+                        id=cid,
+                        document_id=rec["document_id"],
+                        index=rec["index"],
+                        headings=rec["headings"],
+                        body=rec["body"],
+                        metadata_=rec["metadata_"],
+                    )
+        self.version = head.get("version", 0)
+        self._saved_chunks = len(self.chunk_order)
+
+    def _load_legacy_v1(self, root: Path) -> None:
+        """Read the round-1 single-blob layout; the next save converts."""
+        records = msgpack.unpackb((root / "records.msgpack").read_bytes(), raw=False)
         for d in records["documents"]:
             self.documents[d["id"]] = Document(**d)
         counts = np.load(root / "embedding_counts.npy")
-        stacked = np.load(root / "embeddings.npy")
+        stacked = np.load(root / "embeddings.npy", mmap_mode="r")
         offset = 0
         for c, m in zip(records["chunks"], counts):
             chunk = Chunk(
@@ -246,8 +446,8 @@ class Store:
         self.metadata = records.get("metadata", {})
         for e in records.get("evals", []):
             self.evals[e["id"]] = Eval(**e)
-        self._load_index_metadata(root)
         self.version = records.get("version", 0)
+        self._saved_chunks = 0  # force the first segmented save to cover all
 
     def _save_index_metadata(self, root: Path) -> None:
         """Persist index_metadata without pickle: numpy arrays go into an

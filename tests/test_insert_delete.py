@@ -81,8 +81,11 @@ def test_delete_restores_state(tmp_path) -> None:
     deleted = delete_documents([doc_a.id], config=config)
     assert deleted == 1
     assert doc_a.id not in store.documents
-    assert all(store.chunks[cid].document_id == doc_b.id for cid in store.chunk_order)
-    assert len(store.chunk_order) < n_total
+    # Deletes tombstone (append-only chunk log): the live chunk records all
+    # belong to the surviving document, and the alive count shrinks.
+    assert all(chunk.document_id == doc_b.id for chunk in store.chunks.values())
+    assert all(cid in store.deleted_chunks or cid in store.chunks for cid in store.chunk_order)
+    assert store.num_alive_chunks < n_total
     # Metadata values only held by the deleted document are pruned.
     assert "Wool" not in store.metadata.get("topic", [])
     assert "Physics" in store.metadata.get("topic", [])
