@@ -45,7 +45,7 @@ def main() -> None:
     parser.add_argument("--num-hits", type=int, default=40)
     parser.add_argument("--num-results", type=int, default=10)
     parser.add_argument("--iters", type=int, default=20)
-    parser.add_argument("--latency-reps", type=int, default=30)
+    parser.add_argument("--latency-reps", type=int, default=50)
     parser.add_argument("--dtype", choices=("int8", "bfloat16"), default="int8")
     parser.add_argument(
         "--pallas", choices=("auto", "on", "off"), default="auto",
@@ -136,17 +136,23 @@ def main() -> None:
     qps = args.iters * b / elapsed
 
     # True per-call latency percentiles through the FULL public method
-    # (device pipeline + host decode), tunnel RPC subtracted per call.
-    lat = []
+    # (device pipeline + host decode).  RPC baseline samples interleave 1:1
+    # with the measured calls so tunnel-latency drift cancels:
+    # p50 = median(call) - median(interleaved pure fetch).
+    lat, rpc_inter = [], []
     for _ in range(args.latency_reps):
+        t0 = time.perf_counter()
+        np.asarray(tiny[0])
+        rpc_inter.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         index.search_chunks(
             q1, num_hits=args.num_hits, num_results=args.num_results, adapter=adapter
         )
-        lat.append(time.perf_counter() - t0 - rpc_floor)
+        lat.append(time.perf_counter() - t0)
     lat_ms = np.asarray(lat) * 1e3
-    p50_ms = float(np.percentile(lat_ms, 50))
-    p95_ms = float(np.percentile(lat_ms, 95))
+    rpc_ms = float(np.median(rpc_inter)) * 1e3
+    p50_ms = float(np.percentile(lat_ms, 50)) - rpc_ms
+    p95_ms = float(np.percentile(lat_ms, 95)) - rpc_ms
 
     print(
         json.dumps(
@@ -160,8 +166,11 @@ def main() -> None:
                 "vs_baseline": round(qps / 5000.0, 3),
                 "p50_ms": round(p50_ms, 3),
                 "p95_ms": round(p95_ms, 3),
-                "latency_method": "per-call dispatch->fetch, median tunnel RPC subtracted",
-                "tunnel_rpc_ms": round(rpc_floor * 1e3, 2),
+                "latency_method": (
+                    "per-call dispatch->fetch minus median of 1:1-interleaved "
+                    "pure-RPC fetches (tunnel-honest; ~0 on local hosts)"
+                ),
+                "tunnel_rpc_ms": round(rpc_ms, 2),
                 "recall_at_10": round(recall, 4),
                 "batch": b,
                 "num_hits": args.num_hits,

@@ -86,6 +86,36 @@ def _dense_search(
     return jax.lax.approx_max_k(sims, num_hits, recall_target=0.95)
 
 
+@partial(jax.jit, static_argnames=("num_hits", "num_results", "metric", "exact"))
+def _dense_search_chunks_fused(
+    rows: jax.Array,
+    row_sqnorm: jax.Array,
+    valid: jax.Array,
+    row_chunk: jax.Array,
+    queries: jax.Array,  # [B, d] fp32
+    row_scale: jax.Array | None = None,
+    adapter: jax.Array | None = None,  # [d, d] query adapter
+    *,
+    num_hits: int,
+    num_results: int,
+    metric: str,
+    exact: bool,
+) -> jax.Array:
+    """Single-program latency path: adapter matmul + scan + group-max +
+    final ranking in one XLA executable, so a B=1 query costs ONE dispatch
+    instead of three (each dispatch is a host->device round-trip on serving
+    hosts).  Used for small batches only: at large batch the two-program
+    split measured 4x faster (100k vs 26k QPS @B=1024 on v5e — XLA
+    schedules the monolith worse there)."""
+    if adapter is not None:
+        queries = queries @ adapter.T
+    scores, idx = _dense_search(
+        rows, row_sqnorm, valid, queries, row_scale,
+        num_hits=num_hits, metric=metric, exact=exact,
+    )
+    return _group_max_topk(scores, idx, row_chunk, num_results=num_results)
+
+
 @partial(jax.jit, static_argnames=("num_results",))
 def _group_max_topk(
     scores: jax.Array,  # [B, K] descending sub-vector scores
@@ -514,7 +544,41 @@ class DenseIndex:
     ) -> jax.Array:
         """Device half of :meth:`search_chunks`: returns the packed
         [2, B, num_results] result WITHOUT fetching to the host, so servers
-        (and bench.py) can pipeline batches with the transfer overlapped."""
+        (and bench.py) can pipeline batches with the transfer overlapped.
+
+        Small batches route through ONE fused XLA program (dispatch-count =
+        1 on the latency path); large batches keep the two-program split,
+        which XLA schedules 4x faster at B=1024 on v5e.
+        """
+        batch = queries.shape[0]
+        if exact is None:
+            exact_resolved = self.num_rows <= EXACT_TOPK_MAX_ROWS
+        else:
+            exact_resolved = exact
+        if (
+            batch <= 32
+            and self.num_devices == 1
+            and not (not exact_resolved and self._use_fused_kernel(batch))
+        ):
+            self._refresh_device()
+            valid = self._dev_valid
+            if row_mask is not None:
+                padded = np.zeros((self.capacity,), dtype=np.bool_)
+                padded[: len(row_mask)] = row_mask
+                valid = jnp.logical_and(valid, jnp.asarray(padded))
+            return _dense_search_chunks_fused(
+                self._dev_rows,
+                self._dev_sqnorm,
+                valid,
+                self._dev_row_chunk,
+                jnp.asarray(queries, dtype=jnp.float32),
+                self._dev_scale,
+                self._adapter_device(adapter),
+                num_hits=min(num_hits, self.capacity),
+                num_results=num_results,
+                metric=self.metric,
+                exact=exact_resolved,
+            )
         scores, idx = self._scan_device(
             queries, num_hits=num_hits, row_mask=row_mask, adapter=adapter, exact=exact
         )

@@ -32,10 +32,10 @@ Params = dict[str, Any]
 __all__ = ["DecoderModel", "init_decoder_params", "JaxChatLLM"]
 
 
-def _rms_norm(x: jax.Array, scale: jax.Array) -> jax.Array:
+def _rms_norm(x: jax.Array, scale: jax.Array, eps: float = 1e-6) -> jax.Array:
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32**2, axis=-1, keepdims=True)
-    return (x32 * jax.lax.rsqrt(var + 1e-6) * scale).astype(x.dtype)
+    return (x32 * jax.lax.rsqrt(var + eps) * scale).astype(x.dtype)
 
 
 def _rope(x: jax.Array, positions: jax.Array, base: float = 10000.0) -> jax.Array:
@@ -82,12 +82,108 @@ def init_decoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Para
     return params
 
 
+def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
+    """Load a Qwen2/Qwen3-family HF checkpoint directory into our layout.
+
+    The pretrained-weights path the reference gets from llama.cpp GGUF
+    loading (_litellm.py:96-148).  Expects ``config.json`` plus one or more
+    ``*.safetensors`` shards (``model.safetensors`` or an index); returns
+    ``(cfg, params, tokenizer)`` where tokenizer is the checkpoint's HF
+    tokenizer when ``tokenizer.json`` is present.
+
+    Layout notes (verified against transformers' Qwen2/Qwen3 modeling):
+    - linear weights are stored [out, in] -> transposed into our [in, out];
+    - Qwen2 has q/k/v biases; Qwen3 replaces them with per-head q/k RMS
+      norms and may set head_dim != d_model/heads;
+    - lm_head may be tied to the input embedding (tie_word_embeddings).
+    """
+    import json
+    import os
+
+    from safetensors import safe_open
+
+    from raglite_tpu.models.tokenizer import load_tokenizer
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = dict(
+        layers=hf["num_hidden_layers"],
+        d_model=hf["hidden_size"],
+        heads=hf["num_attention_heads"],
+        kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        d_ff=hf["intermediate_size"],
+        vocab=hf["vocab_size"],
+        max_len=hf.get("max_position_embeddings", 32768),
+        head_dim=hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"],
+        rope_base=hf.get("rope_theta", 10000.0),
+        rms_eps=hf.get("rms_norm_eps", 1e-6),
+    )
+    shards = sorted(
+        os.path.join(path, name)
+        for name in os.listdir(path)
+        if name.endswith(".safetensors")
+    )
+    tensors: dict[str, np.ndarray] = {}
+    for shard in shards:
+        with safe_open(shard, framework="np") as f:
+            for name in f.keys():  # noqa: SIM118
+                tensors[name] = f.get_tensor(name)
+
+    def t(name: str, transpose: bool = False) -> jax.Array:
+        x = tensors[name]
+        return jnp.asarray(x.T if transpose else x, dtype=dtype)
+
+    def t32(name: str) -> jax.Array:
+        return jnp.asarray(tensors[name], dtype=jnp.float32)
+
+    params: Params = {
+        "tok_emb": t("model.embed_tokens.weight"),
+        "final_norm": t32("model.norm.weight"),
+        "lm_head": (
+            t("lm_head.weight", transpose=True)
+            if "lm_head.weight" in tensors
+            else t("model.embed_tokens.weight", transpose=True)  # tied
+        ),
+        "layers": [],
+    }
+    for i in range(cfg["layers"]):
+        b = f"model.layers.{i}."
+        layer: dict[str, jax.Array] = {
+            "attn_norm": t32(b + "input_layernorm.weight"),
+            "wq": t(b + "self_attn.q_proj.weight", transpose=True),
+            "wk": t(b + "self_attn.k_proj.weight", transpose=True),
+            "wv": t(b + "self_attn.v_proj.weight", transpose=True),
+            "wo": t(b + "self_attn.o_proj.weight", transpose=True),
+            "mlp_norm": t32(b + "post_attention_layernorm.weight"),
+            "w_gate": t(b + "mlp.gate_proj.weight", transpose=True),
+            "w_up": t(b + "mlp.up_proj.weight", transpose=True),
+            "w_down": t(b + "mlp.down_proj.weight", transpose=True),
+        }
+        if b + "self_attn.q_proj.bias" in tensors:  # Qwen2
+            layer["bq"] = t32(b + "self_attn.q_proj.bias")
+            layer["bk"] = t32(b + "self_attn.k_proj.bias")
+            layer["bv"] = t32(b + "self_attn.v_proj.bias")
+        if b + "self_attn.q_norm.weight" in tensors:  # Qwen3
+            layer["q_norm"] = t32(b + "self_attn.q_norm.weight")
+            layer["k_norm"] = t32(b + "self_attn.k_norm.weight")
+        params["layers"].append(layer)
+    tokenizer = load_tokenizer(os.path.join(path, "tokenizer.json"))
+    return cfg, params, tokenizer
+
+
 class DecoderModel:
-    """Functional forward passes over an explicit KV cache."""
+    """Functional forward passes over an explicit KV cache.
+
+    ``cfg`` optionally carries ``head_dim`` (Qwen3 decouples it from
+    d_model/heads), ``rope_base`` (Qwen uses 1e6), and ``rms_eps``; layer
+    params optionally carry q/k/v biases (Qwen2) and per-head q/k RMS norms
+    (Qwen3)."""
 
     def __init__(self, cfg: dict) -> None:
         self.cfg = cfg
-        self.head_dim = cfg["d_model"] // cfg["heads"]
+        self.head_dim = cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
+        self.rope_base = float(cfg.get("rope_base", 10000.0))
+        self.rms_eps = float(cfg.get("rms_eps", 1e-6))
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
         L, kvh, hd = self.cfg["layers"], self.cfg["kv_heads"], self.head_dim
@@ -114,12 +210,22 @@ class DecoderModel:
         x = params["tok_emb"][ids]
         new_k, new_v = [], []
         for li, layer in enumerate(params["layers"]):
-            h = _rms_norm(x, layer["attn_norm"])
-            q = (h @ layer["wq"]).reshape(B, T, heads, hd).transpose(0, 2, 1, 3)
-            k = (h @ layer["wk"]).reshape(B, T, kv_heads, hd).transpose(0, 2, 1, 3)
-            v = (h @ layer["wv"]).reshape(B, T, kv_heads, hd).transpose(0, 2, 1, 3)
-            q = _rope(q, positions)
-            k = _rope(k, positions)
+            h = _rms_norm(x, layer["attn_norm"], self.rms_eps)
+            q = h @ layer["wq"]
+            k = h @ layer["wk"]
+            v = h @ layer["wv"]
+            if "bq" in layer:  # Qwen2-style attention biases
+                q = q + layer["bq"]
+                k = k + layer["bk"]
+                v = v + layer["bv"]
+            q = q.reshape(B, T, heads, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(B, T, kv_heads, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(B, T, kv_heads, hd).transpose(0, 2, 1, 3)
+            if "q_norm" in layer:  # Qwen3-style per-head RMS norms
+                q = _rms_norm(q, layer["q_norm"], self.rms_eps)
+                k = _rms_norm(k, layer["k_norm"], self.rms_eps)
+            q = _rope(q, positions, self.rope_base)
+            k = _rope(k, positions, self.rope_base)
             k_cache = jax.lax.dynamic_update_slice(
                 cache["k"][li], k.astype(cache["k"].dtype), (0, 0, cache_len, 0)
             )
@@ -143,11 +249,11 @@ class DecoderModel:
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, heads * hd).astype(x.dtype)
             x = x + ctx @ layer["wo"]
             # SwiGLU MLP.
-            h = _rms_norm(x, layer["mlp_norm"])
+            h = _rms_norm(x, layer["mlp_norm"], self.rms_eps)
             gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
             up = (h @ layer["w_up"]).astype(jnp.float32)
             x = x + ((gate * up).astype(x.dtype) @ layer["w_down"])
-        x = _rms_norm(x, params["final_norm"])
+        x = _rms_norm(x, params["final_norm"], self.rms_eps)
         logits_out = (x @ params["lm_head"]).astype(jnp.float32)
         return logits_out, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
 
@@ -202,13 +308,33 @@ class JaxChatLLM:
 
             params, cfg = load_checkpoint(spec.removeprefix("ckpt:"))
             self.params = params
+            self.tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
+        elif spec.startswith("hf:"):
+            # Pretrained HF safetensors checkpoint (Qwen2/Qwen3 layout) with
+            # the checkpoint's own tokenizer — the real-weights path the
+            # reference gets via llama.cpp GGUF (_litellm.py:96-148).
+            cfg, self.params, self.tokenizer = load_safetensors_decoder(
+                spec.removeprefix("hf:"), dtype=dtype
+            )
         else:
             cfg = dict(self._PRESETS.get(spec, self._PRESETS["tiny"]))
             self.params = init_decoder_params(cfg, seed=seed, dtype=dtype)
+            self.tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
         self.cfg = cfg
         self.model = DecoderModel(cfg)
-        self.tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
+        self._byte_level = isinstance(self.tokenizer, ByteTokenizer)
+        # Byte-level automatons (grammar-constrained JSON) need the byte
+        # tokenizer; HF-BPE models fall back to schema-in-prompt (the
+        # extract layer handles both, reference: _extract.py:36-63).
+        self.supports_response_format = self._byte_level
         self.context_size = cfg["max_len"]
+        # Chat stop tokens (ChatML end marker when the vocab has one).
+        self._stop_ids = {self.tokenizer.EOS}
+        if not self._byte_level:
+            for name in ("<|im_end|>", "<|endoftext|>"):
+                tid = self.tokenizer.token_id(name)
+                if tid is not None:
+                    self._stop_ids.add(tid)
 
     def save_checkpoint(self, path: str) -> None:
         """Write an orbax checkpoint loadable via ``jax:ckpt:<path>``."""
@@ -300,7 +426,8 @@ class JaxChatLLM:
         byte stream; ``json_constrained`` is the schema-less shorthand."""
         tok = self.tokenizer
         ids = tok.encode(prompt)[-(self.context_size - max_new_tokens - 1) :]
-        ids = [tok.BOS, *ids]
+        if self._byte_level:
+            ids = [tok.BOS, *ids]
         pad = _bucket(len(ids))
         batch_ids = np.full((1, pad), tok.PAD, dtype=np.int32)
         batch_ids[0, : len(ids)] = ids
@@ -309,14 +436,20 @@ class JaxChatLLM:
         logits, cache = _prefill(self.model, self.params, jnp.asarray(batch_ids), cache)
         cache_len = len(ids)
         last_logits = np.asarray(logits[0, cache_len - 1])
-        if automaton is None and json_constrained:
+        if automaton is None and json_constrained and self._byte_level:
             automaton = JsonAutomaton()
-        # Base mask: only byte tokens and EOS are ever valid outputs for the
-        # byte tokenizer (ids beyond OFFSET+255 are unused vocabulary).
-        base_mask = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
-        base_mask[tok._OFFSET : tok._OFFSET + 256] = 0.0
-        base_mask[tok.EOS] = 0.0
-        mask = base_mask
+        if not self._byte_level:
+            # Grammar automatons are byte-level; pretrained BPE models run
+            # unconstrained (schema-in-prompt fallback upstream).
+            automaton = None
+            mask = np.zeros((self.cfg["vocab"],), dtype=np.float32)
+        else:
+            # Base mask: only byte tokens and EOS are ever valid outputs for
+            # the byte tokenizer (ids beyond OFFSET+255 are unused vocab).
+            base_mask = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
+            base_mask[tok._OFFSET : tok._OFFSET + 256] = 0.0
+            base_mask[tok.EOS] = 0.0
+            mask = base_mask
 
         def byte_mask() -> np.ndarray:
             m = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
@@ -338,7 +471,7 @@ class JaxChatLLM:
                 masked, temperature=temperature, top_p=top_p, top_k=top_k,
                 min_p=min_p, rng=rng,
             )
-            if token == tok.EOS:
+            if token in self._stop_ids:
                 break
             yield token
             if automaton is not None and token >= ByteTokenizer._OFFSET:
@@ -359,7 +492,21 @@ class JaxChatLLM:
     # --- LLM protocol -----------------------------------------------------
 
     def _decode_stream(self, tokens: Iterator[int]) -> Iterator[str]:
-        """Incremental UTF-8 decode of byte tokens."""
+        """Incremental UTF-8 decode of generated tokens."""
+        if not self._byte_level:
+            # BPE path: decode the growing id list and emit the text delta
+            # (multi-token unicode sequences resolve as they complete).
+            ids: list[int] = []
+            emitted = ""
+            for token in tokens:
+                ids.append(token)
+                text = self.tokenizer.decode(ids)
+                if text.endswith("�"):  # incomplete utf-8 sequence
+                    continue
+                if len(text) > len(emitted):
+                    yield text[len(emitted) :]
+                    emitted = text
+            return
         buffer = bytearray()
         for token in tokens:
             if token >= ByteTokenizer._OFFSET:
@@ -383,6 +530,33 @@ class JaxChatLLM:
         from raglite_tpu.models.schema_automaton import SchemaAutomaton
 
         by_name = {t["function"]["name"]: t for t in tools}
+        if not self._byte_level:
+            # Pretrained BPE models: prompt-forced instead of grammar-forced.
+            name0 = (
+                tool_choice.get("function", {}).get("name")
+                if isinstance(tool_choice, dict)
+                else next(iter(by_name))
+            )
+            tool = by_name.get(name0) or next(iter(by_name.values()))
+            prompt = self._format_messages(messages, tools) + (
+                f'<tool_call>{{"name": "{tool["function"]["name"]}", "arguments": '
+            )
+            tokens = self._generate_tokens(
+                prompt,
+                max_new_tokens=int(sampling.get("max_tokens", 128)),
+                temperature=float(sampling.get("temperature", 0.0)),
+            )
+            raw = "".join(self._decode_stream(tokens)).split("</tool_call>")[0].strip()
+            try:
+                _json.loads(raw)
+                arguments = raw
+            except ValueError:
+                arguments = "{}"
+            return ToolCall(
+                id=f"call_{_uuid.uuid4().hex[:8]}",
+                name=tool["function"]["name"],
+                arguments=arguments,
+            )
         if isinstance(tool_choice, dict):
             name = tool_choice.get("function", {}).get("name") or next(iter(by_name))
         elif len(by_name) == 1:
@@ -466,6 +640,24 @@ class JaxChatLLM:
     def complete(self, messages, *, tools=None, tool_choice=None, response_format=None, **sampling):
         from raglite_tpu.models.llm import ChatResponse, ToolCall
 
+        if response_format is not None and not self._byte_level:
+            # BPE models: schema-in-prompt (the extract layer's fallback
+            # path, reference: _extract.py:36-63) — no byte-level automaton.
+            import json as _json
+
+            schema = (response_format or {}).get("json_schema", {}).get("schema")
+            prompt = self._format_messages(messages, tools)
+            prompt += (
+                "Respond ONLY with a JSON object"
+                + (f" matching this schema:\n{_json.dumps(schema)}" if schema else "")
+                + "\n"
+            )
+            tokens = self._generate_tokens(
+                prompt,
+                max_new_tokens=int(sampling.get("max_tokens", 256)),
+                temperature=float(sampling.get("temperature", 0.0)),
+            )
+            return ChatResponse(content="".join(self._decode_stream(tokens)))
         if response_format is not None:
             prompt = self._format_messages(messages, tools)
             prompt += "Respond with a JSON object.\n"

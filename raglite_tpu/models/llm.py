@@ -291,10 +291,61 @@ class OpenAICompatLLM:
         return ChatResponse(content=message.get("content"), tool_calls=tool_calls)
 
     def stream(self, messages, *, tools=None, tool_choice=None, **sampling):
-        response = self.complete(messages, tools=tools, tool_choice=tool_choice, **sampling)
-        if response.content:
-            yield response.content
-        yield from response.tool_calls
+        """True incremental streaming: POST with ``stream: true``, parse the
+        SSE ``data:`` lines as they arrive, yield content deltas immediately
+        and assemble tool-call fragments across chunks (the reference
+        streams the same way through LiteLLM, _litellm.py:213-273; round 1
+        buffered the full completion and yielded it once)."""
+        import urllib.request
+
+        payload: dict[str, Any] = {
+            "model": self.model, "messages": messages, "stream": True, **sampling,
+        }
+        if tools:
+            payload["tools"] = tools
+            payload["tool_choice"] = tool_choice or "auto"
+        req = urllib.request.Request(
+            f"{self.base_url}/chat/completions",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", "Accept": "text/event-stream"},
+        )
+        # index -> partially assembled tool call (id/name arrive on the
+        # first fragment; arguments accumulate across fragments).
+        partial: dict[int, dict[str, str]] = {}
+        with urllib.request.urlopen(req, timeout=300) as resp:  # noqa: S310
+            for raw in resp:
+                line = raw.decode("utf-8", errors="replace").strip()
+                if not line.startswith("data:"):
+                    continue
+                data = line[5:].strip()
+                if data == "[DONE]":
+                    break
+                try:
+                    chunk = json.loads(data)
+                except json.JSONDecodeError:
+                    continue
+                choices = chunk.get("choices") or []
+                if not choices:
+                    continue
+                delta = choices[0].get("delta") or {}
+                if delta.get("content"):
+                    yield delta["content"]
+                for frag in delta.get("tool_calls") or []:
+                    slot = partial.setdefault(
+                        int(frag.get("index", 0)), {"id": "", "name": "", "arguments": ""}
+                    )
+                    if frag.get("id"):
+                        slot["id"] = frag["id"]
+                    fn = frag.get("function") or {}
+                    if fn.get("name"):
+                        slot["name"] += fn["name"]
+                    if fn.get("arguments"):
+                        slot["arguments"] += fn["arguments"]
+        for index in sorted(partial):
+            slot = partial[index]
+            yield ToolCall(
+                slot["id"] or f"call_{uuid.uuid4().hex[:8]}", slot["name"], slot["arguments"]
+            )
 
 
 # --- Factory ------------------------------------------------------------------

@@ -32,16 +32,28 @@ class ByteTokenizer:
 
 
 class HFTokenizer:
-    """Wrapper over a ``tokenizers`` JSON file."""
+    """Wrapper over a ``tokenizers`` JSON file (XLM-R sentencepiece and
+    Qwen byte-level-BPE vocabularies both load through this)."""
 
     def __init__(self, path: str) -> None:
         from tokenizers import Tokenizer
 
         self._tok = Tokenizer.from_file(path)
         self.vocab_size = self._tok.get_vocab_size()
-        self.PAD = self._tok.token_to_id("<pad>") or 0
-        self.BOS = self._tok.token_to_id("<s>") or 1
-        self.EOS = self._tok.token_to_id("</s>") or 2
+
+        def first_id(*names: str, default: int) -> int:
+            for name in names:
+                tid = self._tok.token_to_id(name)
+                if tid is not None:
+                    return tid
+            return default
+
+        self.PAD = first_id("<pad>", "<|endoftext|>", default=0)
+        self.BOS = first_id("<s>", "<|im_start|>", default=1)
+        self.EOS = first_id("</s>", "<|im_end|>", "<|endoftext|>", default=2)
+
+    def token_id(self, token: str) -> int | None:
+        return self._tok.token_to_id(token)
 
     def encode(self, text: str) -> list[int]:
         return self._tok.encode(text, add_special_tokens=False).ids

@@ -146,9 +146,22 @@ def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
         return jnp.asarray(tensors[name], dtype=jnp.float32)
 
     p = "roberta." if any(k.startswith("roberta.") for k in tensors) else ""
+    # XLM-R/RoBERTa checkpoints reserve position rows [0, padding_idx] and
+    # assign the first content token position padding_idx+1 (= 2): slice the
+    # table so our 0-based `pos_emb[:T]` indexing lines up with HF's
+    # create_position_ids_from_input_ids.  BERT-style checkpoints are 0-based.
+    pos = np.asarray(tensors[f"{p}embeddings.position_embeddings.weight"])
+    if hf.get("model_type") in ("xlm-roberta", "roberta") or hf.get("pad_token_id") == 1:
+        pos = pos[hf.get("pad_token_id", 1) + 1 :]
+        cfg["max_len"] = pos.shape[0]
+    # Fold the (single-type) token_type embedding into every position row —
+    # exact, since XLM-R has type_vocab_size == 1.
+    tt_name = f"{p}embeddings.token_type_embeddings.weight"
+    if tt_name in tensors:
+        pos = pos + np.asarray(tensors[tt_name])[0][None, :]
     params: Params = {
         "tok_emb": t(f"{p}embeddings.word_embeddings.weight"),
-        "pos_emb": t(f"{p}embeddings.position_embeddings.weight"),
+        "pos_emb": jnp.asarray(pos, dtype=dtype),
         "emb_ln_scale": t32(f"{p}embeddings.LayerNorm.weight"),
         "emb_ln_bias": t32(f"{p}embeddings.LayerNorm.bias"),
         "layers": [],

@@ -4,6 +4,7 @@ _litellm.py there)."""
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
@@ -20,11 +21,41 @@ def stub_server():
         def log_message(self, *args) -> None:
             pass
 
+        def _sse(self, deltas: list[dict]) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            for delta in deltas:
+                chunk = {"choices": [{"index": 0, "delta": delta}]}
+                self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                self.wfile.flush()
+                time.sleep(0.05)  # force distinct network arrivals
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+            received.append({"event": "stream_done"})
+
         def do_POST(self) -> None:  # noqa: N802
             length = int(self.headers.get("Content-Length", "0"))
             payload = json.loads(self.rfile.read(length))
             received.append({"path": self.path, "payload": payload})
-            if payload.get("tools") and "weather" in json.dumps(payload["messages"]):
+            wants_tool = payload.get("tools") and "weather" in json.dumps(payload["messages"])
+            if payload.get("stream"):
+                if wants_tool:
+                    # Tool-call arguments split across fragments, like real
+                    # OpenAI-compatible servers emit them.
+                    self._sse([
+                        {"tool_calls": [{"index": 0, "id": "call_1", "function": {
+                            "name": "get_weather", "arguments": ""}}]},
+                        {"tool_calls": [{"index": 0, "function": {
+                            "arguments": '{"city": '}}]},
+                        {"tool_calls": [{"index": 0, "function": {
+                            "arguments": '"Paris"}'}}]},
+                    ])
+                else:
+                    self._sse([{"content": "stub "}, {"content": "streamed "},
+                               {"content": "answer"}])
+                return
+            if wants_tool:
                 message = {
                     "role": "assistant",
                     "content": None,
@@ -85,11 +116,32 @@ def test_openai_provider_tool_calls(stub_server) -> None:
     assert call.name == "get_weather"
     assert json.loads(call.arguments) == {"city": "Paris"}
     assert received[-1]["payload"]["tool_choice"] == "auto"
-    # Streaming protocol yields content or tool calls.
+    # Streaming protocol reassembles tool-call fragments across SSE chunks.
     items = list(
         llm.stream([{"role": "user", "content": "weather in paris?"}], tools=tools)
     )
-    assert any(isinstance(i, ToolCall) for i in items)
+    calls = [i for i in items if isinstance(i, ToolCall)]
+    assert len(calls) == 1
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].arguments) == {"city": "Paris"}
+
+
+def test_openai_provider_streams_incrementally(stub_server) -> None:
+    """True SSE streaming: the first delta must arrive BEFORE the server
+    finishes the response (round 1 buffered the full completion;
+    reference streams via LiteLLM, _litellm.py:213-273)."""
+    port, received = stub_server
+    llm = OpenAICompatLLM(f"http://127.0.0.1:{port}/v1#mymodel")
+    gen = llm.stream([{"role": "user", "content": "hello"}])
+    first = next(gen)
+    assert first == "stub "
+    # The stub appends a stream_done marker only after the last chunk.
+    assert not any(r.get("event") == "stream_done" for r in received[-1:])
+    rest = list(gen)
+    assert "".join([first, *rest]) == "stub streamed answer"
+    assert len(rest) >= 2  # multiple chunks, not one buffered blob
+    assert any(r.get("event") == "stream_done" for r in received)
+    assert received[-2]["payload"]["stream"] is True
 
 
 def test_openai_provider_via_config(stub_server) -> None:
