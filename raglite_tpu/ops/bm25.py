@@ -21,7 +21,7 @@ import numpy as np
 K1 = 1.2
 B = 0.75
 
-__all__ = ["bm25_scores", "bm25_topk", "bm25_idf"]
+__all__ = ["bm25_scores", "bm25_topk", "bm25_idf", "bm25_scores_batch", "bm25_topk_batch"]
 
 
 def bm25_idf(df: np.ndarray, num_chunks: int) -> np.ndarray:
@@ -42,6 +42,47 @@ def bm25_scores(
     denom = posting_tf + K1 * len_norm[jnp.minimum(posting_chunk, num_chunks - 1)]
     contrib = posting_idf * posting_tf * (K1 + 1.0) / jnp.maximum(denom, 1e-9)
     return jax.ops.segment_sum(contrib, posting_chunk, num_segments=num_chunks + 1)[:-1]
+
+
+@partial(jax.jit, static_argnames=("num_chunks", "batch"))
+def bm25_scores_batch(
+    posting_chunk: jax.Array,  # [P] int32 chunk ordinal (padding: num_chunks)
+    posting_query: jax.Array,  # [P] int32 query index per posting
+    posting_tf: jax.Array,  # [P] fp32 (0 for padding)
+    posting_idf: jax.Array,  # [P] fp32
+    len_norm: jax.Array,  # [num_chunks] fp32
+    *,
+    num_chunks: int,
+    batch: int,
+) -> jax.Array:
+    """Dense BM25 scores [batch, num_chunks] for B queries' postings in ONE
+    segment-sum: segment id = query * (num_chunks+1) + chunk.  This is the
+    [B]-batched device scoring round-1 lacked (hybrid_search_batch looped
+    keyword search per query on the host)."""
+    denom = posting_tf + K1 * len_norm[jnp.minimum(posting_chunk, num_chunks - 1)]
+    contrib = posting_idf * posting_tf * (K1 + 1.0) / jnp.maximum(denom, 1e-9)
+    seg = posting_query * (num_chunks + 1) + posting_chunk
+    flat = jax.ops.segment_sum(contrib, seg, num_segments=batch * (num_chunks + 1))
+    return flat.reshape(batch, num_chunks + 1)[:, :num_chunks]
+
+
+@partial(jax.jit, static_argnames=("num_chunks", "batch", "num_hits"))
+def bm25_topk_batch(
+    posting_chunk: jax.Array,
+    posting_query: jax.Array,
+    posting_tf: jax.Array,
+    posting_idf: jax.Array,
+    len_norm: jax.Array,
+    *,
+    num_chunks: int,
+    batch: int,
+    num_hits: int,
+) -> tuple[jax.Array, jax.Array]:
+    scores = bm25_scores_batch(
+        posting_chunk, posting_query, posting_tf, posting_idf, len_norm,
+        num_chunks=num_chunks, batch=batch,
+    )
+    return jax.lax.top_k(scores, num_hits)
 
 
 @partial(jax.jit, static_argnames=("num_chunks", "num_hits"))

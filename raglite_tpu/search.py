@@ -39,7 +39,10 @@ logger = logging.getLogger(__name__)
 __all__ = [
     "vector_search",
     "keyword_search",
+    "keyword_search_batch",
     "hybrid_search",
+    "hybrid_search_batch",
+    "vector_search_batch",
     "reciprocal_rank_fusion",
     "retrieve_chunks",
     "retrieve_chunk_spans",
@@ -199,6 +202,25 @@ def keyword_search(
     return ids[:num_results], scores[:num_results]
 
 
+def keyword_search_batch(
+    queries: list[str],
+    *,
+    num_results: int = 3,
+    metadata_filter: MetadataFilter | None = None,
+    config: RAGLiteConfig | None = None,
+) -> list[tuple[list[ChunkId], list[float]]]:
+    """Batched BM25: one segment-sum + top_k device program scores all B
+    queries (ops/bm25.py:bm25_topk_batch; no reference analogue — its SQL
+    engine executes per query)."""
+    config = config or RAGLiteConfig()
+    store = store_from_config(config)
+    metadata_filter = adapt_metadata(metadata_filter)
+    index = keyword_index_from_config(config)
+    chunk_mask = _chunk_mask(store, metadata_filter) if metadata_filter else store.alive_mask()
+    results = index.search_batch(queries, num_hits=num_results, chunk_mask=chunk_mask)
+    return [(ids[:num_results], scores[:num_results]) for ids, scores in results]
+
+
 def reciprocal_rank_fusion(
     rankings: list[list[ChunkId]], *, k: int = 60, weights: list[float] | None = None
 ) -> tuple[list[ChunkId], list[float]]:
@@ -252,20 +274,23 @@ def hybrid_search_batch(  # noqa: PLR0913
     config: RAGLiteConfig | None = None,
 ) -> list[tuple[list[ChunkId], list[float]]]:
     """Batched :func:`hybrid_search`: the dense half runs as one fused
-    device scan for all queries (vector_search_batch); keyword + RRF fuse
-    per query on the host (tiny)."""
+    device scan for all queries (vector_search_batch), the keyword half as
+    one batched BM25 program (keyword_search_batch); only the tiny RRF fuse
+    stays on the host."""
     vector_results = vector_search_batch(
         queries,
         num_results=oversample * num_results,
         metadata_filter=metadata_filter,
         config=config,
     )
+    keyword_results = keyword_search_batch(
+        queries,
+        num_results=oversample * num_results,
+        metadata_filter=metadata_filter,
+        config=config,
+    )
     results: list[tuple[list[ChunkId], list[float]]] = []
-    for query, (vs_ids, _) in zip(queries, vector_results):
-        ks_ids, _ = keyword_search(
-            query, num_results=oversample * num_results,
-            metadata_filter=metadata_filter, config=config,
-        )
+    for (vs_ids, _), (ks_ids, _) in zip(vector_results, keyword_results):
         ids, scores = reciprocal_rank_fusion(
             [vs_ids, ks_ids], weights=[vector_search_weight, keyword_search_weight]
         )

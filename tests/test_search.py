@@ -155,3 +155,22 @@ def test_hybrid_search_batch_matches_single(raglite_test_config) -> None:
         # same top hit and strong overlap rather than identical order.
         assert ids_b[0] == ids_s[0], query
         assert len(set(ids_b) & set(ids_s)) >= len(ids_s) - 1, query
+
+
+def test_keyword_search_batch_matches_single(raglite_test_config) -> None:
+    """One batched BM25 device program must reproduce per-query results
+    (ops/bm25.py:bm25_topk_batch vs bm25_topk)."""
+    from raglite_tpu.search import keyword_search, keyword_search_batch
+
+    queries = [
+        "simultaneity of events",
+        "velocity of light in a moving frame",
+        "rigid body coordinates",
+    ]
+    batched = keyword_search_batch(queries, num_results=5, config=raglite_test_config)
+    for query, (ids_b, scores_b) in zip(queries, batched):
+        ids_s, scores_s = keyword_search(query, num_results=5, config=raglite_test_config)
+        assert ids_b == ids_s, query
+        import numpy as np
+
+        np.testing.assert_allclose(scores_b, scores_s, rtol=1e-5)
