@@ -35,12 +35,14 @@ _LIB_FAILED = False
 
 def _compile() -> Path | None:
     _LIB_PATH.parent.mkdir(exist_ok=True)
-    src = _SRC_DIR / "postings.cpp"
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+    sources = [_SRC_DIR / "postings.cpp", _SRC_DIR / "hnsw.cpp"]
+    if _LIB_PATH.exists() and all(
+        _LIB_PATH.stat().st_mtime >= src.stat().st_mtime for src in sources
+    ):
         return _LIB_PATH
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        str(src), "-o", str(_LIB_PATH),
+        *[str(src) for src in sources], "-o", str(_LIB_PATH),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -103,6 +105,18 @@ def load_native() -> ctypes.CDLL | None:
         lib.rlt_solve_boundaries.restype = c_i64
         lib.rlt_split_chunklets.argtypes = [ctypes.c_void_p] * 4 + [c_i64, c_i64, ctypes.c_void_p]
         lib.rlt_split_chunklets.restype = c_i64
+        lib.rlt_hnsw_new.argtypes = [c_i32, c_i32, c_i32, c_i32, ctypes.c_uint64]
+        lib.rlt_hnsw_new.restype = c_void
+        lib.rlt_hnsw_free.argtypes = [c_void]
+        lib.rlt_hnsw_add.argtypes = [c_void, ctypes.c_void_p, c_i64]
+        lib.rlt_hnsw_size.argtypes = [c_void]
+        lib.rlt_hnsw_size.restype = c_i32
+        lib.rlt_hnsw_memory_bytes.argtypes = [c_void]
+        lib.rlt_hnsw_memory_bytes.restype = c_i64
+        lib.rlt_hnsw_search.argtypes = [
+            c_void, ctypes.c_void_p, c_i64, c_i32, c_i32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -300,3 +314,59 @@ def count_tokens(text: str) -> int | None:
         return None
     data = text.encode("utf-8")
     return int(lib.rlt_count_tokens(data, len(data)))
+
+
+class HnswIndex:
+    """ctypes wrapper over the first-party C++ HNSW (hnsw.cpp) — the recall
+    BASELINE the BASELINE.md claim "recall@10 >= HNSW at equal memory" is
+    measured against (the reference serves from DuckDB VSS HNSW with
+    ef_search = 160 at defaults, _database.py:562-563,638-643)."""
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        M: int = 32,
+        ef_construction: int = 200,
+        metric: str = "cosine",
+        seed: int = 42,
+    ) -> None:
+        lib = load_native()
+        if lib is None:
+            msg = "native library unavailable"
+            raise RuntimeError(msg)
+        self._lib = lib
+        self.dim = dim
+        self._handle = lib.rlt_hnsw_new(
+            dim, M, ef_construction, 0 if metric in ("cosine", "dot") else 1, seed
+        )
+
+    def __del__(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.rlt_hnsw_free(self._handle)
+            self._handle = None
+
+    def add(self, vectors: np.ndarray) -> None:
+        v = np.ascontiguousarray(vectors, np.float32)
+        assert v.ndim == 2 and v.shape[1] == self.dim, v.shape
+        self._lib.rlt_hnsw_add(self._handle, v.ctypes.data, v.shape[0])
+
+    def __len__(self) -> int:
+        return int(self._lib.rlt_hnsw_size(self._handle))
+
+    @property
+    def memory_bytes(self) -> int:
+        return int(self._lib.rlt_hnsw_memory_bytes(self._handle))
+
+    def search(
+        self, queries: np.ndarray, k: int, *, ef_search: int = 160
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(queries, np.float32)
+        assert q.ndim == 2 and q.shape[1] == self.dim, q.shape
+        ids = np.empty((q.shape[0], k), np.int32)
+        scores = np.empty((q.shape[0], k), np.float32)
+        self._lib.rlt_hnsw_search(
+            self._handle, q.ctypes.data, q.shape[0], k, ef_search,
+            ids.ctypes.data, scores.ctypes.data,
+        )
+        return ids, scores
