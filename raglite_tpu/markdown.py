@@ -194,13 +194,38 @@ def document_to_markdown(doc_path: Path | str) -> str:
     other formats fall back to reading the file as text.
     """
     doc_path = Path(doc_path)
-    if doc_path.suffix == ".pdf":
+    suffix = doc_path.suffix.lower()
+    if suffix == ".pdf":
         pages = parse_pdf(doc_path)
         return "\n\n".join(parsed_pdf_to_markdown(pages))
-    if doc_path.suffix in (".md", ".txt"):
+    if suffix in (".md", ".txt"):
         return doc_path.read_text()
-    if doc_path.suffix in (".html", ".htm"):
+    if suffix in (".html", ".htm", ".xhtml"):
         return html_to_markdown(doc_path.read_text())
+    # First-party converters for the formats the reference hands to
+    # pypandoc (_markdown.py:197-221) — see utils/office.py.
+    if suffix == ".docx":
+        from raglite_tpu.utils.office import docx_to_markdown
+
+        return docx_to_markdown(doc_path)
+    if suffix == ".epub":
+        from raglite_tpu.utils.office import epub_to_markdown
+
+        return epub_to_markdown(doc_path)
+    if suffix == ".rtf":
+        from raglite_tpu.utils.office import rtf_to_markdown
+
+        return rtf_to_markdown(doc_path.read_text(errors="replace"))
+    if suffix in (".csv", ".tsv"):
+        from raglite_tpu.utils.office import csv_to_markdown
+
+        return csv_to_markdown(
+            doc_path.read_text(), delimiter="\t" if suffix == ".tsv" else ","
+        )
+    if suffix in (".json", ".yaml", ".yml", ".toml"):
+        from raglite_tpu.utils.office import code_block_markdown
+
+        return code_block_markdown(doc_path.read_text(), suffix.lstrip("."))
     try:
         return doc_path.read_text()
     except UnicodeDecodeError as error:

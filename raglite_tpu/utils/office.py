@@ -1,0 +1,187 @@
+"""First-party converters for office/structured formats.
+
+The reference shells out to pypandoc for anything that is not PDF or plain
+Markdown (/root/reference/src/raglite/_markdown.py:197-221).  Pandoc is a
+heavyweight external binary; these converters cover the common formats
+with stdlib-only parsing:
+
+- ``.docx``  — OOXML: paragraphs/headings/lists/tables from word/document.xml
+- ``.epub``  — zip of XHTML chapters -> the HTML->Markdown pipeline
+- ``.rtf``   — control-word stripper with paragraph reconstruction
+- ``.csv``/``.tsv`` — Markdown tables
+- ``.json``/``.yaml``/``.yml``/``.toml`` — fenced code blocks
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import re
+import zipfile
+from pathlib import Path
+from xml.etree import ElementTree
+
+__all__ = [
+    "docx_to_markdown",
+    "epub_to_markdown",
+    "rtf_to_markdown",
+    "csv_to_markdown",
+    "code_block_markdown",
+]
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def _docx_paragraph(par: ElementTree.Element) -> str:
+    """One OOXML paragraph -> one Markdown line (heading/list aware)."""
+    texts: list[str] = []
+    for run in par.iter(f"{_W}r"):
+        bold = run.find(f"{_W}rPr/{_W}b") is not None
+        italic = run.find(f"{_W}rPr/{_W}i") is not None
+        chunk = "".join(
+            node.text or "" for node in run.iter() if node.tag in (f"{_W}t", f"{_W}tab")
+        )
+        if not chunk:
+            continue
+        if bold:
+            chunk = f"**{chunk}**"
+        elif italic:
+            chunk = f"*{chunk}*"
+        texts.append(chunk)
+    text = "".join(texts).strip()
+    if not text:
+        return ""
+    style = par.find(f"{_W}pPr/{_W}pStyle")
+    style_val = style.get(f"{_W}val", "") if style is not None else ""
+    match = re.fullmatch(r"(?:Heading|berschrift|Titre)(\d)", style_val, re.IGNORECASE)
+    if match:
+        level = min(int(match.group(1)), 6)
+        return "#" * level + " " + text
+    if style_val.lower() == "title":
+        return "# " + text
+    if par.find(f"{_W}pPr/{_W}numPr") is not None:
+        return "- " + text
+    return text
+
+
+def _docx_table(table: ElementTree.Element) -> str:
+    rows = []
+    for tr in table.findall(f"{_W}tr"):
+        cells = []
+        for tc in tr.findall(f"{_W}tc"):
+            cell = " ".join(
+                filter(None, (_docx_paragraph(p) for p in tc.findall(f"{_W}p")))
+            )
+            cells.append(cell.replace("|", "\\|"))
+        rows.append("| " + " | ".join(cells) + " |")
+    if not rows:
+        return ""
+    header_sep = "| " + " | ".join("---" for _ in rows[0].split("|")[1:-1]) + " |"
+    return "\n".join([rows[0], header_sep, *rows[1:]])
+
+
+def docx_to_markdown(path: Path | str) -> str:
+    with zipfile.ZipFile(path) as zf:
+        xml = zf.read("word/document.xml")
+    root = ElementTree.fromstring(xml)
+    body = root.find(f"{_W}body")
+    parts: list[str] = []
+    for element in body if body is not None else []:
+        if element.tag == f"{_W}p":
+            line = _docx_paragraph(element)
+            if line:
+                parts.append(line)
+        elif element.tag == f"{_W}tbl":
+            table = _docx_table(element)
+            if table:
+                parts.append(table)
+    return "\n\n".join(parts) + "\n"
+
+
+def epub_to_markdown(path: Path | str) -> str:
+    from raglite_tpu.markdown import html_to_markdown
+
+    parts: list[str] = []
+    with zipfile.ZipFile(path) as zf:
+        chapters = sorted(
+            n for n in zf.namelist() if n.endswith((".xhtml", ".html", ".htm"))
+        )
+        for name in chapters:
+            markdown = html_to_markdown(zf.read(name).decode("utf-8", errors="replace"))
+            if markdown.strip():
+                parts.append(markdown.strip())
+    return "\n\n".join(parts) + "\n"
+
+
+_RTF_DESTINATIONS = (
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "header", "footer",
+    "generator", "themedata",
+)
+
+
+def rtf_to_markdown(text: str) -> str:
+    """Strip RTF control words, keeping paragraph structure and unicode
+    escapes (\\uN)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    depth_skip: list[int] = []
+    depth = 0
+    while i < n:
+        ch = text[i]
+        if ch == "{":
+            depth += 1
+            i += 1
+        elif ch == "}":
+            if depth_skip and depth_skip[-1] == depth:
+                depth_skip.pop()
+            depth -= 1
+            i += 1
+        elif ch == "\\":
+            m = re.match(r"\\([a-z]+)(-?\d+)? ?", text[i:])
+            if m:
+                word, arg = m.group(1), m.group(2)
+                if word in _RTF_DESTINATIONS:
+                    depth_skip.append(depth)
+                elif word == "par":
+                    out.append("\n\n")
+                elif word == "tab":
+                    out.append("\t")
+                elif word == "u" and arg is not None:
+                    code = int(arg)
+                    out.append(chr(code + 65536 if code < 0 else code))
+                    # \uN is followed by a fallback character to skip.
+                    tail = text[i + len(m.group(0)) :]
+                    if tail[:1] not in ("\\", "{", "}", ""):
+                        i += 1
+                i += len(m.group(0))
+            elif text[i + 1 : i + 2] in ("\\", "{", "}"):
+                out.append(text[i + 1])
+                i += 2
+            elif text[i + 1 : i + 3] == "'":
+                i += 4  # \'hh hex escape (legacy codepage); drop
+            else:
+                i += 1
+        else:
+            if not depth_skip:
+                out.append(ch)
+            i += 1
+    markdown = "".join(out)
+    markdown = re.sub(r"[ \t]+", " ", markdown)
+    markdown = re.sub(r"\n{3,}", "\n\n", markdown)
+    return markdown.strip() + "\n"
+
+
+def csv_to_markdown(text: str, *, delimiter: str = ",") -> str:
+    rows = list(csv.reader(io.StringIO(text), delimiter=delimiter))
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    norm = [r + [""] * (width - len(r)) for r in rows]
+    lines = ["| " + " | ".join(c.replace("|", "\\|") for c in r) + " |" for r in norm]
+    sep = "| " + " | ".join("---" for _ in range(width)) + " |"
+    return "\n".join([lines[0], sep, *lines[1:]]) + "\n"
+
+
+def code_block_markdown(text: str, language: str) -> str:
+    fence = "````" if "```" in text else "```"
+    return f"{fence}{language}\n{text.rstrip()}\n{fence}\n"
