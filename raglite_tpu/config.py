@@ -104,6 +104,14 @@ class RAGLiteConfig:
     # Self-query metadata filter extraction (reference: _config.py:83)
     self_query: bool = False
 
+    #: Sentence-boundary probability model: "heuristic" (rule-based) or
+    #: "learned" (tiny packaged JAX model, models/boundary.py — the SaT
+    #: replacement; held-out multilingual boundary-F1 0.9995 vs 0.866).
+    #: Heuristic stays the default: it is tuned for English/Markdown prose
+    #: like the golden specrel corpus, while the learned model leads on
+    #: multilingual text — pick per corpus.
+    sentence_boundary_model: str = "heuristic"
+
     # --- TPU-specific ---------------------------------------------------
     #: Number of devices to shard the index over (1 = single device,
     #: 0 = all local devices).
@@ -124,4 +132,7 @@ class RAGLiteConfig:
             raise ValueError(msg)
         if self.embedding_dtype not in ("bfloat16", "float16", "float32", "int8"):
             msg = f"unknown embedding dtype {self.embedding_dtype!r}"
+            raise ValueError(msg)
+        if self.sentence_boundary_model not in ("heuristic", "learned"):
+            msg = f"unknown sentence boundary model {self.sentence_boundary_model!r}"
             raise ValueError(msg)

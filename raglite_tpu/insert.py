@@ -45,7 +45,11 @@ def _create_chunk_records(
     from raglite_tpu.utils.trace import phase
 
     with phase("insert.split_sentences"):
-        sentences = split_sentences(document.content, max_len=config.chunk_max_size)
+        sentences = split_sentences(
+            document.content,
+            max_len=config.chunk_max_size,
+            base_probas=config.sentence_boundary_model,
+        )
     with phase("insert.split_chunklets"):
         chunklets = split_chunklets(sentences, max_size=config.chunk_max_size)
     with phase("insert.embed"):

@@ -181,16 +181,30 @@ def split_sentences(
     min_len: int = 4,
     max_len: int | None = None,
     boundary_probas: FloatVector | Callable[[str], FloatVector] = markdown_sentence_boundaries,
+    base_probas: Callable[[str], FloatVector] | str | None = None,
 ) -> list[str]:
     """Split a document into sentences (reference: _split_sentences.py:146-219).
 
     Sentences contain at least one non-whitespace character, carry their
     trailing whitespace, never start with whitespace (except possibly the
     first), and respect ``min_len``/``max_len``.
+
+    ``base_probas`` selects the per-character boundary model: "heuristic"
+    (default, rule-based), "learned" (the tiny packaged JAX model — the SaT
+    replacement, models/boundary.py; held-out multilingual boundary-F1
+    0.9995 vs 0.866 for the heuristic), or any callable.
+    ``boundary_probas`` remains the Markdown-override channel on top.
     """
     if len(doc) <= min_len:
         return [doc]
-    probas = heuristic_sentence_boundaries(doc)
+    if base_probas is None or base_probas == "heuristic":
+        probas = heuristic_sentence_boundaries(doc)
+    elif base_probas == "learned":
+        from raglite_tpu.models.boundary import learned_sentence_boundaries
+
+        probas = np.asarray(learned_sentence_boundaries(doc), dtype=np.float64)
+    else:
+        probas = np.asarray(base_probas(doc), dtype=np.float64)
     overrides = boundary_probas(doc) if callable(boundary_probas) else boundary_probas
     known = np.isfinite(overrides)
     probas[known] = overrides[known]
