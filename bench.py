@@ -163,20 +163,49 @@ def main() -> None:
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=CHAIN_K)
         return carry
 
-    sync(latency_chain(q1))  # compile
-    chain_ms = []
-    rpc_inter = []
-    for _ in range(CHAIN_M):
-        t0 = time.perf_counter()
-        np.asarray(tiny[0])
-        rpc_inter.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        sync(latency_chain(q1))
-        chain_ms.append((time.perf_counter() - t0) * 1e3)
-    rpc_ms = float(np.median(rpc_inter)) * 1e3
-    per_query_ms = (np.asarray(chain_ms) - rpc_ms) / CHAIN_K
-    p50_ms = float(np.percentile(per_query_ms, 50))
-    p95_ms = float(np.percentile(per_query_ms, 95))
+    latency_method = (
+        "percentiles over serialized on-device chains of the fused B=1 "
+        "production program (8 data-dependent iterations per sample, one "
+        "sync each, interleaved RPC baseline subtracted)"
+    )
+    try:
+        sync(latency_chain(q1))  # compile
+        chain_ms = []
+        rpc_inter = []
+        for _ in range(CHAIN_M):
+            t0 = time.perf_counter()
+            np.asarray(tiny[0])
+            rpc_inter.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sync(latency_chain(q1))
+            chain_ms.append((time.perf_counter() - t0) * 1e3)
+        rpc_ms = float(np.median(rpc_inter)) * 1e3
+        per_query_ms = (np.asarray(chain_ms) - rpc_ms) / CHAIN_K
+        p50_ms = float(np.percentile(per_query_ms, 50))
+        p95_ms = float(np.percentile(per_query_ms, 95))
+    except Exception:
+        # The dev tunnel's remote-compile service intermittently drops big
+        # fresh compiles; fall back to per-call timing of the already-warm
+        # public method so the bench always reports (method labeled).
+        latency_method = (
+            "per-call dispatch->fetch of search_chunks minus interleaved "
+            "pure-RPC median (chain program unavailable: compile service; "
+            "sub-RTT compute may be underestimated through the tunnel)"
+        )
+        lat, rpc_inter = [], []
+        for _ in range(args.latency_reps):
+            t0 = time.perf_counter()
+            np.asarray(tiny[0])
+            rpc_inter.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            index.search_chunks(
+                q1, num_hits=args.num_hits, num_results=args.num_results,
+                adapter=adapter,
+            )
+            lat.append((time.perf_counter() - t0) * 1e3)
+        rpc_ms = float(np.median(rpc_inter)) * 1e3
+        p50_ms = float(np.percentile(lat, 50)) - rpc_ms
+        p95_ms = float(np.percentile(lat, 95)) - rpc_ms
 
     print(
         json.dumps(
@@ -190,11 +219,7 @@ def main() -> None:
                 "vs_baseline": round(qps / 5000.0, 3),
                 "p50_ms": round(p50_ms, 3),
                 "p95_ms": round(p95_ms, 3),
-                "latency_method": (
-                    "percentiles over serialized on-device chains of the fused "
-                    "B=1 production program (8 data-dependent iterations per "
-                    "sample, one sync each, interleaved RPC baseline subtracted)"
-                ),
+                "latency_method": latency_method,
                 "tunnel_rpc_ms": round(rpc_ms, 2),
                 "recall_at_10": round(recall, 4),
                 "batch": b,
