@@ -277,7 +277,7 @@ class DenseIndex:
 
     def _refresh_device(self) -> None:
         if self._dev_rows is not None and not self._dirty:
-            if self._dev_rows_synced != self.num_rows and self.num_devices == 1:
+            if self._dev_rows_synced != self.num_rows:
                 self._append_to_device()
             if self._dev_rows_synced == self.num_rows:
                 if getattr(self, "_valid_dirty", False):
@@ -302,9 +302,12 @@ class DenseIndex:
         self._valid_dirty = False
 
     def _append_to_device(self) -> None:
-        """Upload only rows appended since the last sync (single device):
-        O(new rows) transfer + a device-side dynamic_update_slice, instead
-        of re-uploading the whole matrix on every insert batch."""
+        """Upload only rows appended since the last sync: O(new rows)
+        transfer + a device-side dynamic_update_slice, instead of
+        re-uploading the whole matrix on every insert batch.  This also
+        holds for a sharded index: XLA routes the update region to the
+        owning shards and the result keeps the row sharding (round 1
+        re-shipped the ENTIRE matrix on every multi-device insert)."""
         start, end = self._dev_rows_synced, self.num_rows
         new32 = self._host_rows[start:end].astype(np.float32)
         if self._dtype == jnp.int8:

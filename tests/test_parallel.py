@@ -101,3 +101,41 @@ def test_distributed_init_is_safe_locally() -> None:
     except Exception as err:  # pragma: no cover
         raise AssertionError(f"distributed_init must not raise: {err}") from err
     assert len(jax.devices()) >= 1
+
+
+def test_multi_device_incremental_append(monkeypatch):
+    """Inserts into a sharded index must NOT re-ship the whole matrix:
+    appends ride a device-side dynamic_update_slice on the sharded arrays
+    (round-1 weakness: every multi-device insert re-uploaded everything)."""
+    import numpy as np
+
+    from raglite_tpu.index.dense import DenseIndex
+
+    rng = np.random.default_rng(0)
+    dim = 64
+    index = DenseIndex(dim=dim, dtype="float32", metric="cosine", num_devices=8)
+    first = [rng.normal(size=(1, dim)).astype(np.float32) for _ in range(64)]
+    index.append_chunks(first, [f"a{i}" for i in range(64)])
+    queries = rng.normal(size=(2, dim)).astype(np.float32)
+    index.search_chunks(queries, num_hits=16, num_results=4)  # device arrays built
+
+    uploads = {"n": 0}
+    original = DenseIndex._full_upload
+
+    def counting_upload(self):
+        uploads["n"] += 1
+        return original(self)
+
+    monkeypatch.setattr(DenseIndex, "_full_upload", counting_upload)
+    # Append within existing capacity: must go through the incremental path.
+    extra = [rng.normal(size=(1, dim)).astype(np.float32) for _ in range(16)]
+    index.append_chunks(extra, [f"b{i}" for i in range(16)])
+    assert index.num_rows <= index.capacity  # no reallocation -> no full upload
+    scores, ordinals = index.search_chunks(queries, num_hits=32, num_results=6)
+    assert uploads["n"] == 0, "multi-device append re-uploaded the full matrix"
+    # Results must match a fresh index over the same data.
+    fresh = DenseIndex(dim=dim, dtype="float32", metric="cosine", num_devices=8)
+    fresh.append_chunks(first + extra, [f"a{i}" for i in range(64)] + [f"b{i}" for i in range(16)])
+    f_scores, f_ordinals = fresh.search_chunks(queries, num_hits=32, num_results=6)
+    np.testing.assert_array_equal(ordinals, f_ordinals)
+    np.testing.assert_allclose(scores, f_scores, rtol=1e-5)
