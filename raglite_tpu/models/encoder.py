@@ -330,6 +330,61 @@ def load_pretrained_encoder(path: str, *, dtype=jnp.bfloat16):
 # --- Factory ------------------------------------------------------------------
 
 
+class OpenAICompatEncoder:
+    """Remote embeddings over any OpenAI-compatible ``/embeddings`` endpoint
+    (spec ``openai:<base_url>#<model>``) — the API-embedder path of the
+    reference (_embed.py:144-184 batches LiteLLM ``embedding()`` calls the
+    same way, 96 inputs per request; its bench uses text-embedding-3-large
+    through this route, _bench.py:154-160)."""
+
+    supports_token_embeddings = False
+    BATCH = 96  # reference: _embed.py:150
+
+    def __init__(self, spec: str, *, dim: int | None = None) -> None:
+        base, _, model = spec.partition("#")
+        self.base_url = base.rstrip("/")
+        self.model = model or "default"
+        self._dim = dim
+
+    def _post(self, texts: list[str]) -> np.ndarray:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url}/embeddings",
+            data=json.dumps({"model": self.model, "input": texts}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:  # noqa: S310
+            payload = json.loads(resp.read())
+        rows = sorted(payload["data"], key=lambda d: d.get("index", 0))
+        return np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+
+    @property
+    def dim(self) -> int:
+        if self._dim is None:
+            # Probe with a one-token request (reference: get_embedding_dim's
+            # embed-probe fallback, _litellm.py:352-374).
+            self._dim = int(self._post(["dimension probe"]).shape[1])
+        return self._dim
+
+    def count_tokens(self, texts: list[str]) -> list[int]:
+        # len//3 chars-per-token proxy (reference: _rag.py:67-69).
+        return [max(len(t) // 3, 1) for t in texts]
+
+    def embed_token_level(self, text: str) -> np.ndarray:  # pragma: no cover
+        msg = "remote embedders expose no token-level embeddings"
+        raise NotImplementedError(msg)
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        out: list[np.ndarray] = []
+        for start in range(0, len(texts), self.BATCH):
+            out.append(self._post(texts[start : start + self.BATCH]))
+        stacked = np.concatenate(out, axis=0) if out else np.zeros((0, self.dim), np.float32)
+        norms = np.linalg.norm(stacked, axis=1, keepdims=True)
+        return (stacked / np.maximum(norms, 1e-12)).astype(np.float16)
+
+
 @lru_cache(maxsize=4)
 def _make_encoder(embedder: str) -> Encoder:
     kind, _, arg = embedder.partition(":")
@@ -338,7 +393,12 @@ def _make_encoder(embedder: str) -> Encoder:
         return HashEncoder(dim=dim)
     if kind == "flax":
         return TransformerEncoder(arg or "tiny")
-    msg = f"unknown embedder {embedder!r} (expected 'hash:<dim>' or 'flax:<preset|path>')"
+    if kind == "openai":
+        return OpenAICompatEncoder(arg)
+    msg = (
+        f"unknown embedder {embedder!r} (expected 'hash:<dim>', "
+        "'flax:<preset|path>', or 'openai:<base_url>#<model>')"
+    )
     raise ValueError(msg)
 
 
