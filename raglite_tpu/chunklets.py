@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
-from markdown_it import MarkdownIt
+from raglite_tpu.utils.mdparse import parse_markdown
 
 from raglite_tpu.types import FloatVector
 
@@ -33,7 +33,7 @@ def markdown_chunklet_boundaries(sentences: list[str]) -> FloatVector:
     """Per-sentence probability of being a good chunklet start
     (reference: _split_chunklets.py:11-55)."""
     doc = "".join(sentences)
-    tokens = MarkdownIt().parse(doc)
+    tokens = parse_markdown(doc)
     # Character offset of every line and every sentence.
     line_start = [0]
     for line in doc.splitlines(keepends=True)[:-1]:

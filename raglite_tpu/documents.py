@@ -17,7 +17,7 @@ from typing import Any
 from xml.sax.saxutils import escape
 
 import numpy as np
-from markdown_it import MarkdownIt
+from raglite_tpu.utils.mdparse import parse_markdown
 
 from raglite_tpu.types import ChunkId, DocumentId, EvalId, FloatMatrix
 
@@ -159,10 +159,9 @@ class Chunk:
     @staticmethod
     def extract_heading_lines(doc: str, leading_only: bool = False) -> list[str]:  # noqa: FBT001, FBT002
         """Rolling Markdown heading state h1..h6 (reference: _database.py:251-268)."""
-        md = MarkdownIt()
         heading_lines = [""] * 6
         level = None
-        for token in md.parse(doc):
+        for token in parse_markdown(doc):
             if token.type == "heading_open":
                 level = int(token.tag[1]) if 1 <= int(token.tag[1]) <= 6 else None
             elif token.type == "heading_close":

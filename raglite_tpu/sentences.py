@@ -17,7 +17,7 @@ from collections import deque
 from collections.abc import Callable
 
 import numpy as np
-from markdown_it import MarkdownIt
+from raglite_tpu.utils.mdparse import parse_markdown
 
 from raglite_tpu.types import FloatVector
 
@@ -99,8 +99,7 @@ def markdown_sentence_boundaries(doc: str) -> FloatVector:
     """Known boundaries from Markdown headings: a heading is exactly one
     sentence (reference: _split_sentences.py:23-53).  Returns NaN where no
     override applies."""
-    md = MarkdownIt()
-    tokens = md.parse(doc)
+    tokens = parse_markdown(doc)
     lines = doc.splitlines(keepends=True)
     line_start = [0]
     for line in lines:

@@ -1,0 +1,23 @@
+"""Shared, cached markdown-it parsing.
+
+The insert pipeline parses the SAME document text twice — once for
+sentence-boundary overrides (sentences.py) and once for chunklet
+boundaries (chunklets.py) — and profiling showed the markdown-it parse as
+the largest host cost per document (~0.15 s on specrel).  One shared
+parser instance plus an LRU over the token streams halves that.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from markdown_it import MarkdownIt
+
+_MD = MarkdownIt()
+
+
+@lru_cache(maxsize=8)
+def parse_markdown(doc: str):
+    """Token stream for ``doc`` (cached; markdown-it tokens are read-only
+    by convention here — callers must not mutate them)."""
+    return _MD.parse(doc)
