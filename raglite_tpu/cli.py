@@ -178,9 +178,27 @@ def mcp_install(config: RAGLiteConfig, server_name: str) -> None:
               help="IR dataset: 'synthetic', a TREC-format directory, or an ir_datasets id.")
 @click.option("--measure", default="AP@10", show_default=True)
 @click.option("--num-queries", default=50, show_default=True)
+@click.option("--hnsw-recall", is_flag=True,
+              help="instead of the IR table, print the measured recall@10 of "
+              "the production scan vs a real HNSW graph at ef_search=160 "
+              "over the same vectors, with each index's memory.")
+@click.option("--num-rows", default=100_000, show_default=True,
+              help="corpus size for --hnsw-recall")
 @click.pass_obj
-def bench(config: RAGLiteConfig, dataset: str, measure: str, num_queries: int) -> None:
-    """IR benchmark comparing retrieval variants (reference: _cli.py:121-206)."""
+def bench(  # noqa: PLR0913
+    config: RAGLiteConfig, dataset: str, measure: str, num_queries: int,
+    hnsw_recall: bool, num_rows: int,
+) -> None:
+    """IR benchmark comparing retrieval variants (reference: _cli.py:121-206),
+    including a first-party HNSW graph baseline ('hnsw' variant)."""
+    import json as _json
+
+    if hnsw_recall:
+        from raglite_tpu.irbench import hnsw_recall_comparison
+
+        report = hnsw_recall_comparison(num_rows=num_rows)
+        click.echo(_json.dumps(report))
+        return
     from raglite_tpu.irbench import run_ir_benchmark
 
     df = run_ir_benchmark(
