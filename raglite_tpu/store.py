@@ -248,15 +248,24 @@ class Store:
         return chunk
 
     def neighbor_chunks(self, chunk: Chunk, offsets: tuple[int, ...] = (-1, 1)) -> list[Chunk]:
-        """Chunks adjacent by (document_id, index) (reference: _search.py:311-330)."""
+        """Chunks adjacent by (document_id, index) (reference: _search.py:311-330).
+
+        O(1) per neighbor via a (document_id, index) map cached per store
+        version — span retrieval at 10M chunks must not scan the table."""
+        cached = getattr(self, "_position_cache", None)
+        if cached is None or cached[0] != self.version:
+            position = {(c.document_id, c.index): cid for cid, c in self.chunks.items()}
+            self._position_cache = (self.version, position)
+        else:
+            position = cached[1]
         out = []
         for off in offsets:
-            target = chunk.index + off
-            for other in self.chunks.values():
-                if other.document_id == chunk.document_id and other.index == target:
-                    out.append(self.get_chunk(other.id))
-                    break
-        return [c for c in out if c is not None]
+            cid = position.get((chunk.document_id, chunk.index + off))
+            if cid is not None:
+                found = self.get_chunk(cid)
+                if found is not None:
+                    out.append(found)
+        return out
 
     def chunk_metadata_matches(self, chunk: Chunk, metadata_filter: dict[str, Any]) -> bool:
         """JSON-containment semantics: every filter key's value (or any of a
