@@ -589,6 +589,10 @@ class JaxChatLLM:
     def stream(self, messages, *, tools=None, tool_choice=None, **sampling):
         from raglite_tpu.models.llm import ToolCall
 
+        if tool_choice == "none":
+            # Reference semantics (_chatml_function_calling.py): "none" must
+            # produce zero tool calls — no tool manifest, no parsing.
+            tools = None
         forced = tools and (
             tool_choice == "required" or isinstance(tool_choice, dict)
         )
@@ -619,6 +623,8 @@ class JaxChatLLM:
                 tool_buf.append(piece)
             else:
                 yield piece
+        if not tools:
+            return
         joined = "".join(text_parts)
         # Parse any completed tool calls (reference parses the model's
         # function_calls block the same way, _chatml_function_calling.py).

@@ -223,3 +223,21 @@ def test_sampling_controls() -> None:
         if isinstance(p, str)
     ]
     assert isinstance("".join(pieces), str)
+
+
+def test_tool_choice_none_yields_no_tool_calls() -> None:
+    """tool_choice='none' must produce zero tool calls (reference matrix:
+    tests/test_chatml_function_calling.py there)."""
+    from raglite_tpu.models.decoder import JaxChatLLM
+    from raglite_tpu.models.llm import ToolCall
+
+    llm = JaxChatLLM("tiny")
+    tools = [{"type": "function", "function": {
+        "name": "search_knowledge_base", "parameters": {"type": "object"}}}]
+    items = list(
+        llm.stream(
+            [{"role": "user", "content": "find something"}],
+            tools=tools, tool_choice="none", max_tokens=16,
+        )
+    )
+    assert not any(isinstance(i, ToolCall) for i in items)
