@@ -143,3 +143,33 @@ def test_search_never_returns_deleted_chunks(tmp_path) -> None:
     # The surviving document still retrieves.
     ids, _ = vector_search("llamas humming herd", num_results=3, config=config)
     assert ids
+
+
+def test_compaction_resyncs_device_index(tmp_path) -> None:
+    """Deleting most of the corpus triggers store compaction (generation
+    bump); the dense index must rebuild and keep serving correct results."""
+    from raglite_tpu.index.dense import dense_index_from_config
+    from raglite_tpu.store import store_from_config
+
+    config = _config(tmp_path)
+    doc_a = Document.from_text(DOC_A, filename="a.md", topic="Wool")
+    doc_b = Document.from_text(DOC_B, filename="b.md", topic="Physics")
+    insert_documents([doc_a, doc_b], config=config)
+    store = store_from_config(config)
+    # Warm the index, then delete the larger document to cross the
+    # tombstone threshold.
+    vector_search("anything", num_results=2, config=config)
+    gen0 = store.generation
+    bigger = doc_a if sum(
+        c.document_id == doc_a.id for c in store.chunks.values()
+    ) >= sum(c.document_id == doc_b.id for c in store.chunks.values()) else doc_b
+    survivor = doc_b if bigger is doc_a else doc_a
+    delete_documents([bigger.id], config=config)
+    if store.generation > gen0:  # compaction fired
+        index = dense_index_from_config(config)
+        assert index.num_rows == sum(
+            store.embeddings[cid].shape[0] for cid in store.chunk_order
+        )
+    ids, _ = vector_search("alpaca wool physics light", num_results=5, config=config)
+    assert ids
+    assert all(store.chunks[i].document_id == survivor.id for i in ids if i in store.chunks)
