@@ -86,7 +86,9 @@ def _dense_search(
     return jax.lax.approx_max_k(sims, num_hits, recall_target=0.95)
 
 
-@partial(jax.jit, static_argnames=("num_hits", "num_results", "metric", "exact"))
+@partial(
+    jax.jit, static_argnames=("num_hits", "num_results", "metric", "exact", "bitcast")
+)
 def _dense_search_chunks_fused(
     rows: jax.Array,
     row_sqnorm: jax.Array,
@@ -100,6 +102,7 @@ def _dense_search_chunks_fused(
     num_results: int,
     metric: str,
     exact: bool,
+    bitcast: bool = False,
 ) -> jax.Array:
     """Single-program latency path: adapter matmul + scan + group-max +
     final ranking in one XLA executable, so a B=1 query costs ONE dispatch
@@ -113,7 +116,8 @@ def _dense_search_chunks_fused(
         rows, row_sqnorm, valid, queries, row_scale,
         num_hits=num_hits, metric=metric, exact=exact,
     )
-    return _group_max_topk(scores, idx, row_chunk, num_results=num_results)
+    group = _group_max_topk_bitcast if bitcast else _group_max_topk
+    return group(scores, idx, row_chunk, num_results=num_results)
 
 
 @partial(jax.jit, static_argnames=("num_results",))
@@ -145,6 +149,37 @@ def _group_max_topk(
     final_scores, pos = jax.lax.top_k(chunk_scores, min(num_results, k))
     final_chunks = jnp.take_along_axis(chunks, pos, axis=1)
     return jnp.stack([final_scores, final_chunks.astype(jnp.float32)])
+
+
+#: Ordinals above this are not exactly representable in float32; the packed
+#: result switches to a bitcast encoding (ORDINAL_BITCAST_THRESHOLD rows is
+#: ~16.7M — above the 10M-chunk/shard design point, so the common path keeps
+#: its cached executable).
+ORDINAL_BITCAST_THRESHOLD = 1 << 24
+
+
+@partial(jax.jit, static_argnames=("num_results",))
+def _group_max_topk_bitcast(
+    scores: jax.Array,
+    row_ids: jax.Array,
+    row_chunk: jax.Array,
+    *,
+    num_results: int,
+) -> jax.Array:
+    """:func:`_group_max_topk` with ordinals bitcast into the float32 packed
+    array — exact for ALL int32 ordinals (a float32 cast silently corrupts
+    ordinals >= 2^24; used automatically for >16.7M-row indexes)."""
+    k = scores.shape[1]
+    chunks = row_chunk[row_ids]
+    same = chunks[:, None, :] == chunks[:, :, None]
+    tri = jnp.tril(jnp.ones((k, k), bool), k=-1)
+    is_repeat = jnp.any(same & tri[None], axis=-1)
+    chunk_scores = jnp.where(is_repeat, -jnp.inf, scores)
+    final_scores, pos = jax.lax.top_k(chunk_scores, min(num_results, k))
+    final_chunks = jnp.take_along_axis(chunks, pos, axis=1)
+    return jnp.stack(
+        [final_scores, jax.lax.bitcast_convert_type(final_chunks.astype(jnp.int32), jnp.float32)]
+    )
 
 
 class DenseIndex:
@@ -527,7 +562,10 @@ class DenseIndex:
             )
         )
         chunk_scores = packed[0]
-        chunk_ordinals = packed[1].astype(np.int64)
+        if self.num_rows > ORDINAL_BITCAST_THRESHOLD:
+            chunk_ordinals = np.ascontiguousarray(packed[1]).view(np.int32).astype(np.int64)
+        else:
+            chunk_ordinals = packed[1].astype(np.int64)
         chunk_ordinals[~np.isfinite(chunk_scores)] = -1
         if chunk_scores.shape[1] < num_results:
             pad = num_results - chunk_scores.shape[1]
@@ -558,6 +596,7 @@ class DenseIndex:
             exact_resolved = self.num_rows <= EXACT_TOPK_MAX_ROWS
         else:
             exact_resolved = exact
+        bitcast = self.num_rows > ORDINAL_BITCAST_THRESHOLD
         if (
             batch <= 32
             and self.num_devices == 1
@@ -581,11 +620,13 @@ class DenseIndex:
                 num_results=num_results,
                 metric=self.metric,
                 exact=exact_resolved,
+                bitcast=bitcast,
             )
         scores, idx = self._scan_device(
             queries, num_hits=num_hits, row_mask=row_mask, adapter=adapter, exact=exact
         )
-        return _group_max_topk(scores, idx, self._dev_row_chunk, num_results=num_results)
+        group = _group_max_topk_bitcast if bitcast else _group_max_topk
+        return group(scores, idx, self._dev_row_chunk, num_results=num_results)
 
     @classmethod
     def from_device_arrays(

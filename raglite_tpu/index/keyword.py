@@ -86,8 +86,16 @@ class KeywordIndex:
             self._native = NativePostingsBuilder()
             self._csr = None
         for cid in store.chunk_order:
-            self._add_chunk(cid, store.chunks[cid].body)
+            self._add_chunk(cid, self._chunk_body(store, cid))
         self._synced_version = store.version
+
+    @staticmethod
+    def _chunk_body(store: "Store", cid: str) -> str:
+        """Tombstoned chunks keep their ordinal slot with an empty body (so
+        posting ordinals stay aligned with chunk_order); their record is
+        gone from store.chunks after a delete."""
+        chunk = store.chunks.get(cid)
+        return chunk.body if chunk is not None else ""
 
     def sync(self, store: "Store") -> None:
         if self._synced_version == store.version:
@@ -97,7 +105,7 @@ class KeywordIndex:
             and store.chunk_order[: len(self.chunk_ids)] == self.chunk_ids
         ):
             for cid in store.chunk_order[len(self.chunk_ids) :]:
-                self._add_chunk(cid, store.chunks[cid].body)
+                self._add_chunk(cid, self._chunk_body(store, cid))
             self._synced_version = store.version
         else:
             self.rebuild(store)

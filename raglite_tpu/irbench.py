@@ -17,6 +17,7 @@ here the harness is first-party:
 from __future__ import annotations
 
 import json
+import logging
 import os
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, replace
@@ -417,6 +418,16 @@ def run_ir_benchmark(
     rows = []
     for variant in variants:
         if variant == "hnsw":
+            from raglite_tpu.native import native_available
+
+            if not native_available():
+                # The HNSW baseline is first-party C++; every other variant
+                # has a pure-Python fallback, so skip rather than crash the
+                # default bench on toolchain-less machines.
+                logging.getLogger(__name__).warning(
+                    "skipping 'hnsw' baseline: no C++ toolchain available"
+                )
+                continue
             evaluator: IREvaluator = HnswEvaluator(ds, config=config)
         else:
             evaluator = RAGLiteTPUEvaluator(ds, variant=variant, config=config)

@@ -138,8 +138,20 @@ class BoundaryModel:
         if not doc:
             return np.zeros(0, dtype=np.float64)
         ids = char_class_ids(doc)
-        probas = _apply(self.params, jnp.asarray(windows_for(ids)))
-        return np.asarray(probas, dtype=np.float64)
+        windows = windows_for(ids)
+        # Pad the position axis to a power-of-two bucket: jit specializes on
+        # shape, and without bucketing every distinct document length would
+        # trigger a fresh XLA compile (PAD windows score ~0 and are sliced
+        # off).
+        n = windows.shape[0]
+        bucket = 512
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            pad = np.full((bucket - n, windows.shape[1]), _PAD_ID, dtype=np.int32)
+            windows = np.concatenate([windows, pad], axis=0)
+        probas = _apply(self.params, jnp.asarray(windows))
+        return np.asarray(probas, dtype=np.float64)[:n]
 
 
 @lru_cache(maxsize=1)

@@ -142,6 +142,17 @@ def vector_search_batch(
     config = config or RAGLiteConfig()
     if not queries:
         return []
+    if config.self_query:
+        # Self-query extracts a per-query LLM metadata filter — inherently
+        # per-query work, so fall back to single-query calls rather than
+        # silently dropping the filter on the batch path.
+        return [
+            vector_search(
+                query, num_results=num_results, oversample=oversample,
+                metadata_filter=metadata_filter, config=config,
+            )
+            for query in queries
+        ]
     store = store_from_config(config)
     embeddings = embed_strings(queries, config=config).astype(np.float32)
     adapter = (
@@ -213,6 +224,16 @@ def keyword_search_batch(
     queries (ops/bm25.py:bm25_topk_batch; no reference analogue — its SQL
     engine executes per query)."""
     config = config or RAGLiteConfig()
+    if config.self_query:
+        # Per-query LLM filter extraction: fall back to single-query calls
+        # (matching keyword_search semantics) instead of dropping filters.
+        return [
+            keyword_search(
+                query, num_results=num_results,
+                metadata_filter=metadata_filter, config=config,
+            )
+            for query in queries
+        ]
     store = store_from_config(config)
     metadata_filter = adapt_metadata(metadata_filter)
     index = keyword_index_from_config(config)

@@ -92,6 +92,13 @@ class Store:
         self.generation = 0
         #: Chunks [0:_saved_chunks) are already persisted in segments.
         self._saved_chunks = 0
+        #: Segment directory names this store tracks, in chunk-log order.
+        #: The head lists exactly these — never whatever happens to be on
+        #: disk — so an orphan dir from a crashed save is never adopted.
+        self._segments: list[str] = []
+        #: Segments superseded by a compaction; deleted only AFTER the next
+        #: save has durably written their replacement + head.
+        self._stale_segments: list[str] = []
         if self.persistent:
             Path(path).mkdir(parents=True, exist_ok=True)
             self._load()
@@ -169,11 +176,14 @@ class Store:
             self._post_metadata(ordinal, self.chunks[cid].metadata_)
         self.generation += 1
         self.version += 1
-        self._saved_chunks = 0  # all segments are stale; next save rewrites
-        if self.persistent:
-            segments_dir = Path(self.path) / "segments"
-            if segments_dir.exists():
-                shutil.rmtree(segments_dir)
+        # All current segments are superseded, but they stay on disk until
+        # the NEXT save() has durably written the compacted replacement and
+        # the head that references it — a crash mid-compaction must never
+        # lose the only copy of the embeddings.  (In-memory mmap views into
+        # the old files stay valid even after unlink on POSIX.)
+        self._stale_segments.extend(self._segments)
+        self._segments = []
+        self._saved_chunks = 0  # next save rewrites the full log
 
     def update_metadata(self, values: dict[str, set[Any]]) -> None:
         for key, vals in values.items():
@@ -357,6 +367,7 @@ class Store:
             np.save(seg_dir / "embeddings.npy", stacked.astype(np.float16))
             np.save(seg_dir / "counts.npy", counts)
             self._saved_chunks = len(self.chunk_order)
+            self._segments.append(seg_name)
         head = {
             "format_version": _FORMAT_VERSION,
             "version": self.version,
@@ -368,14 +379,21 @@ class Store:
             "metadata": self.metadata,
             "evals": [asdict(e) for e in self.evals.values()],
             "deleted_chunks": sorted(self.deleted_chunks),
-            "segments": sorted(
-                p.name for p in (root / "segments").iterdir()
-            ) if (root / "segments").exists() else [],
+            # Exactly the tracked segments: a crashed save's orphan dir must
+            # never be adopted (it would resurrect uncommitted chunks).
+            "segments": list(self._segments),
         }
         tmp = root / "head.msgpack.tmp"
         tmp.write_bytes(msgpack.packb(head, use_bin_type=True))
         tmp.replace(root / "head.msgpack")
         self._save_index_metadata(root)
+        # The head no longer references compaction-superseded segments;
+        # NOW they are safe to delete.
+        for stale in self._stale_segments:
+            stale_dir = root / "segments" / stale
+            if stale_dir.exists():
+                shutil.rmtree(stale_dir)
+        self._stale_segments = []
         # Drop pre-segment (format v1) files once superseded.
         for legacy in ("records.msgpack", "embeddings.npy", "embedding_counts.npy",
                        "manifest.json"):
@@ -406,7 +424,8 @@ class Store:
             self.evals[e["id"]] = Eval(**e)
         self.deleted_chunks = set(head.get("deleted_chunks", []))
         self.generation = head.get("generation", 0)
-        for seg_name in head.get("segments", []):
+        self._segments = list(head.get("segments", []))
+        for seg_name in self._segments:
             seg_dir = root / "segments" / seg_name
             records = msgpack.unpackb((seg_dir / "records.msgpack").read_bytes(), raw=False)
             counts = np.load(seg_dir / "counts.npy")

@@ -98,15 +98,45 @@ def docx_to_markdown(path: Path | str) -> str:
     return "\n\n".join(parts) + "\n"
 
 
+def _epub_spine_order(zf: zipfile.ZipFile) -> list[str] | None:
+    """Chapter files in OPF spine (reading) order, or None when the package
+    metadata is absent/invalid."""
+    try:
+        container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
+        ns_c = {"c": "urn:oasis:names:tc:opendocument:xmlns:container"}
+        rootfile = container.find(".//c:rootfile", ns_c)
+        opf_path = rootfile.get("full-path")  # type: ignore[union-attr]
+        opf = ElementTree.fromstring(zf.read(opf_path))
+        ns_o = {"o": "http://www.idpf.org/2007/opf"}
+        base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+        hrefs = {
+            item.get("id"): base + (item.get("href") or "")
+            for item in opf.findall(".//o:manifest/o:item", ns_o)
+        }
+        order = [
+            hrefs[ref.get("idref")]
+            for ref in opf.findall(".//o:spine/o:itemref", ns_o)
+            if ref.get("idref") in hrefs
+        ]
+        return order or None
+    except (KeyError, ElementTree.ParseError, AttributeError):
+        return None
+
+
 def epub_to_markdown(path: Path | str) -> str:
     from raglite_tpu.markdown import html_to_markdown
 
     parts: list[str] = []
     with zipfile.ZipFile(path) as zf:
-        chapters = sorted(
-            n for n in zf.namelist() if n.endswith((".xhtml", ".html", ".htm"))
+        # Reading order comes from the OPF spine; a lexical filename sort
+        # would scramble books with 10+ chapter files (ch10 before ch2).
+        names = set(zf.namelist())
+        chapters = _epub_spine_order(zf) or sorted(
+            n for n in names if n.endswith((".xhtml", ".html", ".htm"))
         )
         for name in chapters:
+            if name not in names:
+                continue
             markdown = html_to_markdown(zf.read(name).decode("utf-8", errors="replace"))
             if markdown.strip():
                 parts.append(markdown.strip())
@@ -157,8 +187,16 @@ def rtf_to_markdown(text: str) -> str:
             elif text[i + 1 : i + 2] in ("\\", "{", "}"):
                 out.append(text[i + 1])
                 i += 2
-            elif text[i + 1 : i + 3] == "'":
-                i += 4  # \'hh hex escape (legacy codepage); drop
+            elif text[i + 1 : i + 2] == "'":
+                # \'hh legacy-codepage escape: decode as cp1252 (the common
+                # Windows RTF codepage) so accented text survives.
+                hex_digits = text[i + 2 : i + 4]
+                try:
+                    if not depth_skip:
+                        out.append(bytes([int(hex_digits, 16)]).decode("cp1252"))
+                except (ValueError, UnicodeDecodeError):
+                    pass
+                i += 4
             else:
                 i += 1
         else:

@@ -173,3 +173,59 @@ def test_compaction_resyncs_device_index(tmp_path) -> None:
     ids, _ = vector_search("alpaca wool physics light", num_results=5, config=config)
     assert ids
     assert all(store.chunks[i].document_id == survivor.id for i in ids if i in store.chunks)
+
+
+def test_keyword_search_survives_tombstones_and_reload(tmp_path) -> None:
+    """Round-2 review finding: keyword sync crashed (KeyError) on chunk_order
+    entries whose records were tombstoned, including on fresh opens of any
+    persisted store containing tombstones."""
+    from raglite_tpu import keyword_search
+    from raglite_tpu.index.keyword import _keyword_index_for_path
+    from raglite_tpu.store import Store, _store_for_path
+
+    config = _config(tmp_path)
+    doc_a = Document.from_text(DOC_A, filename="a.md")
+    doc_b = Document.from_text(DOC_B, filename="b.md")
+    insert_documents([doc_a], config=config)
+    keyword_search("alpaca", num_results=2, config=config)  # index syncs
+    insert_documents([doc_b], config=config)
+    delete_documents([doc_b.id], config=config)  # tombstones, below threshold
+    ids, _ = keyword_search("alpaca wool", num_results=3, config=config)
+    assert ids
+    # Fresh process analogue: cold store + cold keyword index.
+    _store_for_path.cache_clear()
+    _keyword_index_for_path.cache_clear()
+    ids2, _ = keyword_search("alpaca wool", num_results=3, config=config)
+    assert ids2 == ids
+
+
+def test_compaction_never_window_without_data_on_disk(tmp_path) -> None:
+    """Round-2 review finding: compaction deleted all segments BEFORE the
+    replacement save. Old segments must survive until the new head lands."""
+    from pathlib import Path
+
+    from raglite_tpu.store import Store
+
+    store = Store(str(tmp_path / "s"))
+    from raglite_tpu.documents import Chunk
+
+    chunks = [
+        Chunk(id=f"c{i}", document_id="d1" if i < 70 else "d2", index=i,
+              headings="", body=f"b{i}", metadata_={})
+        for i in range(100)
+    ]
+    embeddings = list(np.ones((100, 1, 8), dtype=np.float16))
+    store.add_chunks(chunks, embeddings)
+    store.save()
+    seg_dir = Path(store.path) / "segments"
+    before = sorted(p.name for p in seg_dir.iterdir())
+    store.delete_documents(["d1"])  # 70% tombstones -> compaction
+    # CRITICAL: the old segment data is still on disk until the next save.
+    assert sorted(p.name for p in seg_dir.iterdir()) == before
+    reopened = Store(str(tmp_path / "s"))  # crash-now scenario: still loads
+    assert len(reopened.chunk_order) == 100
+    store.save()
+    after = sorted(p.name for p in seg_dir.iterdir())
+    assert after != before and len(after) == 1  # compacted segment only
+    fresh = Store(str(tmp_path / "s"))
+    assert len(fresh.chunk_order) == 30

@@ -93,3 +93,31 @@ def test_search_chunks_empty_index():
     )
     assert (ordinals == -1).all()
     assert not np.isfinite(scores).any()
+
+
+def test_bitcast_ordinal_path_exact_beyond_2_24(monkeypatch):
+    """Ordinals above 2^24 are not float32-representable; the bitcast packed
+    path must return them exactly (forced here by lowering the threshold)."""
+    import raglite_tpu.index.dense as dense_mod
+
+    monkeypatch.setattr(dense_mod, "ORDINAL_BITCAST_THRESHOLD", 4)
+    rng = np.random.default_rng(3)
+    index, matrices = _build_index(rng, n_chunks=30)
+    queries = rng.normal(size=(2, 64)).astype(np.float32)
+    scores, ordinals = index.search_chunks(queries, num_hits=32, num_results=5)
+    expected = _oracle(queries, matrices, 5)
+    for b in range(2):
+        assert ordinals[b].tolist() == [o for _, o in expected[b]]
+        np.testing.assert_allclose(scores[b], [s for s, _ in expected[b]], rtol=1e-4)
+    # The bitcast encoder itself is exact for huge ordinal values.
+    import jax.numpy as jnp
+
+    from raglite_tpu.index.dense import _group_max_topk_bitcast
+
+    big = (1 << 24) + 7
+    row_chunk = jnp.asarray([big, big + 1], dtype=jnp.int32)
+    s = jnp.asarray([[2.0, 1.0]], dtype=jnp.float32)
+    ids = jnp.asarray([[0, 1]], dtype=jnp.int32)
+    packed = np.asarray(_group_max_topk_bitcast(s, ids, row_chunk, num_results=2))
+    decoded = np.ascontiguousarray(packed[1]).view(np.int32)
+    assert decoded.tolist() == [[big, big + 1]]
