@@ -83,7 +83,10 @@ def init_decoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Para
 
 
 def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
-    """Load a Qwen2/Qwen3-family HF checkpoint directory into our layout.
+    """Load a Qwen2/Qwen3/Llama/Mistral-family HF checkpoint directory into
+    our layout (the tensor naming and architecture knobs are shared across
+    these families; HF-gold parity tested for all four in
+    tests/test_pretrained_loaders.py).
 
     The pretrained-weights path the reference gets from llama.cpp GGUF
     loading (_litellm.py:96-148).  Expects ``config.json`` plus one or more

@@ -25,9 +25,24 @@ def _save_hf(model, config, tmp_path, name):
     return str(path)
 
 
-@pytest.mark.parametrize("family", ["qwen2", "qwen3"])
+@pytest.mark.parametrize("family", ["qwen2", "qwen3", "llama", "mistral"])
 def test_decoder_loader_matches_transformers(tmp_path, family):
-    if family == "qwen2":
+    if family in ("llama", "mistral"):
+        config_cls = (
+            transformers.LlamaConfig if family == "llama" else transformers.MistralConfig
+        )
+        model_cls = (
+            transformers.LlamaForCausalLM if family == "llama"
+            else transformers.MistralForCausalLM
+        )
+        config = config_cls(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rope_theta=5e5, rms_norm_eps=1e-5,
+            tie_word_embeddings=False,
+        )
+        gold = model_cls(config)
+    elif family == "qwen2":
         config = transformers.Qwen2Config(
             vocab_size=256, hidden_size=64, intermediate_size=128,
             num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
@@ -51,6 +66,7 @@ def test_decoder_loader_matches_transformers(tmp_path, family):
 
     cfg, params, _ = load_safetensors_decoder(path, dtype=jnp.float32)
     assert cfg["head_dim"] == (32 if family == "qwen3" else 16)
+    assert cfg["rope_base"] == (5e5 if family in ("llama", "mistral") else 1e6)
     model = DecoderModel(cfg)
 
     rng = np.random.default_rng(0)
