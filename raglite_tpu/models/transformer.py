@@ -57,11 +57,13 @@ def init_encoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Para
     return params
 
 
-def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+def _layer_norm(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5
+) -> jax.Array:
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias).astype(x.dtype)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
 
 
 class EncoderModel:
@@ -69,6 +71,7 @@ class EncoderModel:
 
     def __init__(self, cfg: dict) -> None:
         self.cfg = cfg
+        self.ln_eps = float(cfg.get("ln_eps", 1e-5))
 
     def apply_tokens(self, params: Params, ids: jax.Array, mask: jax.Array) -> jax.Array:
         """ids [B, T] int32, mask [B, T] bool -> hidden states [B, T, d] fp32."""
@@ -77,7 +80,7 @@ class EncoderModel:
         d = cfg["d_model"]
         head_dim = d // heads
         x = params["tok_emb"][ids] + params["pos_emb"][: ids.shape[1]][None]
-        x = _layer_norm(x, params["emb_ln_scale"], params["emb_ln_bias"])
+        x = _layer_norm(x, params["emb_ln_scale"], params["emb_ln_bias"], self.ln_eps)
         attn_bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
         for layer in params["layers"]:
             # Self-attention (post-LN residual).
@@ -93,14 +96,14 @@ class EncoderModel:
             ctx = jnp.einsum("bhqk,bhke->bhqe", probs, v.astype(x.dtype))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, d)
             attn_out = jnp.einsum("btd,de->bte", ctx, layer["wo"], preferred_element_type=jnp.float32)
-            x = _layer_norm(x + attn_out.astype(x.dtype), layer["attn_ln_scale"], layer["attn_ln_bias"])
+            x = _layer_norm(x + attn_out.astype(x.dtype), layer["attn_ln_scale"], layer["attn_ln_bias"], self.ln_eps)
             # Feed-forward (post-LN residual).
             h = jnp.einsum("btd,df->btf", x, layer["w1"], preferred_element_type=jnp.float32)
             h = jax.nn.gelu(h + layer["b1"]).astype(x.dtype)
             out = jnp.einsum("btf,fd->btd", h, layer["w2"], preferred_element_type=jnp.float32)
             out = out + layer["b2"]
-            x = _layer_norm(x + out.astype(x.dtype), layer["mlp_ln_scale"], layer["mlp_ln_bias"])
-        x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
+            x = _layer_norm(x + out.astype(x.dtype), layer["mlp_ln_scale"], layer["mlp_ln_bias"], self.ln_eps)
+        x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], self.ln_eps)
         return x.astype(jnp.float32)
 
 
@@ -133,6 +136,7 @@ def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
         d_ff=hf["intermediate_size"],
         vocab=hf["vocab_size"],
         max_len=hf["max_position_embeddings"],
+        ln_eps=hf.get("layer_norm_eps", 1e-5),
     )
     tensors: dict[str, np.ndarray] = {}
     with safe_open(st_path, framework="np") as f:

@@ -80,9 +80,42 @@ def test_decoder_loader_matches_transformers(tmp_path, family):
     np.testing.assert_allclose(ours, gold_logits, rtol=2e-3, atol=2e-3)
 
 
-def test_encoder_loader_matches_transformers_xlmr(tmp_path):
-    """XLM-R position offset (padding_idx+1) and token-type fold must make
-    our encoder reproduce HF hidden states (round-1 weak item 9)."""
+@pytest.mark.parametrize("family", ["xlmr", "bert"])
+def test_encoder_loader_matches_transformers_xlmr(tmp_path, family):
+    """XLM-R position offset (padding_idx+1), token-type fold, and
+    checkpoint layer_norm_eps must make our encoder reproduce HF hidden
+    states (round-1 weak item 9); BERT-family (bge-small/gte architecture)
+    uses 0-based positions and eps 1e-12."""
+    if family == "bert":
+        config = transformers.BertConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=64, pad_token_id=0, type_vocab_size=2,
+            layer_norm_eps=1e-12,
+        )
+        gold = transformers.BertModel(config)
+        gold.eval()
+        path = _save_hf(gold, config, tmp_path, "bert")
+        from tokenizers import Tokenizer, models
+
+        tok = Tokenizer(models.BPE(vocab={chr(97 + i): i for i in range(26)}, merges=[]))
+        tok.save(str(tmp_path / "bert" / "tokenizer.json"))
+
+        from raglite_tpu.models.transformer import EncoderModel, load_safetensors_encoder
+
+        cfg, params, _ = load_safetensors_encoder(path, dtype=jnp.float32)
+        model = EncoderModel(cfg)
+        rng = np.random.default_rng(1)
+        ids = rng.integers(2, 128, size=(2, 10)).astype(np.int32)
+        mask = np.ones((2, 10), dtype=bool)
+        with torch.no_grad():
+            gold_hidden = gold(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+            ).last_hidden_state.numpy()
+        ours = np.asarray(model.apply_tokens(params, jnp.asarray(ids), jnp.asarray(mask)))
+        np.testing.assert_allclose(ours, gold_hidden, rtol=2e-4, atol=2e-4)
+        return
     config = transformers.XLMRobertaConfig(
         vocab_size=128, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=4,
