@@ -101,14 +101,20 @@ class KeywordIndex:
         if self._synced_version == store.version:
             return
         if (
-            len(store.chunk_order) >= len(self.chunk_ids)
+            len(store.deleted_chunks) == getattr(self, "_synced_deleted", 0)
+            and len(store.chunk_order) >= len(self.chunk_ids)
             and store.chunk_order[: len(self.chunk_ids)] == self.chunk_ids
         ):
             for cid in store.chunk_order[len(self.chunk_ids) :]:
                 self._add_chunk(cid, self._chunk_body(store, cid))
             self._synced_version = store.version
         else:
+            # Deletes rebuild the postings so df/avg_len drop with the dead
+            # chunks — otherwise BM25 ranking would drift from what a fresh
+            # build produces (the reference rebuilds its FTS index on delete
+            # the same way, _delete.py:130-178).
             self.rebuild(store)
+        self._synced_deleted = len(store.deleted_chunks)
 
     # --- Search ---------------------------------------------------------
 

@@ -38,16 +38,51 @@ def _rms_norm(x: jax.Array, scale: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (x32 * jax.lax.rsqrt(var + eps) * scale).astype(x.dtype)
 
 
-def _rope(x: jax.Array, positions: jax.Array, base: float = 10000.0) -> jax.Array:
-    """Rotary embedding. x: [B, H, T, Dh], positions: [B, T]."""
-    half = x.shape[-1] // 2
-    freqs = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
-    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # [B, 1, T, half]
+def _rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.Array:
+    """Rotary embedding. x: [B, H, T, Dh], positions: [B, T],
+    inv_freq: [Dh/2] (precomputed; carries any rope_scaling)."""
+    angles = positions[:, None, :, None].astype(jnp.float32) * inv_freq  # [B, 1, T, half]
     cos, sin = jnp.cos(angles), jnp.sin(angles)
+    half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
     ).astype(x.dtype)
+
+
+def compute_inv_freq(cfg: dict) -> np.ndarray:
+    """RoPE inverse frequencies [head_dim/2], applying the checkpoint's
+    rope_scaling (HF "llama3" frequency-dependent scaling and "linear"
+    position interpolation are supported — Llama 3.x checkpoints all ship
+    rope_scaling, and ignoring it diverges from HF at every position)."""
+    head_dim = cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
+    base = float(cfg.get("rope_base", 10000.0))
+    half = head_dim // 2
+    inv_freq = base ** (-np.arange(half, dtype=np.float64) / half)
+    scaling = cfg.get("rope_scaling") or {}
+    rope_type = scaling.get("rope_type") or scaling.get("type")
+    if rope_type == "llama3":
+        factor = float(scaling["factor"])
+        low = float(scaling.get("low_freq_factor", 1.0))
+        high = float(scaling.get("high_freq_factor", 4.0))
+        original = float(scaling.get("original_max_position_embeddings", 8192))
+        wavelen = 2.0 * np.pi / inv_freq
+        smooth = np.clip((original / wavelen - low) / max(high - low, 1e-9), 0.0, 1.0)
+        scaled = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = np.where(
+            wavelen < original / high, inv_freq,
+            np.where(wavelen > original / low, inv_freq / factor, scaled),
+        )
+    elif rope_type == "linear":
+        inv_freq = inv_freq / float(scaling["factor"])
+    elif rope_type is not None:
+        import warnings
+
+        warnings.warn(
+            f"unsupported rope_scaling type {rope_type!r}: using unscaled RoPE",
+            stacklevel=2,
+        )
+    return inv_freq.astype(np.float32)
 
 
 def init_decoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Params:
@@ -120,7 +155,17 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
         head_dim=hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"],
         rope_base=hf.get("rope_theta", 10000.0),
         rms_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_scaling=hf.get("rope_scaling"),
     )
+    if hf.get("sliding_window") and hf["sliding_window"] < cfg["max_len"]:
+        import warnings
+
+        warnings.warn(
+            "checkpoint uses sliding-window attention; this decoder attends "
+            "globally — outputs match HF only within the window "
+            f"({hf['sliding_window']} tokens)",
+            stacklevel=2,
+        )
     shards = sorted(
         os.path.join(path, name)
         for name in os.listdir(path)
@@ -185,8 +230,8 @@ class DecoderModel:
     def __init__(self, cfg: dict) -> None:
         self.cfg = cfg
         self.head_dim = cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
-        self.rope_base = float(cfg.get("rope_base", 10000.0))
         self.rms_eps = float(cfg.get("rms_eps", 1e-6))
+        self.inv_freq = jnp.asarray(compute_inv_freq(cfg))
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
         L, kvh, hd = self.cfg["layers"], self.cfg["kv_heads"], self.head_dim
@@ -227,8 +272,8 @@ class DecoderModel:
             if "q_norm" in layer:  # Qwen3-style per-head RMS norms
                 q = _rms_norm(q, layer["q_norm"], self.rms_eps)
                 k = _rms_norm(k, layer["k_norm"], self.rms_eps)
-            q = _rope(q, positions, self.rope_base)
-            k = _rope(k, positions, self.rope_base)
+            q = _rope(q, positions, self.inv_freq)
+            k = _rope(k, positions, self.inv_freq)
             k_cache = jax.lax.dynamic_update_slice(
                 cache["k"][li], k.astype(cache["k"].dtype), (0, 0, cache_len, 0)
             )
@@ -264,18 +309,6 @@ class DecoderModel:
 @partial(jax.jit, static_argnames=("model",))
 def _prefill(model: DecoderModel, params, ids, cache):
     return model.forward(params, ids, cache, jnp.asarray(0, jnp.int32))
-
-
-@partial(jax.jit, static_argnames=("model",))
-def _decode_step(model: DecoderModel, params, token, cache, cache_len, mask, temperature, key):
-    """One constrained sampling step: forward, mask logits, sample."""
-    logits, cache = model.forward(params, token, cache, cache_len)
-    logits = logits[:, -1, :] + mask  # mask: [V] (0 allowed, -inf forbidden)
-    greedy = jnp.argmax(logits, axis=-1)
-    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape) + 1e-9) + 1e-9)
-    sampled = jnp.argmax(logits / jnp.maximum(temperature, 1e-4) + gumbel, axis=-1)
-    next_token = jnp.where(temperature <= 0.0, greedy, sampled)
-    return next_token.astype(jnp.int32), cache
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -374,6 +407,9 @@ class JaxChatLLM:
 
     #: Recommended sampling defaults for Qwen-class models (the reference
     #: registers the same for its local provider, _litellm.py:168-177).
+    #: Deliberately NOT applied implicitly — generation defaults to greedy
+    #: for determinism; splat these into the call for chat-quality sampling:
+    #: ``llm.stream(msgs, **JaxChatLLM.RECOMMENDED_SAMPLING)``.
     RECOMMENDED_SAMPLING = {"temperature": 0.7, "top_p": 0.8, "top_k": 20, "min_p": 0.0}
 
     @staticmethod
@@ -401,10 +437,15 @@ class JaxChatLLM:
         if min_p and min_p > 0.0:
             probs = np.where(probs >= min_p * probs.max(), probs, 0.0)
         if top_p and top_p < 1.0:
+            probs /= probs.sum()  # renormalize after top-k/min-p zeroing
             order = np.argsort(probs)[::-1]
-            csum = np.cumsum(probs[order])
-            keep = csum <= top_p
-            keep[0] = True  # always keep the top token
+            sorted_probs = probs[order]
+            csum = np.cumsum(sorted_probs)
+            # Standard nucleus: keep every token whose PRECEDING mass is
+            # below top_p — the threshold-crossing token stays in the set
+            # (an exclusive `csum <= p` collapses to near-greedy whenever
+            # the top token holds most of the mass).
+            keep = (csum - sorted_probs) < top_p
             mask = np.zeros_like(probs, dtype=bool)
             mask[order[keep]] = True
             probs = np.where(mask, probs, 0.0)
@@ -428,7 +469,13 @@ class JaxChatLLM:
         completion_bytes — JsonAutomaton or SchemaAutomaton) constrains the
         byte stream; ``json_constrained`` is the schema-less shorthand."""
         tok = self.tokenizer
-        ids = tok.encode(prompt)[-(self.context_size - max_new_tokens - 1) :]
+        # Clamp the generation budget to the window, then keep the newest
+        # prompt tokens that fit: the naive `ids[-(ctx - max_new - 1):]`
+        # flips sign when max_new + 1 >= ctx (keeping the WRONG slice) and
+        # `[-0:]` keeps everything instead of nothing.
+        max_new_tokens = max(1, min(max_new_tokens, self.context_size - 32))
+        budget = max(self.context_size - max_new_tokens - 1, 16)
+        ids = tok.encode(prompt)[-budget:]
         if self._byte_level:
             ids = [tok.BOS, *ids]
         pad = _bucket(len(ids))
@@ -605,8 +652,46 @@ class JaxChatLLM:
         prompt = self._format_messages(messages, tools)
         max_new = int(sampling.get("max_tokens", 128))
         text_parts: list[str] = []
+        # Incremental tool-tag filter: content inside <tool_call>...</tool_call>
+        # must never reach the text stream (it is parsed into ToolCall items
+        # below), content outside it must ALL stream — including text after a
+        # tool call — and a partial "<tool_call" at the buffer tail is held
+        # back until it either completes or turns out to be plain text.
+        OPEN, CLOSE = "<tool_call>", "</tool_call>"
+        pending = ""
         in_tool = False
-        tool_buf: list[str] = []
+
+        def drain(pending: str, in_tool: bool, final: bool):
+            emit = []
+            while True:
+                if in_tool:
+                    end = pending.find(CLOSE)
+                    if end < 0:
+                        if final:
+                            pending = ""
+                        break
+                    pending = pending[end + len(CLOSE) :]
+                    in_tool = False
+                    continue
+                start = pending.find(OPEN)
+                if start >= 0:
+                    emit.append(pending[:start])
+                    pending = pending[start + len(OPEN) :]
+                    in_tool = True
+                    continue
+                # Hold back a tail that could still become the opening tag.
+                hold = 0
+                if not final:
+                    for k in range(min(len(OPEN) - 1, len(pending)), 0, -1):
+                        if pending.endswith(OPEN[:k]):
+                            hold = k
+                            break
+                cut = len(pending) - hold
+                emit.append(pending[:cut])
+                pending = pending[cut:]
+                break
+            return "".join(emit), pending, in_tool
+
         for piece in self._decode_stream(
             self._generate_tokens(
                 prompt,
@@ -619,15 +704,18 @@ class JaxChatLLM:
             )
         ):
             text_parts.append(piece)
-            joined = "".join(text_parts)
-            if not in_tool and "<tool_call>" in joined:
-                in_tool = True
-            if in_tool:
-                tool_buf.append(piece)
+            if tools:
+                pending += piece
+                emit, pending, in_tool = drain(pending, in_tool, final=False)
+                if emit:
+                    yield emit
             else:
                 yield piece
         if not tools:
             return
+        emit, pending, in_tool = drain(pending, in_tool, final=True)
+        if emit:
+            yield emit
         joined = "".join(text_parts)
         # Parse any completed tool calls (reference parses the model's
         # function_calls block the same way, _chatml_function_calling.py).

@@ -56,14 +56,18 @@ def bm25_scores_batch(
     batch: int,
 ) -> jax.Array:
     """Dense BM25 scores [batch, num_chunks] for B queries' postings in ONE
-    segment-sum: segment id = query * (num_chunks+1) + chunk.  This is the
-    [B]-batched device scoring round-1 lacked (hybrid_search_batch looped
-    keyword search per query on the host)."""
+    2-D scatter-add.  This is the [B]-batched device scoring round-1 lacked
+    (hybrid_search_batch looped keyword search per query on the host).
+
+    A flat segment id (query * (num_chunks+1) + chunk) would overflow int32
+    at ~2^31 / corpus-size queries — at the 10M-chunk design point that is
+    batch ≈ 215, silently zeroing those queries' scores; the 2-D scatter
+    has no such cliff."""
     denom = posting_tf + K1 * len_norm[jnp.minimum(posting_chunk, num_chunks - 1)]
     contrib = posting_idf * posting_tf * (K1 + 1.0) / jnp.maximum(denom, 1e-9)
-    seg = posting_query * (num_chunks + 1) + posting_chunk
-    flat = jax.ops.segment_sum(contrib, seg, num_segments=batch * (num_chunks + 1))
-    return flat.reshape(batch, num_chunks + 1)[:, :num_chunks]
+    scores = jnp.zeros((batch, num_chunks + 1), jnp.float32)
+    scores = scores.at[posting_query, posting_chunk].add(contrib)
+    return scores[:, :num_chunks]
 
 
 @partial(jax.jit, static_argnames=("num_chunks", "batch", "num_hits"))

@@ -241,3 +241,84 @@ def test_tool_choice_none_yields_no_tool_calls() -> None:
         )
     )
     assert not any(isinstance(i, ToolCall) for i in items)
+
+
+def test_stream_tool_tag_never_leaks_and_trailing_text_flows() -> None:
+    """Round-2 review findings: '<tool_call' chars leaked into the text
+    stream, and everything after '</tool_call>' was swallowed."""
+    from raglite_tpu.models.decoder import JaxChatLLM
+    from raglite_tpu.models.llm import ToolCall
+
+    llm = JaxChatLLM("tiny")
+    script = (
+        'Before. <tool_call>{"name": "lookup", "arguments": {"q": "x"}}'
+        "</tool_call> After the call."
+    )
+
+    def fake_decode(tokens):  # 1-char pieces, the worst case for the filter
+        yield from script
+
+    llm._decode_stream = fake_decode  # type: ignore[method-assign]
+    llm._generate_tokens = lambda *a, **k: iter(())  # type: ignore[method-assign]
+    tools = [{"type": "function", "function": {"name": "lookup",
+                                               "parameters": {"type": "object"}}}]
+    items = list(llm.stream([{"role": "user", "content": "hi"}], tools=tools))
+    text = "".join(i for i in items if isinstance(i, str))
+    calls = [i for i in items if isinstance(i, ToolCall)]
+    assert text == "Before.  After the call."
+    assert "<tool_call" not in text and "</tool_call" not in text
+    assert len(calls) == 1 and calls[0].name == "lookup"
+    # A lone '<' that never becomes a tag must still stream.
+    script2 = "a < b and c."
+    llm._decode_stream = lambda tokens: iter(script2)  # type: ignore[method-assign]
+    items2 = list(llm.stream([{"role": "user", "content": "hi"}], tools=tools))
+    assert "".join(i for i in items2 if isinstance(i, str)) == script2
+
+
+def test_generation_budget_clamped_to_context() -> None:
+    """max_tokens >= context_size must not discard the prompt (the old
+    negative-slice idiom flipped sign)."""
+    from raglite_tpu.models.decoder import JaxChatLLM
+
+    llm = JaxChatLLM("tiny")  # context_size 1024
+    out = llm.complete(
+        [{"role": "user", "content": "hello world"}], max_tokens=4096
+    )
+    assert out.content is not None  # generated without crashing/empty prompt
+
+
+def test_nucleus_sampling_keeps_crossing_token() -> None:
+    from raglite_tpu.models.decoder import JaxChatLLM
+    import numpy as np
+
+    logits = np.log(np.array([0.79, 0.20, 0.01]))
+    rng = np.random.default_rng(0)
+    picks = {
+        JaxChatLLM._sample_host(
+            logits, temperature=1.0, top_p=0.8, top_k=0, min_p=0.0, rng=rng
+        )
+        for _ in range(300)
+    }
+    assert picks == {0, 1}  # crossing token 1 stays; token 2 is cut
+
+
+def test_llama3_rope_scaling_applied() -> None:
+    from raglite_tpu.models.decoder import compute_inv_freq
+    import numpy as np
+
+    base_cfg = dict(d_model=64, heads=4, rope_base=5e5)
+    plain = compute_inv_freq(base_cfg)
+    scaled = compute_inv_freq({
+        **base_cfg,
+        "rope_scaling": {
+            "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0, "original_max_position_embeddings": 8192,
+        },
+    })
+    assert scaled.shape == plain.shape
+    # Low frequencies (long wavelengths) are divided by the factor; high
+    # frequencies are untouched.
+    assert np.isclose(scaled[-1], plain[-1] / 8.0, rtol=1e-5)
+    assert np.isclose(scaled[0], plain[0], rtol=1e-5)
+    linear = compute_inv_freq({**base_cfg, "rope_scaling": {"type": "linear", "factor": 2.0}})
+    np.testing.assert_allclose(linear, plain / 2.0, rtol=1e-6)

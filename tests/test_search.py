@@ -174,3 +174,28 @@ def test_keyword_search_batch_matches_single(raglite_test_config) -> None:
         import numpy as np
 
         np.testing.assert_allclose(scores_b, scores_s, rtol=1e-5)
+
+
+def test_bm25_batch_no_flat_id_overflow() -> None:
+    """2-D scatter scoring: large corpus x batch must not wrap int32 (the
+    flat-segment-id formulation zeroed queries past batch ~215 at 10M
+    chunks). Simulated with a huge num_chunks padding and a tiny posting
+    set pointing at real chunks."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raglite_tpu.ops.bm25 import bm25_scores_batch
+
+    num_chunks = 10_000_128
+    batch = 300  # flat ids would reach 3e9 > int32
+    # Two postings for the last query, pointing at chunk 7.
+    posting_chunk = jnp.asarray([7, 7], dtype=jnp.int32)
+    posting_query = jnp.asarray([batch - 1, batch - 1], dtype=jnp.int32)
+    tf = jnp.asarray([2.0, 1.0], jnp.float32)
+    idf = jnp.asarray([1.5, 1.5], jnp.float32)
+    len_norm = jnp.ones((num_chunks,), jnp.float32)
+    scores = np.asarray(bm25_scores_batch(
+        posting_chunk, posting_query, tf, idf, len_norm,
+        num_chunks=num_chunks, batch=batch,
+    )[batch - 1, 7])
+    assert scores > 0.0
