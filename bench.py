@@ -112,37 +112,37 @@ def main() -> None:
 
     q1 = queries[:1]
 
-    # B=1 device latency, tunnel-immune: each sample jit-runs a chain of
-    # CHAIN_K data-dependent iterations of the EXACT fused production
-    # program (the B<=32 routing of search_chunks) and is synced once, so
+    # B=1 device latency, tunnel-immune: each sample DISPATCHES CHAIN_K
+    # data-dependent calls of the production B=1 routing (search_chunks's
+    # fused program), where call k+1's query is derived from call k's device
+    # output — the dependency serializes execution on device while the
+    # async dispatches pipeline through the tunnel — and syncs once, so
     # per-query time = (chain - rpc) / K cannot hide inside the tunnel's
     # one-way trip (a naive per-call measurement reads ~0.5 ms here because
-    # compute shorter than the RTT/2 overlaps the fetch).  Percentiles are
-    # over CHAIN_M independent chain samples — a distribution, not a mean
-    # of means with K=1-level noise.
-    from raglite_tpu.index.dense import _dense_search_chunks_fused
+    # compute shorter than RTT/2 overlaps the fetch).  K must be long enough
+    # that client dispatch overhead fully overlaps device execution:
+    # measured on v5e, per-query converges at K>=32 (1.88 ms) and is
+    # under/over-estimated at K=8/16.  Percentiles are over CHAIN_M
+    # independent chain samples.  Crucially this reuses the already-cached
+    # production program: no fresh monolithic compile (the remote compile
+    # service repeatedly dropped a scan-wrapped variant after ~27 min).
+    CHAIN_K, CHAIN_M = 32, max(args.latency_reps // 5, 6)
+    perturb = jax.jit(lambda q, p: q + p[0, 0, 0] * 1e-30)
 
-    CHAIN_K, CHAIN_M = 8, max(args.latency_reps // 5, 6)
-    exact_b1 = index.num_rows <= 131_072
-
-    @jax.jit
     def latency_chain(q):
-        def body(carry, _):
-            packed = _dense_search_chunks_fused(
-                index._dev_rows, index._dev_sqnorm, index._dev_valid,
-                index._dev_row_chunk, q + carry, index._dev_scale, adapter,
-                num_hits=args.num_hits, num_results=args.num_results,
-                metric="cosine", exact=exact_b1,
+        packed = None
+        for _ in range(CHAIN_K):
+            packed = index.search_chunks_device(
+                q, num_hits=args.num_hits, num_results=args.num_results,
+                adapter=adapter,
             )
-            # Feed a value-dependent zero back into the next query so XLA
-            # cannot overlap or elide iterations.
-            return packed[0, 0, 0] * 1e-30, None
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=CHAIN_K)
-        return carry
+            # Value-dependent (always-zero) perturbation chains the calls.
+            q = perturb(q1, packed)
+        return packed
 
     if args.warm_chain_only:
-        # Populate the persistent compile cache with the chain program and
-        # exit; the parent bench (or driver run) then hits the cache.
+        # Populate the persistent compile cache with the chain's programs
+        # (the fused B=1 routing + the tiny perturbation op) and exit.
         sync(latency_chain(q1))
         print("chain warm ok")  # noqa: T201
         return
@@ -211,8 +211,8 @@ def main() -> None:
 
     latency_method = (
         "percentiles over serialized on-device chains of the fused B=1 "
-        "production program (8 data-dependent iterations per sample, one "
-        "sync each, interleaved RPC baseline subtracted)"
+        f"production program ({CHAIN_K} data-dependent dispatches per "
+        "sample, one sync each, interleaved RPC baseline subtracted)"
     )
     try:
         if not chain_warm:
