@@ -21,7 +21,12 @@ from raglite_tpu.config import RAGLiteConfig
 from raglite_tpu.models.encoder import encoder_from_config
 from raglite_tpu.types import FloatMatrix
 
-__all__ = ["embed_strings", "embed_strings_with_late_chunking", "embedding_type"]
+__all__ = [
+    "embed_queries",
+    "embed_strings",
+    "embed_strings_with_late_chunking",
+    "embedding_type",
+]
 
 
 def _segment_bounds(
@@ -115,9 +120,29 @@ def embedding_type(*, config: RAGLiteConfig | None = None) -> str:
 
 
 def embed_strings(strings: list[str], *, config: RAGLiteConfig | None = None) -> FloatMatrix:
-    """Embed strings, choosing late chunking when supported
-    (reference: _embed.py:193-200)."""
+    """Embed the contiguous sentences of ONE document, choosing late chunking
+    when supported (reference: _embed.py:193-200).
+
+    The late-chunking path treats ``strings`` as consecutive sentences and
+    packs them into shared encoder segments; for INDEPENDENT strings (a batch
+    of queries) use :func:`embed_queries`, which never mixes contexts.
+    """
     config = config or RAGLiteConfig()
     if embedding_type(config=config) == "late_chunking":
         return embed_strings_with_late_chunking(strings, config=config)
+    return embed_strings_without_late_chunking(strings, config=config)
+
+
+def embed_queries(strings: list[str], *, config: RAGLiteConfig | None = None) -> FloatMatrix:
+    """Embed independent strings — each string is its own context.
+
+    ``embed_strings`` assumes its input is one document's sentence stream
+    (the reference only ever passes a single query through it,
+    _search.py:54-56); pooling a *batch of unrelated queries* through shared
+    late-chunking segments would contaminate (or zero out) their embeddings.
+    For the built-in token-level encoders, late chunking of a single string
+    degenerates to mean-pooled token embeddings, which is exactly the batched
+    standard path — so this is numerically ``embed_strings([s])[0]`` per
+    string, computed in one batched device program.
+    """
     return embed_strings_without_late_chunking(strings, config=config)

@@ -21,7 +21,7 @@ from tqdm.auto import tqdm
 
 from raglite_tpu.config import RAGLiteConfig
 from raglite_tpu.documents import Eval
-from raglite_tpu.embed import embed_strings
+from raglite_tpu.embed import embed_queries
 from raglite_tpu.extract import extract_with_llm
 from raglite_tpu.rag import add_context, rag, retrieve_context
 from raglite_tpu.search import retrieve_chunk_spans, vector_search
@@ -184,7 +184,7 @@ def answer_evals(
 def _similarity(a: list[str], b: list[str], config: RAGLiteConfig) -> np.ndarray:
     """Pairwise cosine similarity between two string lists via the
     framework's embedder (one batched device call)."""
-    emb = embed_strings([*a, *b], config=config).astype(np.float32)
+    emb = embed_queries([*a, *b], config=config).astype(np.float32)
     ea, eb = emb[: len(a)], emb[len(a) :]
     return np.sum(ea * eb, axis=1)
 

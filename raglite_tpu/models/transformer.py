@@ -44,6 +44,10 @@ def init_encoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Para
                 "wk": _dense_init(next(keys), (d, d), dtype),
                 "wv": _dense_init(next(keys), (d, d), dtype),
                 "wo": _dense_init(next(keys), (d, d), dtype),
+                "bq": jnp.zeros((d,), dtype=jnp.float32),
+                "bk": jnp.zeros((d,), dtype=jnp.float32),
+                "bv": jnp.zeros((d,), dtype=jnp.float32),
+                "bo": jnp.zeros((d,), dtype=jnp.float32),
                 "attn_ln_scale": jnp.ones((d,), dtype=jnp.float32),
                 "attn_ln_bias": jnp.zeros((d,), dtype=jnp.float32),
                 "w1": _dense_init(next(keys), (d, ff), dtype),
@@ -72,6 +76,10 @@ class EncoderModel:
     def __init__(self, cfg: dict) -> None:
         self.cfg = cfg
         self.ln_eps = float(cfg.get("ln_eps", 1e-5))
+        # HF "gelu" is the exact erf form; "gelu_new"/"gelu_pytorch_tanh" are
+        # the tanh approximation. Matching matters: with trained biases the
+        # two diverge by ~1e-3 per activation, compounding through layers.
+        self.gelu_approx = cfg.get("hidden_act", "gelu") in ("gelu_new", "gelu_pytorch_tanh")
 
     def apply_tokens(self, params: Params, ids: jax.Array, mask: jax.Array) -> jax.Array:
         """ids [B, T] int32, mask [B, T] bool -> hidden states [B, T, d] fp32."""
@@ -84,9 +92,9 @@ class EncoderModel:
         attn_bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
         for layer in params["layers"]:
             # Self-attention (post-LN residual).
-            q = jnp.einsum("btd,de->bte", x, layer["wq"], preferred_element_type=jnp.float32)
-            k = jnp.einsum("btd,de->bte", x, layer["wk"], preferred_element_type=jnp.float32)
-            v = jnp.einsum("btd,de->bte", x, layer["wv"], preferred_element_type=jnp.float32)
+            q = jnp.einsum("btd,de->bte", x, layer["wq"], preferred_element_type=jnp.float32) + layer["bq"]
+            k = jnp.einsum("btd,de->bte", x, layer["wk"], preferred_element_type=jnp.float32) + layer["bk"]
+            v = jnp.einsum("btd,de->bte", x, layer["wv"], preferred_element_type=jnp.float32) + layer["bv"]
             B, T, _ = q.shape
             q = q.reshape(B, T, heads, head_dim).transpose(0, 2, 1, 3)
             k = k.reshape(B, T, heads, head_dim).transpose(0, 2, 1, 3)
@@ -95,15 +103,22 @@ class EncoderModel:
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
             ctx = jnp.einsum("bhqk,bhke->bhqe", probs, v.astype(x.dtype))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, d)
-            attn_out = jnp.einsum("btd,de->bte", ctx, layer["wo"], preferred_element_type=jnp.float32)
+            attn_out = (
+                jnp.einsum("btd,de->bte", ctx, layer["wo"], preferred_element_type=jnp.float32)
+                + layer["bo"]
+            )
             x = _layer_norm(x + attn_out.astype(x.dtype), layer["attn_ln_scale"], layer["attn_ln_bias"], self.ln_eps)
             # Feed-forward (post-LN residual).
             h = jnp.einsum("btd,df->btf", x, layer["w1"], preferred_element_type=jnp.float32)
-            h = jax.nn.gelu(h + layer["b1"]).astype(x.dtype)
+            h = jax.nn.gelu(h + layer["b1"], approximate=self.gelu_approx).astype(x.dtype)
             out = jnp.einsum("btf,fd->btd", h, layer["w2"], preferred_element_type=jnp.float32)
             out = out + layer["b2"]
             x = _layer_norm(x + out.astype(x.dtype), layer["mlp_ln_scale"], layer["mlp_ln_bias"], self.ln_eps)
-        x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], self.ln_eps)
+        # Optional final LN (our presets train with one; XLM-R/BERT-family
+        # checkpoints have none — an "identity" LN would still re-standardize
+        # every token vector, corrupting loaded-checkpoint outputs).
+        if "final_ln_scale" in params:
+            x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], self.ln_eps)
         return x.astype(jnp.float32)
 
 
@@ -137,6 +152,7 @@ def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
         vocab=hf["vocab_size"],
         max_len=hf["max_position_embeddings"],
         ln_eps=hf.get("layer_norm_eps", 1e-5),
+        hidden_act=hf.get("hidden_act", "gelu"),
     )
     tensors: dict[str, np.ndarray] = {}
     with safe_open(st_path, framework="np") as f:
@@ -169,9 +185,9 @@ def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
         "emb_ln_scale": t32(f"{p}embeddings.LayerNorm.weight"),
         "emb_ln_bias": t32(f"{p}embeddings.LayerNorm.bias"),
         "layers": [],
-        # XLM-R has no extra final LN; identity keeps the layout uniform.
-        "final_ln_scale": jnp.ones((cfg["d_model"],), jnp.float32),
-        "final_ln_bias": jnp.zeros((cfg["d_model"],), jnp.float32),
+        # XLM-R/BERT have no final LN: omit the params entirely so
+        # apply_tokens skips the stage (a scale-1/bias-0 LN is NOT identity —
+        # it would re-standardize each token vector).
     }
     for i in range(cfg["layers"]):
         b = f"{p}encoder.layer.{i}."
@@ -181,6 +197,10 @@ def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
                 "wk": t(b + "attention.self.key.weight").T,
                 "wv": t(b + "attention.self.value.weight").T,
                 "wo": t(b + "attention.output.dense.weight").T,
+                "bq": t32(b + "attention.self.query.bias"),
+                "bk": t32(b + "attention.self.key.bias"),
+                "bv": t32(b + "attention.self.value.bias"),
+                "bo": t32(b + "attention.output.dense.bias"),
                 "attn_ln_scale": t32(b + "attention.output.LayerNorm.weight"),
                 "attn_ln_bias": t32(b + "attention.output.LayerNorm.bias"),
                 "w1": t(b + "intermediate.dense.weight").T,

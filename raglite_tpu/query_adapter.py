@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raglite_tpu.config import RAGLiteConfig
-from raglite_tpu.embed import embed_strings
+from raglite_tpu.embed import embed_queries
 from raglite_tpu.index.dense import dense_index_from_config
 from raglite_tpu.ops.nnls import batched_query_targets
 from raglite_tpu.store import store_from_config
@@ -69,7 +69,7 @@ def update_query_adapter(
 
     # 1. Embed ALL eval questions in one pass.
     questions = [e.question for e in evals]
-    qs = embed_strings(questions, config=config).astype(np.float32)  # [E, d]
+    qs = embed_queries(questions, config=config).astype(np.float32)  # [E, d]
 
     # 2. One batched index search for the un-adapted top-k sub-vector hits.
     corrected_oversample = 4 * config.chunk_max_size / 2048

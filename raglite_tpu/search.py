@@ -26,7 +26,7 @@ import numpy as np
 
 from raglite_tpu.config import RAGLiteConfig
 from raglite_tpu.documents import Chunk, ChunkSpan, adapt_metadata
-from raglite_tpu.embed import embed_strings
+from raglite_tpu.embed import embed_queries, embed_strings
 from raglite_tpu.index.dense import dense_index_from_config
 from raglite_tpu.index.keyword import keyword_index_from_config
 from raglite_tpu.ops.maxsim import maxsim_rank
@@ -154,7 +154,7 @@ def vector_search_batch(
             for query in queries
         ]
     store = store_from_config(config)
-    embeddings = embed_strings(queries, config=config).astype(np.float32)
+    embeddings = embed_queries(queries, config=config).astype(np.float32)
     adapter = (
         store.index_metadata.get("query_adapter")
         if config.vector_search_query_adapter

@@ -5,6 +5,7 @@ import pytest
 
 from raglite_tpu import RAGLiteConfig
 from raglite_tpu.embed import (
+    embed_queries,
     embed_strings,
     embed_strings_with_late_chunking,
     embed_strings_without_late_chunking,
@@ -68,6 +69,39 @@ def test_long_document_segmentation() -> None:
     emb = embed_strings_with_late_chunking(sentences, config=CFG)
     assert emb.shape == (400, 256)
     assert np.all(np.isfinite(emb.astype(np.float32)))
+
+
+def test_embed_queries_independent() -> None:
+    """A batch of unrelated queries must embed exactly as each query would
+    alone — late chunking must never pool token embeddings across queries
+    (regression: embed_strings treated the batch as one document's sentence
+    stream, zeroing some rows via largest-remainder allocation)."""
+    queries = ["apple", "banana", "what is the speed of light?"]
+    batch = embed_queries(queries, config=CFG).astype(np.float32)
+    np.testing.assert_allclose(np.linalg.norm(batch, axis=1), 1.0, atol=1e-2)
+    for i, q in enumerate(queries):
+        solo = embed_strings([q], config=CFG).astype(np.float32)[0]
+        assert float(batch[i] @ solo) > 0.999, f"query {i} diverges from solo embedding"
+
+
+def test_vector_search_batch_matches_single(tmp_path) -> None:
+    """The shipped batch API must rank like per-query vector_search
+    (regression: batched query embeddings were contaminated)."""
+    from raglite_tpu import Document, RAGLiteConfig, insert_documents, vector_search
+    from raglite_tpu.search import vector_search_batch
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "kb"), embedder="hash:256", llm="echo")
+    doc = Document.from_text(
+        "# Fruit\n\nApples are red or green fruit that grow on trees. " * 8
+        + "\n\n# Light\n\nThe speed of light in vacuum is a universal constant. " * 8
+        + "\n\n# Music\n\nA violin has four strings tuned in perfect fifths. " * 8
+    )
+    insert_documents([doc], config=config)
+    queries = ["red or green fruit", "speed of light constant", "violin strings"]
+    batched = vector_search_batch(queries, num_results=3, config=config)
+    for q, (ids_b, _) in zip(queries, batched):
+        ids_s, _ = vector_search(q, num_results=3, config=config)
+        assert ids_b[0] == ids_s[0], f"batch top hit diverges for {q!r}"
 
 
 def test_flax_encoder_path() -> None:

@@ -25,6 +25,17 @@ def _save_hf(model, config, tmp_path, name):
     return str(path)
 
 
+def _randomize_biases(model) -> None:
+    """HF _init_weights zeroes every Linear bias, which would let a loader
+    that silently DROPS bias tensors still pass the parity check; make all
+    biases nonzero so the comparison exercises them."""
+    gen = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if name.endswith(".bias"):
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+
+
 @pytest.mark.parametrize("family", ["qwen2", "qwen3", "llama", "mistral"])
 def test_decoder_loader_matches_transformers(tmp_path, family):
     if family in ("llama", "mistral"):
@@ -59,6 +70,7 @@ def test_decoder_loader_matches_transformers(tmp_path, family):
             tie_word_embeddings=True,
         )
         gold = transformers.Qwen3ForCausalLM(config)
+    _randomize_biases(gold)
     gold.eval()
     path = _save_hf(gold, config, tmp_path, family)
 
@@ -94,6 +106,7 @@ def test_encoder_loader_matches_transformers_xlmr(tmp_path, family):
             layer_norm_eps=1e-12,
         )
         gold = transformers.BertModel(config)
+        _randomize_biases(gold)
         gold.eval()
         path = _save_hf(gold, config, tmp_path, "bert")
         from tokenizers import Tokenizer, models
@@ -123,6 +136,7 @@ def test_encoder_loader_matches_transformers_xlmr(tmp_path, family):
         layer_norm_eps=1e-5,
     )
     gold = transformers.XLMRobertaModel(config)
+    _randomize_biases(gold)
     gold.eval()
     path = _save_hf(gold, config, tmp_path, "xlmr")
     # The loader requires a tokenizer.json; a byte-level stand-in is fine
