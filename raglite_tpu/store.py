@@ -99,6 +99,11 @@ class Store:
         #: Segments superseded by a compaction; deleted only AFTER the next
         #: save has durably written their replacement + head.
         self._stale_segments: list[str] = []
+        #: (version, generation, segments) of the on-disk head as of our
+        #: last load/save.  save() compares this against the actual head to
+        #: detect a concurrent writer (whose segments and tombstones must be
+        #: absorbed, not silently orphaned by our head rewrite).
+        self._disk_state: tuple[int, int, tuple[str, ...]] = (0, 0, ())
         if self.persistent:
             Path(path).mkdir(parents=True, exist_ok=True)
             self._load()
@@ -343,10 +348,25 @@ class Store:
 
     def save(self) -> None:
         """Append a segment with the not-yet-persisted chunk-log suffix and
-        rewrite the (small) head: O(new chunks), not O(corpus)."""
+        rewrite the (small) head: O(new chunks), not O(corpus).
+
+        Callers hold :meth:`write_lock`; under it, a head that moved since
+        our last load/save means another process committed segments our
+        in-memory state never saw — absorb them first, or the head rewrite
+        would orphan that writer's data (silent cross-process loss)."""
         if not self.persistent:
             return
         root = Path(self.path)
+        head_path = root / "head.msgpack"
+        if head_path.exists():
+            disk_head = msgpack.unpackb(head_path.read_bytes(), raw=False)
+            disk_state = (
+                disk_head.get("version", 0),
+                disk_head.get("generation", 0),
+                tuple(disk_head.get("segments", [])),
+            )
+            if disk_state != self._disk_state:
+                self._absorb_disk_head(root, disk_head)
         new_ids = self.chunk_order[self._saved_chunks :]
         if new_ids:
             seg_name = f"seg-{self.generation:04d}-{self._saved_chunks:010d}"
@@ -386,6 +406,7 @@ class Store:
         tmp = root / "head.msgpack.tmp"
         tmp.write_bytes(msgpack.packb(head, use_bin_type=True))
         tmp.replace(root / "head.msgpack")
+        self._disk_state = (self.version, self.generation, tuple(self._segments))
         self._save_index_metadata(root)
         # The head no longer references compaction-superseded segments;
         # NOW they are safe to delete.
@@ -415,6 +436,40 @@ class Store:
             if chunk is not None:
                 self._post_metadata(ordinal, chunk.metadata_)
 
+    @staticmethod
+    def _read_log(
+        root: Path, head: dict[str, Any]
+    ) -> tuple[list[ChunkId], dict[ChunkId, Chunk], dict[ChunkId, np.ndarray]]:
+        """Read the chunk log the head describes: ordered ids, alive chunk
+        records, and per-chunk views into memory-mapped embedding files."""
+        deleted = set(head.get("deleted_chunks", []))
+        order: list[ChunkId] = []
+        chunks: dict[ChunkId, Chunk] = {}
+        embeddings: dict[ChunkId, np.ndarray] = {}
+        for seg_name in head.get("segments", []):
+            seg_dir = root / "segments" / seg_name
+            records = msgpack.unpackb((seg_dir / "records.msgpack").read_bytes(), raw=False)
+            counts = np.load(seg_dir / "counts.npy")
+            # Memory-map the embedding matrix: per-chunk views keep resident
+            # memory bounded at 10M-chunk scale.
+            stacked = np.load(seg_dir / "embeddings.npy", mmap_mode="r")
+            offset = 0
+            for rec, m in zip(records, counts):
+                cid = rec["id"]
+                order.append(cid)
+                embeddings[cid] = stacked[offset : offset + int(m)]
+                offset += int(m)
+                if cid not in deleted and rec["index"] >= 0:
+                    chunks[cid] = Chunk(
+                        id=cid,
+                        document_id=rec["document_id"],
+                        index=rec["index"],
+                        headings=rec["headings"],
+                        body=rec["body"],
+                        metadata_=rec["metadata_"],
+                    )
+        return order, chunks, embeddings
+
     def _load_segmented(self, root: Path) -> None:
         head = msgpack.unpackb((root / "head.msgpack").read_bytes(), raw=False)
         for d in head["documents"]:
@@ -425,30 +480,59 @@ class Store:
         self.deleted_chunks = set(head.get("deleted_chunks", []))
         self.generation = head.get("generation", 0)
         self._segments = list(head.get("segments", []))
-        for seg_name in self._segments:
-            seg_dir = root / "segments" / seg_name
-            records = msgpack.unpackb((seg_dir / "records.msgpack").read_bytes(), raw=False)
-            counts = np.load(seg_dir / "counts.npy")
-            # Memory-map the embedding matrix: per-chunk views keep resident
-            # memory bounded at 10M-chunk scale.
-            stacked = np.load(seg_dir / "embeddings.npy", mmap_mode="r")
-            offset = 0
-            for rec, m in zip(records, counts):
-                cid = rec["id"]
-                self.chunk_order.append(cid)
-                self.embeddings[cid] = stacked[offset : offset + int(m)]
-                offset += int(m)
-                if cid not in self.deleted_chunks and rec["index"] >= 0:
-                    self.chunks[cid] = Chunk(
-                        id=cid,
-                        document_id=rec["document_id"],
-                        index=rec["index"],
-                        headings=rec["headings"],
-                        body=rec["body"],
-                        metadata_=rec["metadata_"],
-                    )
+        self.chunk_order, self.chunks, self.embeddings = self._read_log(root, head)
         self.version = head.get("version", 0)
         self._saved_chunks = len(self.chunk_order)
+        self._disk_state = (self.version, self.generation, tuple(self._segments))
+
+    def _absorb_disk_head(self, root: Path, head: dict[str, Any]) -> None:
+        """Reconcile with a head another process committed since our last
+        load/save: adopt its log as the persisted prefix and replay our
+        unsaved chunks on top.
+
+        Ordinals of our unsaved chunks shift, so the generation bumps —
+        device indexes treat that as a full-rebuild signal.  Limitations
+        (documented, not silent): a document another process deleted while
+        we held its record stays deleted at the chunk level (tombstone
+        union) but its document record may reappear in the head."""
+        order, chunks, embeddings = self._read_log(root, head)
+        disk_ids = set(order)
+        suffix = [
+            cid for cid in self.chunk_order[self._saved_chunks :] if cid not in disk_ids
+        ]
+        # Merge row tables (disk's view, then ours for anything it lacks).
+        for d in head.get("documents", []):
+            self.documents.setdefault(d["id"], Document(**d))
+        for e in head.get("evals", []):
+            self.evals.setdefault(e["id"], Eval(**e))
+        for key, vals in head.get("metadata", {}).items():
+            existing = self.metadata.setdefault(key, [])
+            for v in vals:
+                if v not in existing:
+                    existing.append(v)
+        self.deleted_chunks |= set(head.get("deleted_chunks", []))
+        for cid in suffix:
+            if cid in self.chunks:
+                chunks[cid] = self.chunks[cid]
+            embeddings[cid] = np.asarray(self.embeddings[cid], dtype=np.float16)
+        self.chunk_order = order + suffix
+        self.chunks = chunks
+        self.embeddings = embeddings
+        self._segments = list(head.get("segments", []))
+        self._saved_chunks = len(order)
+        # Segments the disk head still references must never be deleted as
+        # "stale" — they belong to the other writer's committed state.
+        self._stale_segments = [
+            s for s in self._stale_segments if s not in set(self._segments)
+        ]
+        # Ordinals changed: rebuild postings and force device-index rebuilds.
+        self._meta_postings = {}
+        for ordinal, cid in enumerate(self.chunk_order):
+            chunk = self.chunks.get(cid)
+            if chunk is not None:
+                self._post_metadata(ordinal, chunk.metadata_)
+        self.generation = max(self.generation, head.get("generation", 0)) + 1
+        self.version = max(self.version, head.get("version", 0)) + 1
 
     def _load_legacy_v1(self, root: Path) -> None:
         """Read the round-1 single-blob layout; the next save converts."""

@@ -156,3 +156,74 @@ def test_tombstones_below_threshold_keep_log(tmp_path):
     reloaded = Store(str(tmp_path / "s"))
     assert reloaded.num_alive_chunks == 80
     assert reloaded.deleted_chunks == store.deleted_chunks
+
+
+def test_concurrent_writers_merge_not_clobber(tmp_path):
+    """Two writer processes (simulated as two Store instances loaded from the
+    same snapshot) must both survive: B's save must absorb A's committed
+    segments instead of rewriting the head from its stale in-memory state
+    (regression: doc1 was silently orphaned)."""
+    path = str(tmp_path / "s")
+    base = Store(path)
+    base.add_chunks(*_mk_chunks(0, 10, doc="d0", dim=16, topic="base"))
+    base.documents["d0"] = __import__("raglite_tpu.documents", fromlist=["Document"]).Document(
+        id="d0", filename="base.md", url=None, metadata_={}, content=None
+    )
+    base.save()
+    # Both "processes" load the same on-disk snapshot.
+    a = Store(path)
+    b = Store(path)
+    from raglite_tpu.documents import Document
+
+    a.documents["dA"] = Document(id="dA", filename="a.md", url=None, metadata_={}, content=None)
+    a.add_chunks(*_mk_chunks(100, 5, doc="dA", dim=16, topic="a"))
+    with a.write_lock():
+        a.save()
+    b.documents["dB"] = Document(id="dB", filename="b.md", url=None, metadata_={}, content=None)
+    b.add_chunks(*_mk_chunks(200, 5, doc="dB", dim=16, topic="b"))
+    with b.write_lock():
+        b.save()
+    merged = Store(path)
+    assert set(merged.documents) == {"d0", "dA", "dB"}
+    assert len(merged.chunk_order) == 20
+    # A's chunks precede B's (disk log order), all embeddings intact.
+    assert merged.chunk_order[:10] == base.chunk_order
+    assert "c00000100" in merged.chunks and "c00000200" in merged.chunks
+    np.testing.assert_array_equal(
+        np.asarray(merged.embeddings["c00000102"]), np.asarray(a.embeddings["c00000102"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged.embeddings["c00000203"]), np.asarray(b.embeddings["c00000203"])
+    )
+    # Postings cover the merged log (ordinals shifted for B's suffix).
+    mask = merged.chunk_mask_for_filter({"topic": "b"})
+    assert mask.sum() == 5
+    assert mask[15:].all()
+
+
+def test_concurrent_delete_and_insert_merge(tmp_path):
+    """A deletes (tombstones) while B inserts from a stale snapshot: the
+    union of tombstones must survive B's save."""
+    path = str(tmp_path / "s")
+    from raglite_tpu.documents import Document
+
+    base = Store(path)
+    base.documents["d0"] = Document(id="d0", filename="x.md", url=None, metadata_={}, content=None)
+    base.documents["d1"] = Document(id="d1", filename="y.md", url=None, metadata_={}, content=None)
+    base.add_chunks(*_mk_chunks(0, 10, doc="d0", dim=16, topic="base"))
+    base.add_chunks(*_mk_chunks(10, 10, doc="d1", dim=16, topic="keep"))
+    base.save()
+    a = Store(path)
+    b = Store(path)
+    with a.write_lock():
+        a.delete_documents(["d0"])  # 10/20 tombstones: below compaction threshold
+        a.save()
+    b.add_chunks(*_mk_chunks(100, 4, doc="dB", dim=16, topic="b"))
+    b.documents["dB"] = Document(id="dB", filename="b.md", url=None, metadata_={}, content=None)
+    with b.write_lock():
+        b.save()
+    merged = Store(path)
+    assert merged.deleted_chunks >= {f"c{i:08d}" for i in range(10)}
+    assert merged.num_alive_chunks == 14
+    alive = merged.alive_mask()
+    assert alive is not None and alive.sum() == 14
