@@ -90,7 +90,14 @@ def search(config: RAGLiteConfig, query: str, num_results: int, method: str) -> 
 
     fn = {"vector": vector_search, "keyword": keyword_search, "hybrid": hybrid_search}[method]
     chunk_ids, scores = fn(query, num_results=num_results, config=config)
-    for chunk, score in zip(retrieve_chunks(chunk_ids, config=config), scores):
+    # Look chunks up by id: retrieve_chunks drops ids deleted concurrently,
+    # and a positional zip would misalign every following (chunk, score) pair.
+    by_id = {c.id: c for c in retrieve_chunks(chunk_ids, config=config)}
+    for chunk_id, score in zip(chunk_ids, scores):
+        chunk = by_id.get(chunk_id)
+        if chunk is None:
+            click.echo(f"{score:8.4f}  {chunk_id}  <deleted>")
+            continue
         first_line = chunk.body.strip().splitlines()[0] if chunk.body.strip() else ""
         click.echo(f"{score:8.4f}  {chunk.id}  {first_line[:100]}")
 

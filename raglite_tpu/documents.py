@@ -141,9 +141,18 @@ class Chunk:
 
     @staticmethod
     def from_body(
-        document: Document, index: int, body: str, headings: str = "", **kwargs: Any
+        document: Document,
+        index: int,
+        body: str,
+        headings: str = "",
+        metadata: dict[str, Any] | None = None,
+        **kwargs: Any,
     ) -> "Chunk":
-        """Create a chunk with a deterministic id (reference: _database.py:232-249)."""
+        """Create a chunk with a deterministic id (reference: _database.py:232-249).
+
+        Inherited document metadata goes through ``metadata`` (a plain dict),
+        never splatted as kwargs — user metadata keys named ``index``/``body``/
+        ``headings``/``document`` must not collide with the parameters."""
         return Chunk(
             id=hash_bytes(f"{document.id}-{index}".encode()),
             document_id=document.id,
@@ -151,7 +160,12 @@ class Chunk:
             headings=Chunk.truncate_headings(headings, body),
             body=body,
             metadata_=adapt_metadata(
-                {"filename": document.filename, "url": document.url, **kwargs}
+                {
+                    "filename": document.filename,
+                    "url": document.url,
+                    **(metadata or {}),
+                    **kwargs,
+                }
             ),
             document=document,
         )

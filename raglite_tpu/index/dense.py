@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raglite_tpu.utils.padding import round_up as _round_up
+
 from raglite_tpu.types import DistanceMetric
 
 if TYPE_CHECKING:
@@ -41,9 +43,6 @@ if TYPE_CHECKING:
 
 _LANE = 128  # last-dim tile; row counts padded to this multiple
 
-
-def _round_up(n: int, multiple: int) -> int:
-    return max(multiple, -(-n // multiple) * multiple)
 
 
 #: Index sizes up to this use exact top-k; above it, the TPU-accelerated

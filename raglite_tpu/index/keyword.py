@@ -16,6 +16,8 @@ from typing import TYPE_CHECKING
 import jax.numpy as jnp
 import numpy as np
 
+from raglite_tpu.utils.padding import round_up as _round_up
+
 from raglite_tpu.ops.bm25 import bm25_idf, bm25_topk
 
 if TYPE_CHECKING:
@@ -30,9 +32,6 @@ def tokenize(text: str) -> list[str]:
     OR-query the same way, _search.py:183-189)."""
     return _WORD_RE.findall(text.lower())
 
-
-def _round_up(n: int, multiple: int) -> int:
-    return max(multiple, -(-n // multiple) * multiple)
 
 
 class KeywordIndex:
@@ -164,7 +163,12 @@ class KeywordIndex:
 
     def _len_norm(self, n_pad: int) -> np.ndarray:
         doc_len = np.asarray(self.doc_len, dtype=np.float32)
-        avg_len = max(float(doc_len.mean()), 1.0) if doc_len.size else 1.0
+        # Tombstoned chunks keep their ordinal slot with length 0; averaging
+        # over them would halve avg_len after mass deletes and then snap back
+        # at compaction, shifting BM25's long-vs-short ranking with no corpus
+        # change (DuckDB FTS recomputes avgdl over remaining rows only).
+        alive = doc_len > 0
+        avg_len = max(float(doc_len[alive].mean()), 1.0) if alive.any() else 1.0
         len_norm = (1.0 - 0.75) + 0.75 * doc_len / avg_len
         return np.pad(len_norm, (0, n_pad - len(doc_len)), constant_values=1.0)
 

@@ -65,7 +65,8 @@ def _create_chunk_records(
     headings = ""
     for i, body in enumerate(chunks):
         record = Chunk.from_body(
-            document=document, index=i, body=body, headings=headings, **document.metadata_
+            document=document, index=i, body=body, headings=headings,
+            metadata=document.metadata_,
         )
         chunk_records.append(record)
         headings = record.extract_headings()

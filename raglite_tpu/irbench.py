@@ -154,10 +154,15 @@ class RAGLiteTPUEvaluator(IREvaluator):
             if "query_adapter" not in store.index_metadata:
                 # Train on the dataset's own qrels (standard for this harness).
                 for qid, qrel in self.dataset.qrels.items():
+                    # Graded qrels include relevance-0 (judged IRRELEVANT)
+                    # entries — only positive grades are gold, or the adapter
+                    # would train toward judged negatives.  Tombstoned ids in
+                    # chunk_order have no record (hence .get).
                     gold_chunks = [
-                        store.get_chunk(cid)
+                        chunk
                         for cid in store.chunk_order
-                        if store.chunks[cid].document_id in qrel
+                        if (chunk := store.get_chunk(cid)) is not None
+                        and qrel.get(chunk.document_id, 0) > 0
                     ]
                     if gold_chunks:
                         store.add_evals(

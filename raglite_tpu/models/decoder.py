@@ -311,11 +311,11 @@ def _prefill(model: DecoderModel, params, ids, cache):
     return model.forward(params, ids, cache, jnp.asarray(0, jnp.int32))
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
+from raglite_tpu.utils.padding import bucket as _bucket_any
+
+
+def _bucket(n: int, minimum: int = 64) -> int:  # prompt buckets start small
+    return _bucket_any(n, minimum)
 
 
 class JaxChatLLM:

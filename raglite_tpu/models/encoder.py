@@ -56,17 +56,7 @@ class Encoder(Protocol):
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
 
-def _round_up(n: int, multiple: int) -> int:
-    return -(-n // multiple) * multiple
-
-
-def _bucket(n: int, minimum: int = 256) -> int:
-    """Round up to a power of two — geometric padding buckets bound the
-    number of distinct jit shapes (hence compiles) to O(log max_size)."""
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
+from raglite_tpu.utils.padding import bucket as _bucket, round_up as _round_up
 
 
 from functools import partial as _partial

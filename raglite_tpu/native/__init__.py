@@ -228,11 +228,13 @@ def hash_featurize(
         return None
     data = text.encode("utf-8")
     cap = 2 * len(data) + 64
+    # >=1 byte per token bounds the token count (see hash_embed).
+    token_cap = min(max_tokens, max(len(data), 1))
     ids = np.empty(cap, np.int32)
     signs = np.empty(cap, np.float32)
-    bounds = np.zeros(max_tokens + 1, np.int64)
+    bounds = np.zeros(token_cap + 1, np.int64)
     n = lib.rlt_hash_featurize(
-        data, len(data), max_tokens, mask,
+        data, len(data), token_cap, mask,
         ids.ctypes.data, signs.ctypes.data, bounds.ctypes.data, cap,
     )
     if n < 0:  # pragma: no cover - cap is sized to be sufficient
@@ -253,9 +255,13 @@ def hash_embed(
     assert table.dtype == np.float32 and table.flags.c_contiguous
     data = text.encode("utf-8")
     dim = table.shape[1]
-    out = np.zeros((max_tokens, dim), np.float32)
+    # A token consumes >=1 byte, so len(data) bounds the row count — size the
+    # zero-initialized accumulator to the text, not the 8192-token ceiling
+    # (a one-word query must not memset a 32 MB buffer).
+    row_cap = min(max_tokens, max(len(data), 1))
+    out = np.zeros((row_cap, dim), np.float32)
     n = lib.rlt_hash_embed(
-        data, len(data), max_tokens, mask, table.ctypes.data, dim, out.ctypes.data
+        data, len(data), row_cap, mask, table.ctypes.data, dim, out.ctypes.data
     )
     return out[:n]
 

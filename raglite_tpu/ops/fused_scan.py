@@ -30,6 +30,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from raglite_tpu.utils.padding import round_up as _round_up
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,9 +43,6 @@ DEFAULT_NUM_BUCKETS = 1024
 #: ceil(B / batch_tile) times per batch.
 DEFAULT_BATCH_TILE = 1024
 
-
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
 
 
 def quantize_rows_int8(x: np.ndarray | jax.Array) -> tuple[np.ndarray, np.ndarray]:

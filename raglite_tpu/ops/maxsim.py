@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raglite_tpu.utils.padding import round_up as _round_up
+
 __all__ = ["maxsim_scores", "maxsim_rank"]
 
 
@@ -34,9 +36,6 @@ def maxsim_scores(
     query_mask = jnp.any(query_vectors != 0.0, axis=-1)  # [qm]
     return jnp.sum(best * query_mask[None, :], axis=-1)
 
-
-def _round_up(n: int, m: int) -> int:
-    return max(m, -(-n // m) * m)
 
 
 def maxsim_rank(

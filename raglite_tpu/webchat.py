@@ -174,13 +174,21 @@ class WebChatApp:
         if text:
             document = Document.from_text(text, filename=filename)
         else:  # binary (e.g. PDF) — parse via the document pipeline
+            import os
             import tempfile
             from pathlib import Path
 
             with tempfile.NamedTemporaryFile(suffix=Path(filename).suffix, delete=False) as fh:
                 fh.write(data)
                 tmp = fh.name
-            document = Document.from_path(tmp)
+            try:
+                document = Document.from_path(tmp)
+                # The document must carry the UPLOADED name, not the temp
+                # file's — it feeds chunk metadata filters and front matter.
+                document.filename = filename
+                document.metadata_["filename"] = filename
+            finally:
+                os.unlink(tmp)
         insert_documents([document], config=self.config)
         return {"status": "inserted", "filename": filename, "id": document.id}
 

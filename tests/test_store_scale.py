@@ -227,3 +227,36 @@ def test_concurrent_delete_and_insert_merge(tmp_path):
     assert merged.num_alive_chunks == 14
     alive = merged.alive_mask()
     assert alive is not None and alive.sum() == 14
+
+
+def test_bm25_len_norm_ignores_tombstones(tmp_path):
+    """BM25's avg_len must average over alive chunks only: deleting half the
+    corpus (below the compaction threshold via two docs) must not change the
+    length normalization of the survivors (regression: tombstoned slots with
+    doc_len 0 halved avg_len until compaction snapped it back)."""
+    from raglite_tpu.documents import Document
+    from raglite_tpu.index.keyword import KeywordIndex
+
+    path = str(tmp_path / "s")
+    store = Store(path)
+    store.documents["dA"] = Document(id="dA", filename="a", url=None, metadata_={}, content=None)
+    store.documents["dB"] = Document(id="dB", filename="b", url=None, metadata_={}, content=None)
+    chunks_a, emb_a = _mk_chunks(0, 5, doc="dA", dim=8, topic="a")
+    chunks_b, emb_b = _mk_chunks(5, 5, doc="dB", dim=8, topic="b")
+    for c in chunks_b:
+        c.body = "survivor words common token " + c.body
+    store.add_chunks(chunks_a + chunks_b, emb_a + emb_b)
+
+    index = KeywordIndex()
+    index.sync(store)
+    store.delete_documents(["dA"])  # 5/10 tombstones: no compaction
+    index.sync(store)
+    norm_after_delete = index._len_norm(len(index.chunk_ids))
+
+    fresh_store = Store(str(tmp_path / "fresh"))
+    fresh_store.add_chunks(chunks_b, emb_b)
+    fresh = KeywordIndex()
+    fresh.sync(fresh_store)
+    norm_fresh = fresh._len_norm(len(fresh.chunk_ids))
+    # Survivors occupy ordinals 5..9 in the tombstoned index, 0..4 fresh.
+    np.testing.assert_allclose(norm_after_delete[5:10], norm_fresh[:5], rtol=1e-6)
