@@ -118,10 +118,9 @@ def init_decoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Para
 
 
 def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
-    """Load a Qwen2/Qwen3/Llama/Mistral-family HF checkpoint directory into
-    our layout (the tensor naming and architecture knobs are shared across
-    these families; HF-gold parity tested for all four in
-    tests/test_pretrained_loaders.py).
+    """Load a Qwen2/Qwen3/Llama/Mistral/Gemma(1-3)/Phi-3-family HF
+    checkpoint directory into our layout (HF-gold parity tested for all
+    eight in tests/test_pretrained_loaders.py).
 
     The pretrained-weights path the reference gets from llama.cpp GGUF
     loading (_litellm.py:96-148).  Expects ``config.json`` plus one or more
@@ -133,7 +132,13 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
     - linear weights are stored [out, in] -> transposed into our [in, out];
     - Qwen2 has q/k/v biases; Qwen3 replaces them with per-head q/k RMS
       norms and may set head_dim != d_model/heads;
-    - lm_head may be tied to the input embedding (tie_word_embeddings).
+    - lm_head may be tied to the input embedding (tie_word_embeddings);
+    - Gemma scales embeddings by sqrt(d), stores RMS norms as (1 + w)
+      (folded at load), uses GeGLU, and (v2/v3) sandwich norms, logit
+      softcapping (v2), alternating sliding-window layers, and a separate
+      local RoPE base (v3);
+    - Phi-3 packs qkv_proj and gate_up_proj (split at load) and applies a
+      sliding window on every layer, as does Mistral.
     """
     import json
     import os
@@ -144,8 +149,26 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
 
     with open(os.path.join(path, "config.json")) as f:
         hf = json.load(f)
+    model_type = hf.get("model_type", "")
+    is_gemma = model_type.startswith("gemma")
+    num_layers = hf["num_hidden_layers"]
+    # Per-layer local (sliding-window) attention: modern HF configs emit
+    # layer_types; older ones imply the pattern from the family.
+    layer_types = hf.get("layer_types")
+    if layer_types:
+        layer_sliding = [t == "sliding_attention" for t in layer_types]
+    elif hf.get("sliding_window"):
+        if model_type == "gemma2":  # alternating, sliding on even layers
+            layer_sliding = [i % 2 == 0 for i in range(num_layers)]
+        elif model_type == "gemma3_text":  # 5 local : 1 global
+            pattern = hf.get("sliding_window_pattern", 6)
+            layer_sliding = [(i + 1) % pattern != 0 for i in range(num_layers)]
+        else:  # Mistral/Phi3: the window applies to every layer
+            layer_sliding = [True] * num_layers
+    else:
+        layer_sliding = None
     cfg = dict(
-        layers=hf["num_hidden_layers"],
+        layers=num_layers,
         d_model=hf["hidden_size"],
         heads=hf["num_attention_heads"],
         kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
@@ -156,16 +179,19 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
         rope_base=hf.get("rope_theta", 10000.0),
         rms_eps=hf.get("rms_norm_eps", 1e-6),
         rope_scaling=hf.get("rope_scaling"),
+        hidden_act=hf.get("hidden_activation") or hf.get("hidden_act", "silu"),
+        emb_scale=hf["hidden_size"] ** 0.5 if is_gemma else 1.0,
+        attn_scale=(
+            float(hf["query_pre_attn_scalar"]) ** -0.5
+            if hf.get("query_pre_attn_scalar")
+            else None
+        ),
+        attn_softcap=hf.get("attn_logit_softcapping"),
+        final_softcap=hf.get("final_logit_softcapping"),
+        sliding_window=hf.get("sliding_window"),
+        layer_sliding=layer_sliding,
+        rope_local_base=hf.get("rope_local_base_freq"),
     )
-    if hf.get("sliding_window") and hf["sliding_window"] < cfg["max_len"]:
-        import warnings
-
-        warnings.warn(
-            "checkpoint uses sliding-window attention; this decoder attends "
-            "globally — outputs match HF only within the window "
-            f"({hf['sliding_window']} tokens)",
-            stacklevel=2,
-        )
     shards = sorted(
         os.path.join(path, name)
         for name in os.listdir(path)
@@ -184,9 +210,15 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
     def t32(name: str) -> jax.Array:
         return jnp.asarray(tensors[name], dtype=jnp.float32)
 
+    def norm(name: str) -> jax.Array:
+        # Gemma RMSNorms scale by (1 + weight); folding the offset here keeps
+        # one _rms_norm implementation for every family.
+        w = t32(name)
+        return w + 1.0 if is_gemma else w
+
     params: Params = {
         "tok_emb": t("model.embed_tokens.weight"),
-        "final_norm": t32("model.norm.weight"),
+        "final_norm": norm("model.norm.weight"),
         "lm_head": (
             t("lm_head.weight", transpose=True)
             if "lm_head.weight" in tensors
@@ -194,26 +226,44 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
         ),
         "layers": [],
     }
+    q_size = cfg["heads"] * cfg["head_dim"]
+    kv_size = cfg["kv_heads"] * cfg["head_dim"]
     for i in range(cfg["layers"]):
         b = f"model.layers.{i}."
         layer: dict[str, jax.Array] = {
-            "attn_norm": t32(b + "input_layernorm.weight"),
-            "wq": t(b + "self_attn.q_proj.weight", transpose=True),
-            "wk": t(b + "self_attn.k_proj.weight", transpose=True),
-            "wv": t(b + "self_attn.v_proj.weight", transpose=True),
+            "attn_norm": norm(b + "input_layernorm.weight"),
             "wo": t(b + "self_attn.o_proj.weight", transpose=True),
-            "mlp_norm": t32(b + "post_attention_layernorm.weight"),
-            "w_gate": t(b + "mlp.gate_proj.weight", transpose=True),
-            "w_up": t(b + "mlp.up_proj.weight", transpose=True),
             "w_down": t(b + "mlp.down_proj.weight", transpose=True),
         }
+        if b + "self_attn.qkv_proj.weight" in tensors:  # Phi3: packed QKV
+            qkv = tensors[b + "self_attn.qkv_proj.weight"]  # [q+2kv, d]
+            layer["wq"] = jnp.asarray(qkv[:q_size].T, dtype=dtype)
+            layer["wk"] = jnp.asarray(qkv[q_size : q_size + kv_size].T, dtype=dtype)
+            layer["wv"] = jnp.asarray(qkv[q_size + kv_size :].T, dtype=dtype)
+        else:
+            layer["wq"] = t(b + "self_attn.q_proj.weight", transpose=True)
+            layer["wk"] = t(b + "self_attn.k_proj.weight", transpose=True)
+            layer["wv"] = t(b + "self_attn.v_proj.weight", transpose=True)
+        if b + "mlp.gate_up_proj.weight" in tensors:  # Phi3: packed gate|up
+            gate_up = tensors[b + "mlp.gate_up_proj.weight"]  # [2*ff, d]
+            layer["w_gate"] = jnp.asarray(gate_up[: cfg["d_ff"]].T, dtype=dtype)
+            layer["w_up"] = jnp.asarray(gate_up[cfg["d_ff"] :].T, dtype=dtype)
+        else:
+            layer["w_gate"] = t(b + "mlp.gate_proj.weight", transpose=True)
+            layer["w_up"] = t(b + "mlp.up_proj.weight", transpose=True)
+        if b + "pre_feedforward_layernorm.weight" in tensors:  # Gemma2/3 sandwich
+            layer["post_attn_norm"] = norm(b + "post_attention_layernorm.weight")
+            layer["mlp_norm"] = norm(b + "pre_feedforward_layernorm.weight")
+            layer["post_mlp_norm"] = norm(b + "post_feedforward_layernorm.weight")
+        else:  # Llama-family: post_attention_layernorm IS the pre-MLP norm
+            layer["mlp_norm"] = norm(b + "post_attention_layernorm.weight")
         if b + "self_attn.q_proj.bias" in tensors:  # Qwen2
             layer["bq"] = t32(b + "self_attn.q_proj.bias")
             layer["bk"] = t32(b + "self_attn.k_proj.bias")
             layer["bv"] = t32(b + "self_attn.v_proj.bias")
-        if b + "self_attn.q_norm.weight" in tensors:  # Qwen3
-            layer["q_norm"] = t32(b + "self_attn.q_norm.weight")
-            layer["k_norm"] = t32(b + "self_attn.k_norm.weight")
+        if b + "self_attn.q_norm.weight" in tensors:  # Qwen3 / Gemma3
+            layer["q_norm"] = norm(b + "self_attn.q_norm.weight")
+            layer["k_norm"] = norm(b + "self_attn.k_norm.weight")
         params["layers"].append(layer)
     tokenizer = load_tokenizer(os.path.join(path, "tokenizer.json"))
     return cfg, params, tokenizer
@@ -224,14 +274,34 @@ class DecoderModel:
 
     ``cfg`` optionally carries ``head_dim`` (Qwen3 decouples it from
     d_model/heads), ``rope_base`` (Qwen uses 1e6), and ``rms_eps``; layer
-    params optionally carry q/k/v biases (Qwen2) and per-head q/k RMS norms
-    (Qwen3)."""
+    params optionally carry q/k/v biases (Qwen2), per-head q/k RMS norms
+    (Qwen3/Gemma3), and post-attention/post-MLP "sandwich" norms (Gemma2/3).
+    Family knobs in ``cfg``: ``emb_scale`` (Gemma scales embeddings by
+    sqrt(d)), ``hidden_act`` (SwiGLU vs GeGLU), ``attn_scale`` (Gemma2's
+    query_pre_attn_scalar), ``attn_softcap``/``final_softcap`` (Gemma2 tanh
+    capping), ``sliding_window`` + ``layer_sliding`` (per-layer local
+    attention — Gemma2/3 alternate, Mistral/Phi3 window every layer), and
+    ``rope_local_base`` (Gemma3's separate RoPE base for local layers)."""
 
     def __init__(self, cfg: dict) -> None:
         self.cfg = cfg
         self.head_dim = cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
         self.rms_eps = float(cfg.get("rms_eps", 1e-6))
+        self.attn_scale = float(cfg.get("attn_scale") or self.head_dim**-0.5)
+        self.emb_scale = float(cfg.get("emb_scale") or 1.0)
+        self.attn_softcap = cfg.get("attn_softcap")
+        self.final_softcap = cfg.get("final_softcap")
+        self.hidden_act = cfg.get("hidden_act", "silu")
+        self.sliding_window = cfg.get("sliding_window")
+        self.layer_sliding = cfg.get("layer_sliding") or [False] * cfg["layers"]
         self.inv_freq = jnp.asarray(compute_inv_freq(cfg))
+        if cfg.get("rope_local_base"):
+            # Gemma3: local (sliding) layers use their own RoPE base and no
+            # rope_scaling; global layers keep the scaled main table.
+            local_cfg = {**cfg, "rope_base": cfg["rope_local_base"], "rope_scaling": None}
+            self.inv_freq_local = jnp.asarray(compute_inv_freq(local_cfg))
+        else:
+            self.inv_freq_local = self.inv_freq
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
         L, kvh, hd = self.cfg["layers"], self.cfg["kv_heads"], self.head_dim
@@ -256,8 +326,12 @@ class DecoderModel:
         S = cache["k"].shape[3]
         positions = cache_len + jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
         x = params["tok_emb"][ids]
+        if self.emb_scale != 1.0:  # Gemma: embeddings scaled by sqrt(d)
+            x = x * jnp.asarray(self.emb_scale, x.dtype)
         new_k, new_v = [], []
         for li, layer in enumerate(params["layers"]):
+            sliding = self.layer_sliding[li] and self.sliding_window
+            inv_freq = self.inv_freq_local if self.layer_sliding[li] else self.inv_freq
             h = _rms_norm(x, layer["attn_norm"], self.rms_eps)
             q = h @ layer["wq"]
             k = h @ layer["wk"]
@@ -272,8 +346,8 @@ class DecoderModel:
             if "q_norm" in layer:  # Qwen3-style per-head RMS norms
                 q = _rms_norm(q, layer["q_norm"], self.rms_eps)
                 k = _rms_norm(k, layer["k_norm"], self.rms_eps)
-            q = _rope(q, positions, self.inv_freq)
-            k = _rope(k, positions, self.inv_freq)
+            q = _rope(q, positions, inv_freq)
+            k = _rope(k, positions, inv_freq)
             k_cache = jax.lax.dynamic_update_slice(
                 cache["k"][li], k.astype(cache["k"].dtype), (0, 0, cache_len, 0)
             )
@@ -286,23 +360,45 @@ class DecoderModel:
             rep = heads // kv_heads
             k_full = jnp.repeat(k_cache, rep, axis=1)  # [B, H, S, hd]
             v_full = jnp.repeat(v_cache, rep, axis=1)
-            logits = jnp.einsum(
-                "bhtd,bhsd->bhts", q.astype(jnp.float32), k_full.astype(jnp.float32)
-            ) / np.sqrt(hd)
+            logits = (
+                jnp.einsum(
+                    "bhtd,bhsd->bhts", q.astype(jnp.float32), k_full.astype(jnp.float32)
+                )
+                * self.attn_scale
+            )
+            if self.attn_softcap:  # Gemma2 attention-logit soft capping
+                logits = self.attn_softcap * jnp.tanh(logits / self.attn_softcap)
             key_pos = jnp.arange(S, dtype=jnp.int32)
             mask = key_pos[None, None, None, :] <= positions[:, None, :, None]
+            if sliding:  # local attention: keys in (pos - window, pos]
+                mask &= key_pos[None, None, None, :] > (
+                    positions[:, None, :, None] - self.sliding_window
+                )
             logits = jnp.where(mask, logits, -1e9)
             probs = jax.nn.softmax(logits, axis=-1)
             ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v_full.astype(jnp.float32))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, heads * hd).astype(x.dtype)
-            x = x + ctx @ layer["wo"]
-            # SwiGLU MLP.
+            attn_out = ctx @ layer["wo"]
+            if "post_attn_norm" in layer:  # Gemma2/3 sandwich norm
+                attn_out = _rms_norm(attn_out, layer["post_attn_norm"], self.rms_eps)
+            x = x + attn_out
+            # Gated MLP: SwiGLU (Llama/Qwen/Mistral) or GeGLU (Gemma).
             h = _rms_norm(x, layer["mlp_norm"], self.rms_eps)
-            gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+            gate_pre = (h @ layer["w_gate"]).astype(jnp.float32)
+            gate = (
+                jax.nn.gelu(gate_pre, approximate=True)
+                if self.hidden_act == "gelu_pytorch_tanh"
+                else jax.nn.silu(gate_pre)
+            )
             up = (h @ layer["w_up"]).astype(jnp.float32)
-            x = x + ((gate * up).astype(x.dtype) @ layer["w_down"])
+            mlp_out = (gate * up).astype(x.dtype) @ layer["w_down"]
+            if "post_mlp_norm" in layer:  # Gemma2/3 sandwich norm
+                mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"], self.rms_eps)
+            x = x + mlp_out
         x = _rms_norm(x, params["final_norm"], self.rms_eps)
         logits_out = (x @ params["lm_head"]).astype(jnp.float32)
+        if self.final_softcap:  # Gemma2 final-logit soft capping
+            logits_out = self.final_softcap * jnp.tanh(logits_out / self.final_softcap)
         return logits_out, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
 
 

@@ -92,6 +92,76 @@ def test_decoder_loader_matches_transformers(tmp_path, family):
     np.testing.assert_allclose(ours, gold_logits, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("family", ["gemma", "gemma2", "gemma3", "phi3"])
+def test_decoder_loader_matches_transformers_gemma_phi(tmp_path, family):
+    """Gemma v1/v2/v3-text and Phi-3 gold parity: embedding sqrt(d) scaling,
+    (1+w) RMS norms, GeGLU, sandwich norms, logit softcapping,
+    query_pre_attn_scalar, per-layer sliding-window attention, dual RoPE
+    bases (Gemma3), and Phi-3's packed qkv/gate_up projections."""
+    if family == "gemma":
+        config = transformers.GemmaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+            rms_norm_eps=1e-6, hidden_activation="gelu_pytorch_tanh",
+        )
+        gold = transformers.GemmaForCausalLM(config)
+    elif family == "gemma2":
+        config = transformers.Gemma2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+            rms_norm_eps=1e-6, query_pre_attn_scalar=24,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            sliding_window=4,  # < seq length: the local mask must be real
+        )
+        gold = transformers.Gemma2ForCausalLM(config)
+    elif family == "gemma3":
+        config = transformers.Gemma3TextConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128,
+            rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+            rms_norm_eps=1e-6, query_pre_attn_scalar=16, sliding_window=4,
+            sliding_window_pattern=2,  # alternate local/global
+        )
+        gold = transformers.Gemma3ForCausalLM(config)
+    else:
+        config = transformers.Phi3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+            sliding_window=4, tie_word_embeddings=False,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2,  # defaults exceed the tiny vocab
+        )
+        gold = transformers.Phi3ForCausalLM(config)
+    _randomize_biases(gold)
+    gold.eval()
+    path = _save_hf(gold, config, tmp_path, family)
+
+    from raglite_tpu.models.decoder import DecoderModel, load_safetensors_decoder
+
+    cfg, params, _ = load_safetensors_decoder(path, dtype=jnp.float32)
+    if family.startswith("gemma"):
+        assert cfg["emb_scale"] == 8.0  # sqrt(64)
+        assert cfg["hidden_act"] == "gelu_pytorch_tanh"
+    if family in ("gemma2", "gemma3", "phi3"):
+        assert cfg["sliding_window"] == 4
+        assert any(cfg["layer_sliding"])
+    if family == "gemma3":
+        assert cfg["rope_local_base"] == 10_000.0
+        assert cfg["layer_sliding"] != [True, True]  # mixed local/global
+    model = DecoderModel(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 256, size=(2, 12)).astype(np.int32)
+    with torch.no_grad():
+        gold_logits = gold(torch.tensor(ids, dtype=torch.long)).logits.numpy()
+    cache = model.init_cache(2, 16, dtype=jnp.float32)
+    ours, _ = model.forward(params, jnp.asarray(ids), cache, jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), gold_logits, rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("family", ["xlmr", "bert"])
 def test_encoder_loader_matches_transformers_xlmr(tmp_path, family):
     """XLM-R position offset (padding_idx+1), token-type fold, and
