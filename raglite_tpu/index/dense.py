@@ -150,6 +150,101 @@ def _group_max_topk(
     return jnp.stack([final_scores, final_chunks.astype(jnp.float32)])
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_hits", "num_results", "candidates", "metric", "bitcast", "num_buckets", "interpret",
+    ),
+)
+def _int4_two_stage_chunks(
+    packed: jax.Array,  # [Np, d//2] int4-packed rows
+    scale4: jax.Array,  # [Np] fp32 dequant scale of the nibbles
+    rows: jax.Array,  # [Np, d] full-precision rows (int8 or float) for rescore
+    row_scale: jax.Array | None,  # [Np] fp32 (int8 rows)
+    row_sqnorm: jax.Array,  # [Np] fp32 (l2 metric)
+    valid: jax.Array,  # [Np] bool (tombstones AND metadata row mask)
+    row_chunk: jax.Array,  # [Np] int32 row -> chunk ordinal
+    queries: jax.Array,  # [B, d] fp32
+    adapter: jax.Array | None = None,
+    *,
+    num_hits: int,
+    num_results: int,
+    candidates: int,
+    metric: str,
+    bitcast: bool = False,
+    num_buckets: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Two-stage latency path as ONE XLA program: int4 Pallas scan over the
+    packed copy (half the HBM traffic of the int8 scan) -> top-``candidates``
+    -> gather full rows -> exact rescore -> multi-vector group-max.
+
+    Measured on v5e @ 1.25M x 1024: p50 1.23 ms vs 1.87 ms single-stage,
+    chunk recall@10 0.994 vs exact even on i.i.d. random vectors (the
+    adversarial zero-margin case; real embeddings have larger margins).
+    """
+    from raglite_tpu.ops.fused_scan import int4_bucket_scan
+
+    if adapter is not None:
+        queries = queries @ adapter.T
+    alpha = 2.0 if metric == "l2" else 1.0
+    bias = jnp.where(
+        valid, -row_sqnorm if metric == "l2" else jnp.float32(0.0), jnp.float32(-1e30)
+    )
+    # ``packed``/``scale4`` are pre-padded to a bucket multiple at build
+    # time (padding a 640 MB array per query would cost more than the
+    # scan); the small per-row vectors pad here.  Rescore gathers of
+    # padding candidates clamp to the last row, but their -1e30 bias keeps
+    # them out of every result.
+    np4 = packed.shape[0]
+    if bias.shape[0] != np4:
+        bias = jnp.pad(bias, (0, np4 - bias.shape[0]), constant_values=-1e30)
+    if metric == "l2":
+        # l2 mixes the dot with an additive -||r||^2 term, so every query
+        # must share one scale for the kernel's per-row rscale to be exact.
+        q_abs = jnp.max(jnp.abs(queries))
+        q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)[None, None]
+        kernel_scale = (alpha * q_s[0, 0]) * scale4
+    else:
+        # Cosine/dot: a per-query positive factor cannot change that query's
+        # ranking, so queries quantize PER QUERY (full 127-level resolution
+        # even when adapter-transformed norms vary across the batch) and the
+        # kernel's scores stay per-query-unnormalized; the rescore applies
+        # the true scales.
+        q_abs = jnp.max(jnp.abs(queries), axis=1, keepdims=True)
+        q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)
+        kernel_scale = alpha * scale4
+    q_i8 = jnp.clip(jnp.round(queries / q_s), -127, 127).astype(jnp.int8)
+    # Stage 1: int4 scan over the packed copy.
+    bscores, bids = int4_bucket_scan(
+        q_i8, packed, kernel_scale, bias,
+        num_buckets=num_buckets, interpret=interpret,
+    )
+    c = min(candidates, bscores.shape[1])
+    _, bpos = jax.lax.top_k(bscores, c)
+    cand_ids = jnp.take_along_axis(bids, bpos, axis=1)  # [B, C]
+    # Stage 2: exact rescore of the candidates against the full rows.
+    sub = rows[cand_ids]  # [B, C, d]
+    if rows.dtype == jnp.int8:
+        sims2 = jnp.einsum("bd,bcd->bc", q_i8, sub, preferred_element_type=jnp.int32)
+        sims2 = sims2.astype(jnp.float32) * (
+            alpha * q_s.reshape(-1, 1)[: sims2.shape[0]] * row_scale[cand_ids]
+        )
+    else:
+        sims2 = alpha * jnp.einsum(
+            "bd,bcd->bc", queries.astype(sub.dtype), sub,
+            preferred_element_type=jnp.float32,
+        )
+    # Re-apply the bias: the l2 -sqnorm term, and -inf for masked rows (a
+    # masked candidate can surface from stage 1 only when fewer than C rows
+    # are alive; without this it would resurface with a real score).
+    sims2 = sims2 + bias[cand_ids]
+    sc, pos = jax.lax.top_k(sims2, min(num_hits, c))
+    ridx = jnp.take_along_axis(cand_ids, pos, axis=1)
+    group = _group_max_topk_bitcast if bitcast else _group_max_topk
+    return group(sc, ridx, row_chunk, num_results=num_results)
+
+
 #: Ordinals above this are not exactly representable in float32; the packed
 #: result switches to a bitcast encoding (ORDINAL_BITCAST_THRESHOLD rows is
 #: ~16.7M — above the 10M-chunk/shard design point, so the common path keeps
@@ -192,11 +287,13 @@ class DenseIndex:
         metric: DistanceMetric = "cosine",
         num_devices: int = 1,
         use_pallas: bool = True,
+        use_int4_stage1: bool = True,
     ) -> None:
         self.dim = dim
         self.metric: DistanceMetric = metric
         self._dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.dtype(dtype)
         self.use_pallas = use_pallas
+        self.use_int4_stage1 = use_int4_stage1
         import jax as _jax
 
         self.num_devices = num_devices if num_devices > 0 else len(_jax.devices())
@@ -213,6 +310,8 @@ class DenseIndex:
         self._dev_valid: jax.Array | None = None
         self._dev_scale: jax.Array | None = None  # int8 dequant scales
         self._dev_row_chunk: jax.Array | None = None  # row -> chunk ordinal
+        self._dev_packed4: jax.Array | None = None  # int4-packed stage-1 copy
+        self._dev_scale4: jax.Array | None = None
         self._dirty = True  # full re-upload required (capacity/valid changed)
         self._dev_rows_synced = 0  # rows already on device (append watermark)
         self._synced_version = -1
@@ -371,6 +470,7 @@ class DenseIndex:
             (start,),
         )
         self._dev_rows_synced = end
+        self._dev_packed4 = None  # stage-1 copy is stale; rebuilt lazily
 
     def _full_upload(self) -> None:
         host32 = self._host_rows.astype(np.float32)
@@ -413,6 +513,7 @@ class DenseIndex:
             self._dev_row_chunk = jnp.asarray(row_chunk_host)
         self._dirty = False
         self._dev_rows_synced = self.num_rows
+        self._dev_packed4 = None  # stage-1 copy is stale; rebuilt lazily
 
     # --- Search -----------------------------------------------------------
 
@@ -596,6 +697,35 @@ class DenseIndex:
         else:
             exact_resolved = exact
         bitcast = self.num_rows > ORDINAL_BITCAST_THRESHOLD
+        if self._use_int4_stage1(batch, exact_resolved):
+            from raglite_tpu.ops.fused_scan import INT4_NUM_BUCKETS, INT4_STAGE1_CANDIDATES
+
+            self._refresh_device()
+            self._ensure_packed4()
+            valid = self._dev_valid
+            if row_mask is not None:
+                padded = np.zeros((self.capacity,), dtype=np.bool_)
+                padded[: len(row_mask)] = row_mask
+                valid = jnp.logical_and(valid, jnp.asarray(padded))
+            return _int4_two_stage_chunks(
+                self._dev_packed4,
+                self._dev_scale4,
+                self._dev_rows,
+                self._dev_scale,
+                self._dev_sqnorm,
+                valid,
+                self._dev_row_chunk,
+                jnp.asarray(queries, dtype=jnp.float32),
+                self._adapter_device(adapter),
+                num_hits=min(num_hits, self.capacity),
+                num_results=num_results,
+                # Enough candidates that the rescore pool always covers the
+                # requested hits with headroom.
+                candidates=max(INT4_STAGE1_CANDIDATES, 2 * min(num_hits, self.capacity)),
+                metric=self.metric,
+                bitcast=bitcast,
+                num_buckets=INT4_NUM_BUCKETS,
+            )
         if (
             batch <= 32
             and self.num_devices == 1
@@ -638,6 +768,7 @@ class DenseIndex:
         metric: DistanceMetric = "cosine",
         num_devices: int = 1,
         use_pallas: bool = True,
+        use_int4_stage1: bool = True,
     ) -> "DenseIndex":
         """Search-only index over device-resident arrays (no host mirror).
 
@@ -653,6 +784,7 @@ class DenseIndex:
             metric=metric,
             num_devices=num_devices,
             use_pallas=use_pallas,
+            use_int4_stage1=use_int4_stage1,
         )
         index.num_rows = index.capacity = n
         index._dev_rows = rows
@@ -723,6 +855,39 @@ class DenseIndex:
         index._dirty = True
         return index
 
+    def _ensure_packed4(self) -> None:
+        """Build (or rebuild) the int4-packed stage-1 copy from the device
+        rows, padded to a bucket multiple.  Packing is one elementwise device
+        program (~ms at 1.25M rows), so a full repack per insert batch is
+        cheap relative to the upload; the copy adds d/2 bytes/row of HBM
+        (+50% over int8 storage)."""
+        if self._dev_packed4 is None:
+            from raglite_tpu.ops.fused_scan import INT4_NUM_BUCKETS, pack_rows_int4
+
+            packed, scale4 = pack_rows_int4(self._dev_rows, self._dev_scale)
+            target = _round_up(packed.shape[0], INT4_NUM_BUCKETS)
+            if target != packed.shape[0]:
+                packed = jnp.pad(packed, ((0, target - packed.shape[0]), (0, 0)))
+                scale4 = jnp.pad(scale4, (0, target - scale4.shape[0]), constant_values=1.0)
+            self._dev_packed4, self._dev_scale4 = packed, scale4
+
+    def _use_int4_stage1(self, batch: int, exact: bool) -> bool:
+        """Two-stage int4 routing: latency-bound small batches on indexes
+        large enough that approximate search is already the routing (the
+        rescore keeps chunk recall ~0.994; `exact=True` bypasses).  TPU-only:
+        the Pallas kernel is the point (halved HBM traffic)."""
+        return (
+            self.use_int4_stage1
+            and not exact
+            and batch <= 32
+            and self.num_devices == 1
+            # d/2 must stay a 128-lane multiple for the packed blocks to be
+            # tile-legal (dims like 384 fall back to the single-stage scan).
+            and self.dim % 256 == 0
+            and jax.default_backend() == "tpu"
+            and self.num_rows > EXACT_TOPK_MAX_ROWS
+        )
+
     def _use_fused_kernel(self, batch: int) -> bool:
         """Pallas fused scan on real TPU for latency-bound small batches on
         large indexes; the pure-XLA program otherwise.  Measured crossover
@@ -743,10 +908,21 @@ class DenseIndex:
 
 @lru_cache(maxsize=8)
 def _index_for_store(
-    store_path: str, dim: int, dtype: str, metric: str, num_devices: int, use_pallas: bool
+    store_path: str,
+    dim: int,
+    dtype: str,
+    metric: str,
+    num_devices: int,
+    use_pallas: bool,
+    use_int4_stage1: bool,
 ) -> DenseIndex:
     return DenseIndex(
-        dim=dim, dtype=dtype, metric=metric, num_devices=num_devices, use_pallas=use_pallas
+        dim=dim,
+        dtype=dtype,
+        metric=metric,
+        num_devices=num_devices,
+        use_pallas=use_pallas,
+        use_int4_stage1=use_int4_stage1,
     )
 
 
@@ -762,6 +938,7 @@ def dense_index_from_config(config: "RAGLiteConfig") -> DenseIndex:
         config.vector_search_distance_metric,
         config.num_devices,
         config.use_pallas,
+        config.use_int4_stage1,
     )
     index.sync(store_from_config(config))
     return index

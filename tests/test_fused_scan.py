@@ -192,3 +192,120 @@ def test_dense_index_incremental_append_matches_full_rebuild() -> None:
         # The capacity policy (lane-multiple growth) should have allowed the
         # incremental path at these sizes.
         assert was_incremental or incremental.capacity >= incremental.num_rows
+
+
+def test_pack_rows_int4_roundtrip() -> None:
+    """Packed nibbles dequantize back to the rows within the int4 grid."""
+    import jax.numpy as jnp
+
+    from raglite_tpu.ops.fused_scan import pack_rows_int4, unpack_rows_int4
+
+    rng = np.random.default_rng(0)
+    rows8 = rng.integers(-127, 128, size=(64, 32)).astype(np.int8)
+    scale8 = rng.uniform(0.005, 0.01, size=64).astype(np.float32)
+    packed, scale4 = pack_rows_int4(jnp.asarray(rows8), jnp.asarray(scale8))
+    nib = unpack_rows_int4(np.asarray(packed))
+    assert nib.min() >= -7 and nib.max() <= 7
+    # dequantized packed values approximate the dequantized int8 rows
+    deq8 = rows8.astype(np.float32) * scale8[:, None]
+    deq4 = nib.astype(np.float32) * np.asarray(scale4)[:, None]
+    err = np.abs(deq4 - deq8).max(axis=1)
+    step = scale8 * (127.0 / 7.0)  # one int4 quantization step
+    assert (err <= step * 0.5 + 1e-6).all()
+    # float rows path
+    x = rng.normal(size=(16, 32)).astype(np.float32)
+    packed_f, scale_f = pack_rows_int4(jnp.asarray(x))
+    nib_f = unpack_rows_int4(np.asarray(packed_f))
+    np.testing.assert_allclose(
+        nib_f * np.asarray(scale_f)[:, None], x, atol=float(np.asarray(scale_f).max()) * 0.51
+    )
+
+
+def test_int4_bucket_scan_matches_oracle() -> None:
+    """Interpret-mode kernel == numpy unpack + bucket-max oracle, exactly."""
+    import jax.numpy as jnp
+
+    from raglite_tpu.ops.fused_scan import (
+        int4_bucket_scan,
+        pack_rows_int4,
+        reference_bucketed_max,
+        unpack_rows_int4,
+    )
+
+    rng = np.random.default_rng(1)
+    N, d, L, B = 512, 32, 128, 4
+    rows8 = rng.integers(-127, 128, size=(N, d)).astype(np.int8)
+    scale8 = rng.uniform(0.005, 0.01, size=N).astype(np.float32)
+    packed, scale4 = pack_rows_int4(jnp.asarray(rows8), jnp.asarray(scale8))
+    q = rng.integers(-127, 128, size=(B, d)).astype(np.int8)
+    bias = np.where(rng.random(N) < 0.1, -1e30, 0.0).astype(np.float32)
+    scores, ids = int4_bucket_scan(
+        jnp.asarray(q), packed, scale4, jnp.asarray(bias),
+        num_buckets=L, batch_tile=8, interpret=True,
+    )
+    nib = unpack_rows_int4(np.asarray(packed))
+    ref_scores, ref_ids = reference_bucketed_max(
+        q.astype(np.float32), nib.astype(np.float32), bias,
+        num_buckets=L, row_scale=np.asarray(scale4),
+    )
+    np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+def test_int4_two_stage_recall_on_clustered_data() -> None:
+    """The two-stage program finds the exact top chunks on data with real
+    neighbor margins (each query is a noisy copy of an indexed row)."""
+    import jax.numpy as jnp
+
+    from raglite_tpu.index.dense import _int4_two_stage_chunks
+    from raglite_tpu.ops.fused_scan import pack_rows_int4, quantize_rows_int8
+
+    rng = np.random.default_rng(2)
+    N, d, B, hits, res = 2048, 64, 8, 20, 5
+    base = rng.normal(size=(N, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows8, scale8 = quantize_rows_int8(base)
+    packed, scale4 = pack_rows_int4(jnp.asarray(rows8), jnp.asarray(scale8))
+    targets = rng.choice(N, size=B, replace=False)
+    q = base[targets] + 0.1 * rng.normal(size=(B, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    row_chunk = np.arange(N, dtype=np.int32) // 2
+    packed_out = _int4_two_stage_chunks(
+        packed, scale4, jnp.asarray(rows8), jnp.asarray(scale8),
+        jnp.zeros((N,), jnp.float32), jnp.ones((N,), bool),
+        jnp.asarray(row_chunk), jnp.asarray(q),
+        num_hits=hits, num_results=res, candidates=64, metric="cosine",
+        num_buckets=256, interpret=True,
+    )
+    top_chunks = np.asarray(packed_out)[1].astype(np.int64)
+    for i, t in enumerate(targets):
+        assert row_chunk[t] in top_chunks[i], f"query {i}: planted neighbor missing"
+
+
+def test_int4_two_stage_respects_masks() -> None:
+    """Masked (tombstoned/filtered) rows never surface, even when stage-1
+    candidates include them (the rescore must re-apply the bias)."""
+    import jax.numpy as jnp
+
+    from raglite_tpu.index.dense import _int4_two_stage_chunks
+    from raglite_tpu.ops.fused_scan import pack_rows_int4, quantize_rows_int8
+
+    rng = np.random.default_rng(3)
+    N, d = 256, 32
+    base = rng.normal(size=(N, d)).astype(np.float32)
+    rows8, scale8 = quantize_rows_int8(base)
+    packed, scale4 = pack_rows_int4(jnp.asarray(rows8), jnp.asarray(scale8))
+    row_chunk = np.arange(N, dtype=np.int32)
+    valid = np.ones(N, dtype=bool)
+    valid[::2] = False  # mask half the corpus
+    q = base[[4, 10]]  # masked row 4 is its own best match
+    out = _int4_two_stage_chunks(
+        packed, scale4, jnp.asarray(rows8), jnp.asarray(scale8),
+        jnp.zeros((N,), jnp.float32), jnp.asarray(valid),
+        jnp.asarray(row_chunk), jnp.asarray(q),
+        num_hits=8, num_results=4, candidates=192, metric="cosine",
+        num_buckets=256, interpret=True,
+    )
+    scores, chunks = np.asarray(out)[0], np.asarray(out)[1].astype(np.int64)
+    surfaced = chunks[np.isfinite(scores)]
+    assert (surfaced % 2 == 1).all(), "a masked row surfaced through the rescore"
