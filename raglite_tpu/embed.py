@@ -69,11 +69,16 @@ def embed_strings_with_late_chunking(
         seg_start, seg_end = _segment_bounds(content_start, max_preamble, max_content, num_tokens)
         segments.append((seg_start, content_start, seg_end))
         content_start = seg_end
-    # Token-level embed each segment, then pool per sentence.
+    # Token-level embed ALL segments (one bucketed batch program per shape
+    # when the encoder supports it — the insert-throughput path on TPU),
+    # then pool per sentence.
+    segment_texts = ["".join(sentences[s:e]) for s, _, e in segments]
+    if hasattr(encoder, "embed_token_level_batch"):
+        token_embs = encoder.embed_token_level_batch(segment_texts)
+    else:
+        token_embs = [encoder.embed_token_level(t) for t in segment_texts]
     rows: list[np.ndarray] = []
-    for seg_start, cont_start, seg_end in segments:
-        segment_text = "".join(sentences[seg_start:seg_end])
-        token_emb = encoder.embed_token_level(segment_text)
+    for (seg_start, cont_start, seg_end), token_emb in zip(segments, token_embs):
         seg_tokens = num_tokens[seg_start:seg_end]
         total = max(int(np.sum(seg_tokens)), 1)
         # Largest-remainder allocation of the actual token rows to sentences

@@ -278,6 +278,38 @@ class TransformerEncoder:
             return np.zeros((0, self.dim), dtype=np.float32)
         return self._run(ids)
 
+    def embed_token_level_batch(self, texts: list[str]) -> list[np.ndarray]:
+        """Token-level embeddings for MANY texts as length-bucketed [B, T]
+        forwards — the late-chunking insert path runs one device program per
+        (B, T) bucket instead of one per segment.  Returns [n_i, d] per text
+        (numerically identical to per-text :meth:`embed_token_level`)."""
+        encoded = [
+            np.asarray(self._tokenizer.encode(t)[: self.max_tokens], np.int32) for t in texts
+        ]
+        out: list[np.ndarray] = [np.zeros((0, self.dim), np.float32) for _ in texts]
+        buckets: dict[int, list[int]] = {}
+        for i, ids in enumerate(encoded):
+            if ids.size:
+                buckets.setdefault(_round_up(max(ids.size, 8), 128), []).append(i)
+        for pad, members in buckets.items():
+            # Token-level outputs are [B, T, d]: keep tiles modest so the
+            # fetched hidden states stay a few MB per dispatch.
+            for start in range(0, len(members), 8):
+                group = members[start : start + 8]
+                bpad = _round_up(len(group), 8)
+                ids = np.zeros((bpad, pad), np.int32)
+                mask = np.zeros((bpad, pad), np.bool_)
+                for row, i in enumerate(group):
+                    ids[row, : encoded[i].size] = encoded[i]
+                    mask[row, : encoded[i].size] = True
+                hidden = np.asarray(
+                    self._forward(self._params, jnp.asarray(ids), jnp.asarray(mask)),
+                    dtype=np.float32,
+                )
+                for row, i in enumerate(group):
+                    out[i] = hidden[row, : encoded[i].size]
+        return out
+
     def embed(self, texts: list[str]) -> np.ndarray:
         """Batched mean-pooled embeddings: texts bucket by padded length and
         run as [B, T] forwards (compiles once per (B, T) bucket) — the

@@ -134,6 +134,43 @@ class WebChatApp:
     def __init__(self, config: RAGLiteConfig | None = None) -> None:
         self.config = config or RAGLiteConfig()
         self._inline_docs: list[str] = []
+        from raglite_tpu.utils.microbatch import KeyedMicroBatcher
+
+        self._search_batcher = KeyedMicroBatcher(self._make_search_batch_fn)
+
+    def _make_search_batch_fn(self, key):
+        method, num_results, filter_json = key
+
+        def run(queries: list[str]):
+            from raglite_tpu.search import (
+                hybrid_search_batch,
+                keyword_search_batch,
+                vector_search_batch,
+            )
+
+            batch = {
+                "vector": vector_search_batch,
+                "keyword": keyword_search_batch,
+            }.get(method, hybrid_search_batch)
+            return batch(
+                queries,
+                num_results=num_results,
+                metadata_filter=json.loads(filter_json) if filter_json else None,
+                config=self.config,
+            )
+
+        return run
+
+    def _batched_search(self, query, *, method, num_results, metadata_filter):
+        """Route one query through the micro-batcher: concurrent requests
+        with the same (method, num_results, filter) signature run as a
+        single batched device program (utils/microbatch.py)."""
+        key = (
+            method,
+            num_results,
+            json.dumps(metadata_filter, sort_keys=True) if metadata_filter else "",
+        )
+        return self._search_batcher.submit(key, query)
 
     # --- Request handlers (exercised directly by tests) -------------------
 
@@ -222,12 +259,14 @@ class WebChatApp:
             ids = [chunk.id for chunk in chunks]
             scores = [None] * len(chunks)
         else:
-            search = {"vector": vector_search, "keyword": keyword_search}.get(
-                method, hybrid_search
-            )
-            ids, scores = search(
-                query, num_results=num_results,
-                metadata_filter=metadata_filter, config=self.config,
+            # Concurrent single-query requests coalesce into ONE batched
+            # device program (vector/keyword/hybrid_search_batch): a TPU
+            # scan amortizes almost perfectly over the batch, so serving
+            # throughput scales with concurrency instead of serializing
+            # B=1 dispatches.
+            ids, scores = self._batched_search(
+                query, method=method, num_results=num_results,
+                metadata_filter=metadata_filter,
             )
             chunks = retrieve_chunks(ids, config=self.config)
         # Look chunks up by id rather than positional zip: retrieve_chunks

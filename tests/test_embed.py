@@ -128,3 +128,30 @@ def test_transformer_encoder_end_to_end_insert_search(tmp_path) -> None:
     insert_documents([doc], config=config)
     ids, scores = vector_search("quanta of light", num_results=3, config=config)
     assert ids and all(s == s for s in scores)  # finite scores, hits returned
+
+
+def test_flax_batched_token_level_matches_single() -> None:
+    """The bucketed batch token-level path must reproduce the per-segment
+    forward exactly (it feeds late chunking on the insert path)."""
+    from raglite_tpu.models.encoder import _make_encoder
+
+    enc = _make_encoder("flax:tiny")
+    texts = ["short one", "a rather longer segment with many more words in it", "", "mid size text"]
+    batched = enc.embed_token_level_batch(texts)
+    for text, b in zip(texts, batched):
+        solo = enc.embed_token_level(text)
+        assert b.shape == solo.shape
+        np.testing.assert_allclose(b, solo, rtol=2e-3, atol=2e-3)
+
+
+def test_flax_late_chunking_long_document() -> None:
+    """Late chunking through the batched transformer path: one embedding per
+    sentence, finite, unit-norm."""
+    cfg = RAGLiteConfig(store_path=":memory:", embedder="flax:tiny")
+    sentences = [f"Sentence number {i} speaks of photons and momenta. " for i in range(40)]
+    emb = embed_strings_with_late_chunking(sentences, config=cfg)
+    assert emb.shape[0] == 40
+    assert np.all(np.isfinite(emb.astype(np.float32)))
+    np.testing.assert_allclose(
+        np.linalg.norm(emb.astype(np.float32), axis=1), 1.0, atol=1e-2
+    )
