@@ -175,11 +175,12 @@ def main() -> None:
     recall = float(np.mean(hits))
     # Same for the SMALL-BATCH routing (the latency path — int4 two-stage
     # when enabled), which differs from the large-batch program.
+    m = min(64, b)
     small = np.concatenate(
-        [np.asarray(run_device(queries[i : i + 32]))[1] for i in range(0, 64, 32)]
+        [np.asarray(run_device(queries[i : min(i + 32, m)]))[1] for i in range(0, m, 32)]
     )
     hits_small = [
-        len(set(small[i]) & set(exact_res[i])) / exact_res.shape[1] for i in range(64)
+        len(set(small[i]) & set(exact_res[i])) / exact_res.shape[1] for i in range(m)
     ]
     recall_small = float(np.mean(hits_small))
 

@@ -123,7 +123,10 @@ class RAGLiteConfig:
     #: as two HBM passes), while XLA's own fusion wins at large batch
     #: (105k vs 73k QPS at B=1024).  Default off: first-compile of the
     #: kernel is minutes-slow on some toolchains, and the XLA program is
-    #: within 1 ms of it; flip on for latency-critical serving.
+    #: within 1 ms of it.  NOTE: this flag governs only the single-stage
+    #: int8 kernel; the two-stage int4 routing below has its own kernel and
+    #: its own flag (``use_int4_stage1``) — disable BOTH to avoid every
+    #: Pallas compile.
     use_pallas: bool = False
     #: Two-stage int4 routing for small-batch (B <= 32) queries on large
     #: (> 131k rows) single-device indexes: stage 1 scans an int4-PACKED

@@ -240,6 +240,10 @@ def _int4_two_stage_chunks(
     # are alive; without this it would resurface with a real score).
     sims2 = sims2 + bias[cand_ids]
     sc, pos = jax.lax.top_k(sims2, min(num_hits, c))
+    # Restore the -inf sentinel for masked/padding rows: -1e30 is finite, so
+    # downstream `isfinite` fixups (search_chunks ordinal masking) would
+    # otherwise pass filtered/tombstoned chunks through as real results.
+    sc = jnp.where(sc <= jnp.float32(-1e30) / 2, -jnp.inf, sc)
     ridx = jnp.take_along_axis(cand_ids, pos, axis=1)
     group = _group_max_topk_bitcast if bitcast else _group_max_topk
     return group(sc, ridx, row_chunk, num_results=num_results)

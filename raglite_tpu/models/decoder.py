@@ -157,12 +157,18 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
     layer_types = hf.get("layer_types")
     if layer_types:
         layer_sliding = [t == "sliding_attention" for t in layer_types]
-    elif hf.get("sliding_window"):
+    elif hf.get("sliding_window") and hf.get("use_sliding_window", True):
+        # Qwen2/2.5 ship sliding_window values with use_sliding_window=false
+        # and attend globally; honoring only the window size would wrongly
+        # mask long prompts.
         if model_type == "gemma2":  # alternating, sliding on even layers
             layer_sliding = [i % 2 == 0 for i in range(num_layers)]
         elif model_type == "gemma3_text":  # 5 local : 1 global
             pattern = hf.get("sliding_window_pattern", 6)
             layer_sliding = [(i + 1) % pattern != 0 for i in range(num_layers)]
+        elif model_type == "qwen2":  # window only above max_window_layers
+            mwl = hf.get("max_window_layers", 0)
+            layer_sliding = [i >= mwl for i in range(num_layers)]
         else:  # Mistral/Phi3: the window applies to every layer
             layer_sliding = [True] * num_layers
     else:
@@ -179,7 +185,12 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
         rope_base=hf.get("rope_theta", 10000.0),
         rms_eps=hf.get("rms_norm_eps", 1e-6),
         rope_scaling=hf.get("rope_scaling"),
-        hidden_act=hf.get("hidden_activation") or hf.get("hidden_act", "silu"),
+        hidden_act=(
+            "gelu_pytorch_tanh"
+            if is_gemma
+            and (hf.get("hidden_activation") or hf.get("hidden_act")) in (None, "gelu", "gelu_pytorch_tanh")
+            else hf.get("hidden_activation") or hf.get("hidden_act", "silu")
+        ),
         emb_scale=hf["hidden_size"] ** 0.5 if is_gemma else 1.0,
         attn_scale=(
             float(hf["query_pre_attn_scalar"]) ** -0.5

@@ -104,6 +104,10 @@ class Store:
         #: detect a concurrent writer (whose segments and tombstones must be
         #: absorbed, not silently orphaned by our head rewrite).
         self._disk_state: tuple[int, int, tuple[str, ...]] = (0, 0, ())
+        #: Documents THIS instance deleted — a concurrent-writer absorb must
+        #: not re-adopt them (their records live on in the other writer's
+        #: stale head until our save lands).
+        self._locally_deleted_documents: set[DocumentId] = set()
         if self.persistent:
             Path(path).mkdir(parents=True, exist_ok=True)
             self._load()
@@ -129,6 +133,7 @@ class Store:
             content=None,  # content is never persisted (reference: _database.py:78)
         )
         self.documents[document.id] = record
+        self._locally_deleted_documents.discard(document.id)
         self.version += 1
 
     def _post_metadata(self, ordinal: int, metadata: dict[str, Any]) -> None:
@@ -159,6 +164,7 @@ class Store:
                 self.deleted_chunks.add(cid)
         for did in document_ids:
             self.documents.pop(did, None)
+            self._locally_deleted_documents.add(did)
         for eid in [e for e, ev in self.evals.items() if ev.document_id in doomed]:
             del self.evals[eid]
         self.version += 1
@@ -500,17 +506,25 @@ class Store:
         suffix = [
             cid for cid in self.chunk_order[self._saved_chunks :] if cid not in disk_ids
         ]
-        # Merge row tables (disk's view, then ours for anything it lacks).
+        # Merge row tables (disk's view, then ours for anything it lacks) —
+        # but never re-adopt documents/evals THIS instance deleted (the disk
+        # head may predate our delete).
         for d in head.get("documents", []):
-            self.documents.setdefault(d["id"], Document(**d))
+            if d["id"] not in self._locally_deleted_documents:
+                self.documents.setdefault(d["id"], Document(**d))
         for e in head.get("evals", []):
-            self.evals.setdefault(e["id"], Eval(**e))
+            if e["document_id"] not in self._locally_deleted_documents:
+                self.evals.setdefault(e["id"], Eval(**e))
         for key, vals in head.get("metadata", {}).items():
             existing = self.metadata.setdefault(key, [])
             for v in vals:
                 if v not in existing:
                     existing.append(v)
         self.deleted_chunks |= set(head.get("deleted_chunks", []))
+        # _read_log filtered chunk records by the DISK head's tombstones
+        # only; drop the ones WE tombstoned so our deletes survive the merge.
+        for cid in self.deleted_chunks:
+            chunks.pop(cid, None)
         for cid in suffix:
             if cid in self.chunks:
                 chunks[cid] = self.chunks[cid]

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import OrderedDict, deque
 from typing import Any, Callable
 
 __all__ = ["MicroBatcher", "KeyedMicroBatcher"]
@@ -48,8 +49,9 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._pending: list[list[Any]] = []  # [item, result, error, Event]
         self._full = threading.Event()  # leader wakes early at max_batch
-        #: Batch sizes actually executed (observability; tests assert >1).
-        self.batch_sizes: list[int] = []
+        #: Recent batch sizes (observability; bounded so a long-running
+        #: server does not grow one int per executed batch forever).
+        self.batch_sizes: deque[int] = deque(maxlen=256)
 
     def submit(self, item: Any) -> Any:
         entry: list[Any] = [item, None, None, threading.Event()]
@@ -99,12 +101,17 @@ class KeyedMicroBatcher:
         *,
         max_batch: int = 32,
         max_wait_ms: float = 2.0,
+        max_keys: int = 64,
     ) -> None:
         self._factory = batch_fn_for_key
         self._max_batch = max_batch
         self._max_wait_ms = max_wait_ms
+        self._max_keys = max_keys
         self._lock = threading.Lock()
-        self._batchers: dict[Any, MicroBatcher] = {}
+        #: LRU-bounded: webchat keys embed client-controlled parameters
+        #: (num_results, the metadata filter), so an unbounded map would be
+        #: request-driven memory growth on a long-running server.
+        self._batchers: OrderedDict[Any, MicroBatcher] = OrderedDict()
 
     def submit(self, key: Any, item: Any) -> Any:
         with self._lock:
@@ -116,4 +123,8 @@ class KeyedMicroBatcher:
                     max_wait_ms=self._max_wait_ms,
                 )
                 self._batchers[key] = batcher
+                while len(self._batchers) > self._max_keys:
+                    self._batchers.popitem(last=False)  # evict LRU
+            else:
+                self._batchers.move_to_end(key)
         return batcher.submit(item)

@@ -309,3 +309,33 @@ def test_int4_two_stage_respects_masks() -> None:
     scores, chunks = np.asarray(out)[0], np.asarray(out)[1].astype(np.int64)
     surfaced = chunks[np.isfinite(scores)]
     assert (surfaced % 2 == 1).all(), "a masked row surfaced through the rescore"
+
+
+def test_int4_two_stage_restores_inf_sentinel() -> None:
+    """When fewer valid rows exist than requested results, the masked slots
+    must come back NON-finite so search_chunks' ordinal fixup fires
+    (regression: -1e30 is finite and leaked filtered chunks as results)."""
+    import jax.numpy as jnp
+
+    from raglite_tpu.index.dense import _int4_two_stage_chunks
+    from raglite_tpu.ops.fused_scan import pack_rows_int4, quantize_rows_int8
+
+    rng = np.random.default_rng(5)
+    N, d = 256, 32
+    base = rng.normal(size=(N, d)).astype(np.float32)
+    rows8, scale8 = quantize_rows_int8(base)
+    packed, scale4 = pack_rows_int4(jnp.asarray(rows8), jnp.asarray(scale8))
+    valid = np.zeros(N, dtype=bool)
+    valid[7] = True  # a filter matching ONE chunk, fewer than num_results
+    out = np.asarray(
+        _int4_two_stage_chunks(
+            packed, scale4, jnp.asarray(rows8), jnp.asarray(scale8),
+            jnp.zeros((N,), jnp.float32), jnp.asarray(valid),
+            jnp.asarray(np.arange(N, dtype=np.int32)), jnp.asarray(base[[7]]),
+            num_hits=8, num_results=4, candidates=64, metric="cosine",
+            num_buckets=256, interpret=True,
+        )
+    )
+    scores, chunks = out[0], out[1].astype(np.int64)
+    assert np.isfinite(scores[0, 0]) and chunks[0, 0] == 7
+    assert not np.isfinite(scores[0, 1:]).any(), "masked slots leaked finite scores"

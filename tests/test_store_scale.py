@@ -260,3 +260,33 @@ def test_bm25_len_norm_ignores_tombstones(tmp_path):
     norm_fresh = fresh._len_norm(len(fresh.chunk_ids))
     # Survivors occupy ordinals 5..9 in the tombstoned index, 0..4 fresh.
     np.testing.assert_allclose(norm_after_delete[5:10], norm_fresh[:5], rtol=1e-6)
+
+
+def test_absorb_does_not_resurrect_own_deletes(tmp_path):
+    """B deletes a document while A concurrently saved: B's save absorbs A's
+    head but must NOT re-adopt the document/evals/chunk records B itself
+    deleted (regression: the merge resurrected them on disk and in memory)."""
+    from raglite_tpu.documents import Document
+
+    path = str(tmp_path / "s")
+    base = Store(path)
+    base.documents["d0"] = Document(id="d0", filename="x", url=None, metadata_={}, content=None)
+    base.documents["d1"] = Document(id="d1", filename="y", url=None, metadata_={}, content=None)
+    base.add_chunks(*_mk_chunks(0, 10, doc="d0", dim=8, topic="gone"))
+    base.add_chunks(*_mk_chunks(10, 10, doc="d1", dim=8, topic="keep"))
+    base.save()
+    a = Store(path)
+    b = Store(path)
+    a.add_chunks(*_mk_chunks(100, 3, doc="d1", dim=8, topic="keep"))
+    with a.write_lock():
+        a.save()
+    with b.write_lock():
+        b.delete_documents(["d0"])  # 10/20: below compaction threshold
+        b.save()
+    # In B's memory and on disk, d0 stays deleted despite the absorb.
+    assert not b.has_document("d0")
+    assert all(b.chunks.get(f"c{i:08d}") is None for i in range(10))
+    merged = Store(path)
+    assert "d0" not in merged.documents
+    assert merged.deleted_chunks >= {f"c{i:08d}" for i in range(10)}
+    assert merged.num_alive_chunks == 13  # d1's 10 + A's 3
