@@ -208,6 +208,14 @@ def document_to_markdown(doc_path: Path | str) -> str:
         from raglite_tpu.utils.office import docx_to_markdown
 
         return docx_to_markdown(doc_path)
+    if suffix == ".pptx":
+        from raglite_tpu.utils.office import pptx_to_markdown
+
+        return pptx_to_markdown(doc_path)
+    if suffix == ".odt":
+        from raglite_tpu.utils.office import odt_to_markdown
+
+        return odt_to_markdown(doc_path)
     if suffix == ".epub":
         from raglite_tpu.utils.office import epub_to_markdown
 

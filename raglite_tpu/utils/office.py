@@ -6,6 +6,10 @@ heavyweight external binary; these converters cover the common formats
 with stdlib-only parsing:
 
 - ``.docx``  — OOXML: paragraphs/headings/lists/tables from word/document.xml
+- ``.pptx``  — OOXML slides: per-slide headings from title placeholders,
+  bullets from body text frames
+- ``.odt``   — ODF: headings (outline level), paragraphs, list items from
+  content.xml
 - ``.epub``  — zip of XHTML chapters -> the HTML->Markdown pipeline
 - ``.rtf``   — control-word stripper with paragraph reconstruction
 - ``.csv``/``.tsv`` — Markdown tables
@@ -22,11 +26,13 @@ from pathlib import Path
 from xml.etree import ElementTree
 
 __all__ = [
+    "code_block_markdown",
+    "csv_to_markdown",
     "docx_to_markdown",
     "epub_to_markdown",
+    "odt_to_markdown",
+    "pptx_to_markdown",
     "rtf_to_markdown",
-    "csv_to_markdown",
-    "code_block_markdown",
 ]
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
@@ -223,3 +229,103 @@ def csv_to_markdown(text: str, *, delimiter: str = ",") -> str:
 def code_block_markdown(text: str, language: str) -> str:
     fence = "````" if "```" in text else "```"
     return f"{fence}{language}\n{text.rstrip()}\n{fence}\n"
+
+
+# --- pptx ---------------------------------------------------------------
+
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+
+
+def _pptx_shape_text(shape: ElementTree.Element) -> list[str]:
+    """Paragraph texts of one shape's text body."""
+    out: list[str] = []
+    for par in shape.iter(f"{_A}p"):
+        text = "".join(node.text or "" for node in par.iter(f"{_A}t")).strip()
+        if text:
+            out.append(text)
+    return out
+
+
+def _pptx_is_title(shape: ElementTree.Element) -> bool:
+    ph = shape.find(f"{_P}nvSpPr/{_P}nvPr/{_P}ph")
+    return ph is not None and ph.get("type", "") in ("title", "ctrTitle")
+
+
+def pptx_to_markdown(path: Path | str) -> str:
+    """PowerPoint -> Markdown: one ``##`` heading per slide (the title
+    placeholder when present), body text as bullets."""
+    with zipfile.ZipFile(path) as zf:
+        slide_names = sorted(
+            (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+        )
+        parts: list[str] = []
+        for i, name in enumerate(slide_names, start=1):
+            root = ElementTree.fromstring(zf.read(name))
+            title: str | None = None
+            bullets: list[str] = []
+            for shape in root.iter(f"{_P}sp"):
+                texts = _pptx_shape_text(shape)
+                if not texts:
+                    continue
+                if title is None and _pptx_is_title(shape):
+                    title = " ".join(texts)
+                else:
+                    bullets.extend(texts)
+            parts.append(f"## {title or f'Slide {i}'}")
+            parts.extend(f"- {b}" for b in bullets)
+    return "\n\n".join(parts) + "\n"
+
+
+# --- odt ----------------------------------------------------------------
+
+_ODF_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_ODF_OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+
+
+def _odt_text(element: ElementTree.Element) -> str:
+    """Flatten an ODF paragraph/heading (tabs/spaces/spans included)."""
+    parts: list[str] = [element.text or ""]
+    for child in element:
+        tag = child.tag
+        if tag == f"{_ODF_TEXT}s":
+            parts.append(" " * int(child.get(f"{_ODF_TEXT}c", "1")))
+        elif tag == f"{_ODF_TEXT}tab":
+            parts.append("\t")
+        elif tag == f"{_ODF_TEXT}line-break":
+            parts.append("\n")
+        else:
+            parts.append(_odt_text(child))
+        parts.append(child.tail or "")
+    return "".join(parts)
+
+
+def odt_to_markdown(path: Path | str) -> str:
+    """OpenDocument Text -> Markdown: outline-level headings, paragraphs,
+    list items."""
+    with zipfile.ZipFile(path) as zf:
+        root = ElementTree.fromstring(zf.read("content.xml"))
+    body = root.find(f"{_ODF_OFFICE}body/{_ODF_OFFICE}text")
+    parts: list[str] = []
+
+    def walk(element: ElementTree.Element, list_depth: int = 0) -> None:
+        for child in element:
+            tag = child.tag
+            if tag == f"{_ODF_TEXT}h":
+                level = min(int(child.get(f"{_ODF_TEXT}outline-level", "1") or 1), 6)
+                text = _odt_text(child).strip()
+                if text:
+                    parts.append("#" * level + " " + text)
+            elif tag == f"{_ODF_TEXT}p":
+                text = _odt_text(child).strip()
+                if text:
+                    prefix = "  " * max(list_depth - 1, 0) + "- " if list_depth else ""
+                    parts.append(prefix + text)
+            elif tag == f"{_ODF_TEXT}list":
+                for item in child.findall(f"{_ODF_TEXT}list-item"):
+                    walk(item, list_depth + 1)
+
+    if body is not None:
+        walk(body)
+    return "\n\n".join(parts) + "\n"

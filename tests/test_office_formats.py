@@ -108,3 +108,89 @@ def test_docx_insert_roundtrip(tmp_path):
     insert_documents([Document.from_path(path)], config=config)
     ids, _ = keyword_search("glacier advances spring", num_results=3, config=config)
     assert ids
+
+
+def _make_pptx(path):
+    import zipfile
+
+    slide1 = """<?xml version="1.0"?>
+<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+       xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+ <p:cSld><p:spTree>
+  <p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>
+   <p:txBody><a:p><a:r><a:t>Quarterly Results</a:t></a:r></a:p></p:txBody></p:sp>
+  <p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr>
+   <p:txBody><a:p><a:r><a:t>Revenue grew 12 percent</a:t></a:r></a:p>
+   <a:p><a:r><a:t>Costs held flat</a:t></a:r></a:p></p:txBody></p:sp>
+ </p:spTree></p:cSld></p:sld>"""
+    slide2 = """<?xml version="1.0"?>
+<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+       xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+ <p:cSld><p:spTree>
+  <p:sp><p:nvSpPr><p:nvPr/></p:nvSpPr>
+   <p:txBody><a:p><a:r><a:t>Untitled slide body</a:t></a:r></a:p></p:txBody></p:sp>
+ </p:spTree></p:cSld></p:sld>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("ppt/slides/slide1.xml", slide1)
+        zf.writestr("ppt/slides/slide2.xml", slide2)
+    return path
+
+
+def _make_odt(path):
+    import zipfile
+
+    content = """<?xml version="1.0"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+ <office:body><office:text>
+  <text:h text:outline-level="1">Report Title</text:h>
+  <text:p>First paragraph with <text:span>inline span</text:span> text.</text:p>
+  <text:h text:outline-level="2">Findings</text:h>
+  <text:list>
+   <text:list-item><text:p>finding one</text:p></text:list-item>
+   <text:list-item><text:p>finding two</text:p></text:list-item>
+  </text:list>
+ </office:text></office:body></office:document-content>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("content.xml", content)
+    return path
+
+
+def test_pptx_to_markdown(tmp_path) -> None:
+    from raglite_tpu.markdown import document_to_markdown
+
+    path = _make_pptx(tmp_path / "deck.pptx")
+    md = document_to_markdown(path)
+    assert "## Quarterly Results" in md
+    assert "- Revenue grew 12 percent" in md
+    assert "- Costs held flat" in md
+    assert "## Slide 2" in md  # untitled slide gets a positional heading
+    assert "- Untitled slide body" in md
+
+
+def test_odt_to_markdown(tmp_path) -> None:
+    from raglite_tpu.markdown import document_to_markdown
+
+    path = _make_odt(tmp_path / "report.odt")
+    md = document_to_markdown(path)
+    assert "# Report Title" in md
+    assert "First paragraph with inline span text." in md
+    assert "## Findings" in md
+    assert "- finding one" in md and "- finding two" in md
+
+
+def test_pptx_odt_insert_end_to_end(tmp_path) -> None:
+    """The new formats flow through the full ingestion pipeline."""
+    from raglite_tpu import Document, RAGLiteConfig, insert_documents, keyword_search
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "kb"), embedder="hash:256", llm="echo")
+    insert_documents(
+        [
+            Document.from_path(_make_pptx(tmp_path / "deck.pptx")),
+            Document.from_path(_make_odt(tmp_path / "report.odt")),
+        ],
+        config=config,
+    )
+    ids, _ = keyword_search("revenue grew", num_results=2, config=config)
+    assert ids
