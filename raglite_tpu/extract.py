@@ -26,23 +26,9 @@ T = TypeVar("T", bound=BaseModel)
 __all__ = ["extract_with_llm", "expand_document_metadata", "self_query_filter"]
 
 
-def extract_with_llm(
-    return_type: type[T],
-    user_prompt: str | list[str],
-    strict: bool = False,  # noqa: FBT001, FBT002
-    config: RAGLiteConfig | None = None,
-    **kwargs: Any,
-) -> T:
-    """Extract an instance of a Pydantic model from unstructured text
-    (reference: _extract.py:20-97).
-
-    ``return_type.system_prompt: ClassVar[str]`` provides the system prompt;
-    the JSON schema constrains the response (falling back to schema-in-prompt
-    when the LLM lacks a response-format parameter), with a retry loop of
-    ``config.llm_max_tries`` validations.
-    """
-    config = config or RAGLiteConfig()
-    llm = llm_from_config(config)
+def _prompt_and_format(return_type, llm, strict):  # noqa: FBT001
+    """System prompt + response_format for schema-constrained extraction
+    (schema-in-prompt fallback when the LLM lacks constrained decoding)."""
     system_prompt = str(getattr(return_type, "system_prompt", "")).strip()
     if not llm.supports_response_format:
         system_prompt += (
@@ -62,6 +48,56 @@ def extract_with_llm(
         if llm.supports_response_format
         else None
     )
+    return system_prompt, response_format
+
+
+def _extract_batch_first_pass(return_type, texts, strict, config, **kwargs):  # noqa: FBT001
+    """One batched-decode attempt per text (None where validation failed,
+    the caller retries those individually).  Returns None when the LLM has
+    no batch API.  Parity target: litellm.batch_completion
+    (_extract.py:196-205)."""
+    llm = llm_from_config(config)
+    if not hasattr(llm, "complete_batch"):
+        return None
+    system_prompt, response_format = _prompt_and_format(return_type, llm, strict)
+    responses = llm.complete_batch(
+        [
+            [
+                {"role": "system", "content": system_prompt},
+                {"role": "user", "content": text},
+            ]
+            for text in texts
+        ],
+        response_format=response_format,
+        **kwargs,
+    )
+    out = []
+    for response in responses:
+        try:
+            out.append(return_type.model_validate_json(response.content or ""))
+        except (ValueError, ValidationError):
+            out.append(None)
+    return out
+
+
+def extract_with_llm(
+    return_type: type[T],
+    user_prompt: str | list[str],
+    strict: bool = False,  # noqa: FBT001, FBT002
+    config: RAGLiteConfig | None = None,
+    **kwargs: Any,
+) -> T:
+    """Extract an instance of a Pydantic model from unstructured text
+    (reference: _extract.py:20-97).
+
+    ``return_type.system_prompt: ClassVar[str]`` provides the system prompt;
+    the JSON schema constrains the response (falling back to schema-in-prompt
+    when the LLM lacks a response-format parameter), with a retry loop of
+    ``config.llm_max_tries`` validations.
+    """
+    config = config or RAGLiteConfig()
+    llm = llm_from_config(config)
+    system_prompt, response_format = _prompt_and_format(return_type, llm, strict)
     if isinstance(user_prompt, list):
         user_prompt = "\n\n".join(
             f'<context index="{i + 1}">\n{chunk.strip()}\n</context>'
@@ -115,6 +151,7 @@ def expand_document_metadata(  # noqa: PLR0913
         "Extract the requested metadata fields from the document below. "
         "Only use information stated in the document."
     )
+    texts = []
     for document in documents:
         if source == "content":
             text = document.content or ""
@@ -123,8 +160,16 @@ def expand_document_metadata(  # noqa: PLR0913
             text = str(value[0] if isinstance(value, list) and value else value)
         if max_context_size is not None:
             text = text[:max_context_size]
+        texts.append(text)
+    # First pass: ONE batched decode over all documents when the LLM
+    # supports it (the jax provider shares every device program across the
+    # batch); per-document retries handle the validation failures.
+    first_pass = _extract_batch_first_pass(metadata_model, texts, strict, config, **kwargs)
+    for i, document in enumerate(documents):
+        extracted = first_pass[i] if first_pass is not None else None
         try:
-            extracted = extract_with_llm(metadata_model, text, strict, config, **kwargs)
+            if extracted is None:
+                extracted = extract_with_llm(metadata_model, texts[i], strict, config, **kwargs)
             document.metadata_.update(adapt_metadata(extracted.model_dump(exclude_none=True)))
         except ValueError as e:
             warnings.warn(

@@ -330,12 +330,20 @@ class DecoderModel:
     ) -> tuple[jax.Array, dict]:
         """Run T tokens starting at position ``cache_len``; returns logits
         [B, T, V] and the updated cache.  Works for both prefill (T = padded
-        prompt length, cache_len = 0) and decode (T = 1)."""
+        prompt length, cache_len = 0) and decode (T = 1).
+
+        ``cache_len`` may be a scalar (all rows aligned) or a [B] vector —
+        the batched-generation path decodes sequences of different prompt
+        lengths together, each row writing its KV at its own offset (trailing
+        prompt padding is naturally masked out: it sits at positions >= the
+        row's cache_len, i.e. "in the future" of every real token)."""
         cfg = self.cfg
         heads, kv_heads, hd = cfg["heads"], cfg["kv_heads"], self.head_dim
         B, T = ids.shape
         S = cache["k"].shape[3]
-        positions = cache_len + jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+        per_row = getattr(cache_len, "ndim", 0) == 1
+        row_offsets = cache_len if per_row else jnp.full((B,), cache_len, jnp.int32)
+        positions = row_offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         x = params["tok_emb"][ids]
         if self.emb_scale != 1.0:  # Gemma: embeddings scaled by sqrt(d)
             x = x * jnp.asarray(self.emb_scale, x.dtype)
@@ -359,12 +367,19 @@ class DecoderModel:
                 k = _rms_norm(k, layer["k_norm"], self.rms_eps)
             q = _rope(q, positions, inv_freq)
             k = _rope(k, positions, inv_freq)
-            k_cache = jax.lax.dynamic_update_slice(
-                cache["k"][li], k.astype(cache["k"].dtype), (0, 0, cache_len, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                cache["v"][li], v.astype(cache["v"].dtype), (0, 0, cache_len, 0)
-            )
+            if per_row:  # per-row write offsets (vmapped dus lowers to scatter)
+                row_dus = jax.vmap(
+                    lambda c, x, off: jax.lax.dynamic_update_slice(c, x, (0, off, 0))
+                )
+                k_cache = row_dus(cache["k"][li], k.astype(cache["k"].dtype), row_offsets)
+                v_cache = row_dus(cache["v"][li], v.astype(cache["v"].dtype), row_offsets)
+            else:
+                k_cache = jax.lax.dynamic_update_slice(
+                    cache["k"][li], k.astype(cache["k"].dtype), (0, 0, cache_len, 0)
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    cache["v"][li], v.astype(cache["v"].dtype), (0, 0, cache_len, 0)
+                )
             new_k.append(k_cache)
             new_v.append(v_cache)
             # Grouped-query attention over the full cache with causal+validity mask.
@@ -646,6 +661,152 @@ class JaxChatLLM:
             for byte in automaton.completion_bytes():
                 yield byte + ByteTokenizer._OFFSET
 
+    def _generate_batch(
+        self,
+        prompts: list[str],
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        min_p: float = 0.0,
+        automatons: list | None = None,
+        seed: int = 0,
+    ) -> list[list[int]]:
+        """Generate for MANY prompts in one batched decode loop: one [B, T]
+        prefill + one [B, 1] forward per step (the reference gets this from
+        litellm.batch_completion fan-out, _extract.py:196-205; here the
+        batch shares every device program).  Sequences may have different
+        prompt lengths — each row decodes at its own cache offset.  Returns
+        one token list per prompt (automaton completion bytes included)."""
+        tok = self.tokenizer
+        n = len(prompts)
+        if n == 0:
+            return []
+        max_new_tokens = max(1, min(max_new_tokens, self.context_size - 32))
+        budget = max(self.context_size - max_new_tokens - 1, 16)
+        encoded: list[list[int]] = []
+        for p in prompts:
+            ids = tok.encode(p)[-budget:]
+            if self._byte_level:
+                ids = [tok.BOS, *ids]
+            encoded.append(ids or [tok.BOS])
+        # Pad the batch to a bucket so the jitted programs compile per
+        # (B, T) bucket, not per call; dummy rows are ignored.
+        from raglite_tpu.utils.padding import round_up as _round_up_b
+
+        bpad = _round_up_b(n, 8)
+        pad = _bucket(max(len(i) for i in encoded))
+        batch_ids = np.full((bpad, pad), tok.PAD, dtype=np.int32)
+        lens = np.full((bpad,), 1, dtype=np.int32)
+        for i, ids in enumerate(encoded):
+            batch_ids[i, : len(ids)] = ids
+            lens[i] = len(ids)
+        max_total = pad + _bucket(max_new_tokens)
+        cache = self.model.init_cache(bpad, max_total)
+        logits_all, cache = _prefill(self.model, self.params, jnp.asarray(batch_ids), cache)
+        last_logits = np.asarray(logits_all)[np.arange(bpad), lens - 1]
+        cache_lens = jnp.asarray(lens)
+
+        if automatons is None:
+            automatons = [None] * n
+        if not self._byte_level:
+            automatons = [None] * n  # grammar automatons are byte-level
+            base_mask = np.zeros((self.cfg["vocab"],), dtype=np.float32)
+        else:
+            base_mask = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
+            base_mask[ByteTokenizer._OFFSET : ByteTokenizer._OFFSET + 256] = 0.0
+            base_mask[tok.EOS] = 0.0
+
+        def byte_mask(automaton) -> np.ndarray:
+            m = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
+            idx = np.fromiter(
+                (b + ByteTokenizer._OFFSET for b in automaton.allowed_bytes()),
+                dtype=np.int64,
+            )
+            if idx.size:
+                m[idx] = 0.0
+            if automaton.can_end():
+                m[tok.EOS] = 0.0
+            return m
+
+        rng = np.random.default_rng(seed)
+        outputs: list[list[int]] = [[] for _ in range(n)]
+        done = np.zeros(bpad, dtype=bool)
+        done[n:] = True  # dummy padding rows never generate
+        step_tokens = np.full((bpad,), tok.PAD, dtype=np.int32)
+        for _ in range(max_new_tokens):
+            for i in range(n):
+                if done[i]:
+                    continue
+                automaton = automatons[i]
+                mask = byte_mask(automaton) if automaton is not None else base_mask
+                token = self._sample_host(
+                    last_logits[i] + mask, temperature=temperature, top_p=top_p,
+                    top_k=top_k, min_p=min_p, rng=rng,
+                )
+                if token in self._stop_ids:
+                    done[i] = True
+                    continue
+                outputs[i].append(token)
+                step_tokens[i] = token
+                if automaton is not None and token >= ByteTokenizer._OFFSET:
+                    automaton.feed(token - ByteTokenizer._OFFSET)
+                    if automaton.done():
+                        done[i] = True
+            if done.all():
+                break
+            logits_dev, cache = _jax_forward_step_batch(
+                self.model, self.params, jnp.asarray(step_tokens), cache, cache_lens
+            )
+            last_logits = np.asarray(logits_dev)
+            cache_lens = cache_lens + 1
+        for i in range(n):
+            automaton = automatons[i]
+            if automaton is not None and not automaton.done():
+                outputs[i].extend(
+                    byte + ByteTokenizer._OFFSET for byte in automaton.completion_bytes()
+                )
+        return outputs
+
+    def complete_batch(
+        self,
+        messages_batch: list[list[dict[str, Any]]],
+        *,
+        response_format: dict[str, Any] | None = None,
+        **sampling: Any,
+    ) -> list["ChatResponse"]:
+        """Batched :meth:`complete` (no tools): B conversations share one
+        prefill + one forward per decode step.  Parity target:
+        ``litellm.batch_completion`` in the reference's metadata expansion
+        (_extract.py:196-205)."""
+        from raglite_tpu.models.llm import ChatResponse
+
+        prompts = [self._format_messages(m, None) for m in messages_batch]
+        automatons = None
+        if response_format and self._byte_level:
+            from raglite_tpu.models.schema_automaton import SchemaAutomaton
+
+            schema = (response_format.get("json_schema") or {}).get("schema")
+            if schema:
+                automatons = [SchemaAutomaton(schema) for _ in prompts]
+            elif response_format.get("type") in ("json_object", "json_schema"):
+                automatons = [JsonAutomaton() for _ in prompts]
+        token_lists = self._generate_batch(
+            prompts,
+            max_new_tokens=int(sampling.get("max_tokens", 512)),
+            temperature=float(sampling.get("temperature", 0.0)),
+            top_p=float(sampling.get("top_p", 1.0)),
+            top_k=int(sampling.get("top_k", 0)),
+            min_p=float(sampling.get("min_p", 0.0)),
+            automatons=automatons,
+            seed=int(sampling.get("seed", 0)),
+        )
+        return [
+            ChatResponse(content="".join(self._decode_stream(iter(tokens))) or None)
+            for tokens in token_lists
+        ]
+
     # --- LLM protocol -----------------------------------------------------
 
     def _decode_stream(self, tokens: Iterator[int]) -> Iterator[str]:
@@ -905,3 +1066,14 @@ def _jax_forward_one(model: DecoderModel, params, token: int, cache, cache_len: 
     ids = jnp.asarray([[token]], dtype=jnp.int32)
     logits, cache = model.forward(params, ids, cache, jnp.asarray(cache_len, jnp.int32))
     return logits[0, -1], cache
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(3,))
+def _jax_forward_step_batch(
+    model: DecoderModel, params, tokens: jax.Array, cache, cache_lens: jax.Array
+):
+    """One decode step for a BATCH of sequences at per-row cache offsets;
+    returns last-position logits [B, V].  The cache is donated (in-place
+    scatter)."""
+    logits, cache = model.forward(params, tokens[:, None], cache, cache_lens)
+    return logits[:, -1], cache
