@@ -191,10 +191,14 @@ def mcp_install(config: RAGLiteConfig, server_name: str) -> None:
               "over the same vectors, with each index's memory.")
 @click.option("--num-rows", default=100_000, show_default=True,
               help="corpus size for --hnsw-recall")
+@click.option("--remote-vector-store", default="",
+              help="base URL of an OpenAI-compatible vector-store API to "
+              "include as a cross-system comparison row (the reference's "
+              "hosted-OpenAI baseline; needs network egress).")
 @click.pass_obj
 def bench(  # noqa: PLR0913
     config: RAGLiteConfig, dataset: str, measure: str, num_queries: int,
-    hnsw_recall: bool, num_rows: int,
+    hnsw_recall: bool, num_rows: int, remote_vector_store: str,
 ) -> None:
     """IR benchmark comparing retrieval variants (reference: _cli.py:121-206),
     including a first-party HNSW graph baseline ('hnsw' variant)."""
@@ -209,7 +213,8 @@ def bench(  # noqa: PLR0913
     from raglite_tpu.irbench import run_ir_benchmark
 
     df = run_ir_benchmark(
-        dataset=dataset, measure=measure, num_queries=num_queries, config=config
+        dataset=dataset, measure=measure, num_queries=num_queries, config=config,
+        remote_vector_store=remote_vector_store or None,
     )
     click.echo(df.to_string())
 

@@ -257,6 +257,95 @@ class HnswEvaluator(IREvaluator):
         return doc_ids[:num_results]
 
 
+class RemoteVectorStoreEvaluator(IREvaluator):
+    """Cross-system baseline: a hosted OpenAI-compatible vector store
+    (the role OpenAIVectorStoreEvaluator plays in the reference,
+    _bench.py:210-296).  Speaks the vector-store REST surface with stdlib
+    HTTP — files upload, vector-store create/attach, and
+    ``POST /vector_stores/{id}/search`` — against any ``base_url``
+    (api.openai.com/v1 or a self-hosted compatible server); the image has
+    no egress, so tests drive it with a local stub server.
+
+    ``api_key`` defaults to ``$OPENAI_API_KEY``.
+    """
+
+    def __init__(
+        self,
+        dataset: IRDataset,
+        *,
+        base_url: str,
+        api_key: str | None = None,
+        cache_dir: str | None = None,
+    ) -> None:
+        super().__init__(dataset, variant="openai_vector_store", cache_dir=cache_dir)
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key if api_key is not None else os.environ.get("OPENAI_API_KEY", "")
+        self.vector_store_id: str | None = None
+        self._filename_to_doc: dict[str, str] = {}
+
+    def _request(self, path: str, payload: dict | None = None, *, data: bytes | None = None,
+                 content_type: str | None = None) -> dict:
+        import urllib.request
+
+        body = data if data is not None else json.dumps(payload or {}).encode()
+        req = urllib.request.Request(
+            f"{self.base_url}{path}",
+            data=body,
+            headers={
+                "Content-Type": content_type or "application/json",
+                **({"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}),
+            },
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:  # noqa: S310
+            return json.loads(resp.read())
+
+    def _upload_file(self, filename: str, text: str) -> str:
+        """``POST /files`` (multipart, purpose=assistants) -> file id."""
+        boundary = "raglitetpuboundary"
+        parts = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="purpose"\r\n\r\nassistants\r\n'
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+            "Content-Type: text/plain\r\n\r\n"
+            f"{text}\r\n--{boundary}--\r\n"
+        ).encode()
+        out = self._request(
+            "/files", data=parts, content_type=f"multipart/form-data; boundary={boundary}"
+        )
+        return out["id"]
+
+    def insert_documents(self) -> None:
+        store = self._request("/vector_stores", {"name": f"raglite_bench_{self.dataset.name}"})
+        self.vector_store_id = store["id"]
+        for doc in self.dataset.documents:
+            text = doc.content or ""
+            if not text.strip():
+                continue
+            filename = f"{doc.id}.txt"
+            self._filename_to_doc[filename] = doc.id
+            file_id = self._upload_file(filename, text)
+            self._request(
+                f"/vector_stores/{self.vector_store_id}/files", {"file_id": file_id}
+            )
+
+    def search(self, query: str, num_results: int) -> list[str]:
+        if self.vector_store_id is None:
+            self.insert_documents()
+        response = self._request(
+            f"/vector_stores/{self.vector_store_id}/search",
+            {"query": query, "max_num_results": 2 * num_results},
+        )
+        doc_ids: list[str] = []
+        for result in response.get("data", []):
+            doc_id = self._filename_to_doc.get(result.get("filename", ""))
+            if doc_id is None:
+                doc_id = result.get("file_id", "")
+            if doc_id and doc_id not in doc_ids:
+                doc_ids.append(doc_id)
+        return doc_ids[:num_results]
+
+
 def hnsw_recall_comparison(
     *,
     num_rows: int = 100_000,
@@ -411,8 +500,13 @@ def run_ir_benchmark(
         "single_vector", "multivector", "query_adapter", "keyword", "hybrid", "hnsw",
     ),
     config: RAGLiteConfig | None = None,
+    remote_vector_store: str | None = None,
 ) -> pd.DataFrame:
-    """Compare retrieval variants on an IR dataset (reference: _cli.py:121-206)."""
+    """Compare retrieval variants on an IR dataset (reference: _cli.py:121-206).
+
+    ``remote_vector_store`` adds an OpenAI-compatible hosted-vector-store
+    row (the reference's OpenAI comparison, _bench.py:210-296) evaluated
+    against the given base URL."""
     ds = load_dataset(dataset, num_queries=num_queries)
     if num_queries and len(ds.queries) > num_queries:
         keep = sorted(ds.queries)[:num_queries]
@@ -437,4 +531,7 @@ def run_ir_benchmark(
         else:
             evaluator = RAGLiteTPUEvaluator(ds, variant=variant, config=config)
         rows.append({"variant": variant, measure: evaluator.score(measure)})
+    if remote_vector_store:
+        evaluator = RemoteVectorStoreEvaluator(ds, base_url=remote_vector_store)
+        rows.append({"variant": "openai_vector_store", measure: evaluator.score(measure)})
     return pd.DataFrame(rows).set_index("variant")
