@@ -210,12 +210,23 @@ def evaluate(
             columns=["question", "answer_similarity", "context_relevancy", "faithfulness_proxy"]
         )
     answer_similarity = _similarity(list(df["answer"]), list(df["ground_truth"]), config)
-    context_relevancy = np.array(
-        [
-            float(np.mean(_similarity([q] * max(len(ctx), 1), ctx or [""], config)))
-            for q, ctx in zip(df["question"], df["contexts"])
-        ]
-    )
+    # Context relevancy: ONE batched embed of every question and every
+    # context (each question encoded once), instead of one device dispatch
+    # per eval with the question re-encoded per context.
+    from raglite_tpu.embed import embed_queries
+
+    questions = list(df["question"])
+    contexts_per_eval = [list(ctx) or [""] for ctx in df["contexts"]]
+    flat_contexts = [c for ctx in contexts_per_eval for c in ctx]
+    emb = embed_queries([*questions, *flat_contexts], config=config).astype(np.float32)
+    q_emb = emb[: len(questions)]
+    c_emb = emb[len(questions) :]
+    context_relevancy = np.zeros(len(questions))
+    offset = 0
+    for i, ctx in enumerate(contexts_per_eval):
+        block = c_emb[offset : offset + len(ctx)]
+        offset += len(ctx)
+        context_relevancy[i] = float(np.mean(block @ q_emb[i]))
     faithfulness = _similarity(
         list(df["answer"]), ["\n".join(ctx) for ctx in df["contexts"]], config
     )

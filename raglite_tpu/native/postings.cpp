@@ -293,7 +293,9 @@ int64_t rlt_solve_boundaries(const float* probas, int64_t n, int64_t min_len,
   const int64_t lo = min_len - 1;
   const int64_t hi = n - min_len - 1;
   const double NEG = -1e300;
-  if (hi < lo) return 0;  // matches the Python oracle's early [] return
+  // Too short for any split: no-split only if it respects the window;
+  // otherwise infeasible (-1) — matches the Python oracle.
+  if (hi < lo) return (!bounded || n <= window) ? 0 : -1;
   std::vector<double> dp(static_cast<size_t>(n), NEG);
   std::vector<int64_t> back(static_cast<size_t>(n), -1);
   std::vector<int64_t> dq(static_cast<size_t>(n));  // deque as ring-ish array

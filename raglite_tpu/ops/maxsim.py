@@ -26,8 +26,12 @@ def maxsim_scores(
 ) -> jax.Array:
     """MaxSim scores [C]."""
     # [C, qm, m] similarities in one einsum (MXU, fp32 accumulation).
+    # precision=HIGHEST: preferred_element_type only sets the ACCUMULATOR
+    # dtype; without it, TPU multiplies at bf16-class default precision and
+    # near-tie candidates can swap rank (~1e-3 relative score error).
     sims = jnp.einsum(
-        "qd,cmd->cqm", query_vectors, cand_vectors, preferred_element_type=jnp.float32
+        "qd,cmd->cqm", query_vectors, cand_vectors,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     cand_mask = jnp.any(cand_vectors != 0.0, axis=-1)  # [C, m]
     sims = jnp.where(cand_mask[:, None, :], sims, -jnp.inf)

@@ -317,22 +317,32 @@ async def async_rag(
     the same way, _litellm.py:275-317).
     """
     import asyncio
+    import threading
 
     config = config or RAGLiteConfig()
     loop = asyncio.get_running_loop()
     queue: asyncio.Queue[str | None] = asyncio.Queue()
+    abandoned = threading.Event()  # consumer walked away: stop the stream
 
     def worker() -> None:
         try:
             for token in rag(messages, on_retrieval=on_retrieval, config=config):
+                if abandoned.is_set():
+                    break  # stop consuming LLM tokens / running tool rounds
                 loop.call_soon_threadsafe(queue.put_nowait, token)
         finally:
-            loop.call_soon_threadsafe(queue.put_nowait, None)
+            if not abandoned.is_set():
+                loop.call_soon_threadsafe(queue.put_nowait, None)
 
     task = loop.run_in_executor(None, worker)
-    while True:
-        token = await queue.get()
-        if token is None:
-            break
-        yield token
-    await task
+    try:
+        while True:
+            token = await queue.get()
+            if token is None:
+                break
+            yield token
+        await task
+    finally:
+        # Early exit (caller breaks / task cancelled): signal the worker so
+        # it stops driving the LLM and mutating `messages` in the background.
+        abandoned.set()

@@ -108,7 +108,13 @@ def markdown_sentence_boundaries(doc: str) -> FloatVector:
     for token in tokens:
         if token.type == "heading_open" and token.map is not None:
             h_start = line_start[token.map[0]]
-            h_end = line_start[token.map[1]] + 1
+            # map[1] is the first line AFTER the heading, so the heading's
+            # last character (its trailing newline) is at line_start-1 — the
+            # boundary goes THERE.  (The reference's indexing puts it one
+            # character later, gluing the next line's first character onto
+            # the heading whenever no blank line follows; we fix that —
+            # "a heading is exactly one sentence" is this module's contract.)
+            h_end = line_start[token.map[1]]
             if 0 <= h_start - 1 < len(overrides):
                 overrides[h_start - 1] = 1.0  # previous sentence ends before the heading
             overrides[h_start : h_end - 1] = 0.0  # no boundary inside the heading
@@ -139,7 +145,9 @@ def _solve_boundaries(
     window = max_len if max_len is not None else n + 1
     lo, hi = min_len - 1, n - min_len - 1
     if hi < lo:
-        return []
+        # Too short for any split: no-split is the answer ONLY when it
+        # respects max_len; otherwise the instance is infeasible.
+        return [] if max_len is None or n <= max_len else None
     scores = probas - SENTENCE_THRESHOLD
     dp = np.full(n, -np.inf)
     back = np.full(n, -1, dtype=np.int64)

@@ -443,22 +443,83 @@ def _group_spans(spans: list[PdfSpan]) -> list[PdfBlock]:
     return blocks
 
 
+def _page_tree_order(pdf: "_PdfFile") -> list[int] | None:
+    """Page object numbers in /Root -> /Pages -> /Kids READING order.
+
+    Object numbers do not imply page order (incremental updates and many
+    generators emit pages non-sequentially); only the page tree does."""
+    catalog = next(
+        (
+            num
+            for num, (body, _) in pdf.objects.items()
+            if re.search(rb"/Type\s*/Catalog\b", body)
+        ),
+        None,
+    )
+    if catalog is None:
+        return None
+    visited: set[int] = set()
+
+    def leaves(num: int, depth: int) -> list[int]:
+        if depth > 64 or num in visited or num not in pdf.objects:
+            return []
+        visited.add(num)
+        body = pdf.objects[num][0]
+        if re.search(rb"/Type\s*/Page\b(?!s)", body):
+            return [num]
+        out: list[int] = []
+        kids_val = pdf._dict_value(body, b"Kids") or b""
+        for m in re.finditer(rb"(\d+)\s+\d+\s+R", kids_val):
+            out.extend(leaves(int(m.group(1)), depth + 1))
+        return out
+
+    pages_ref = pdf._dict_value(pdf.objects[catalog][0], b"Pages") or b""
+    m = re.search(rb"(\d+)\s+\d+\s+R", pages_ref)
+    if m is None:
+        return None
+    return leaves(int(m.group(1)), 0) or None
+
+
+def _page_content(pdf: "_PdfFile", body: bytes) -> bytes:
+    """Concatenated content streams of one page.
+
+    /Contents may reference streams directly OR point at an ARRAY object of
+    stream references (PDF 32000 §7.7.3.3) — resolve one level of
+    indirection for referenced objects that carry no stream themselves."""
+    contents_val = pdf._dict_value(body, b"Contents") or b""
+    streams: list[bytes] = []
+    for m in re.finditer(rb"(\d+)\s+\d+\s+R", contents_val):
+        num = int(m.group(1))
+        stream = pdf.get_stream(num)
+        if stream is not None:
+            streams.append(stream)
+            continue
+        inner = pdf.objects.get(num)
+        if inner is None:
+            continue
+        for m2 in re.finditer(rb"(\d+)\s+\d+\s+R", inner[0]):
+            stream = pdf.get_stream(int(m2.group(1)))
+            if stream is not None:
+                streams.append(stream)
+    return b"\n".join(streams)
+
+
 def parse_pdf(path: Path | str) -> list[PdfPage]:
     """Parse a PDF into pages of blocks/lines/spans with font info."""
     data = Path(path).read_bytes()
     pdf = _PdfFile(data)
     pages: list[PdfPage] = []
-    page_objs = [
-        (num, body)
-        for num, (body, _) in sorted(pdf.objects.items())
-        if re.search(rb"/Type\s*/Page\b(?!s)", body)
-    ]
+    order = _page_tree_order(pdf)
+    if order:
+        page_objs = [(num, pdf.objects[num][0]) for num in order]
+    else:  # damaged/missing page tree: fall back to object-number order
+        page_objs = [
+            (num, body)
+            for num, (body, _) in sorted(pdf.objects.items())
+            if re.search(rb"/Type\s*/Page\b(?!s)", body)
+        ]
     for idx, (_, body) in enumerate(page_objs):
-        contents_val = pdf._dict_value(body, b"Contents") or b""
-        content_nums = [int(m.group(1)) for m in re.finditer(rb"(\d+)\s+\d+\s+R", contents_val)]
-        content = b"\n".join(
-            s for num in content_nums if (s := pdf.get_stream(num)) is not None
-        )
+        content = _page_content(pdf, body)
         font_map = _page_font_map(pdf, body)
         spans = _extract_page_spans(pdf, content, font_map)
         pages.append(PdfPage(number=idx + 1, blocks=_group_spans(spans)))

@@ -60,3 +60,34 @@ def test_add_context_renders_xml(raglite_test_config: RAGLiteConfig) -> None:
     assert message["role"] == "user"
     assert "<context>" in message["content"]
     assert '<document index="1"' in message["content"]
+
+
+def test_async_rag_early_exit_stops_worker(tmp_path) -> None:
+    """Abandoning the async iterator must stop the background worker (no
+    further tokens consumed, no mutation after the caller walks away)."""
+    import asyncio
+
+    from raglite_tpu import Document, RAGLiteConfig, insert_documents
+    from raglite_tpu.rag import async_rag
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "kb"), embedder="hash:256", llm="echo")
+    insert_documents(
+        [Document.from_text("# Physics\n\nPhotons carry momentum and energy. " * 10)],
+        config=config,
+    )
+
+    async def run() -> int:
+        messages = [{"role": "user", "content": "Tell me about photons"}]
+        count = 0
+        agen = async_rag(messages, config=config)
+        async for _token in agen:
+            count += 1
+            if count >= 2:
+                break
+        await agen.aclose()
+        # Give an abandoned worker a moment; it must not keep streaming.
+        await asyncio.sleep(0.2)
+        return count
+
+    count = asyncio.run(run())
+    assert count == 2

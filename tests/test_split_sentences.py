@@ -75,3 +75,22 @@ def test_heuristic_boundaries_shape() -> None:
     probas = heuristic_sentence_boundaries(doc)
     assert probas.shape == (len(doc),)
     assert probas[3] > 0.5
+
+
+def test_heading_without_blank_line_is_one_sentence() -> None:
+    """A heading directly followed by text must be exactly one sentence
+    (regression: the boundary landed one character late, gluing the next
+    line's first character onto the heading)."""
+    out = split_sentences("Intro text here.\n## Heading\nNext paragraph starts here now.")
+    assert "## Heading\n" in out
+    assert any(s.startswith("Next paragraph") for s in out)
+
+
+def test_infeasible_length_constraints_raise() -> None:
+    """min_len/max_len combinations with no valid split must surface the
+    documented error instead of silently violating max_len (regression:
+    the too-short early exit skipped the max_len feasibility check)."""
+    from raglite_tpu.sentences import _solve_boundaries
+
+    assert _solve_boundaries(np.asarray([0.1] * 5), min_len=3, max_len=4) is None
+    assert _solve_boundaries(np.asarray([0.1] * 5), min_len=3, max_len=5) == []
