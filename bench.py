@@ -17,13 +17,14 @@ Timing method (tunnel-honest):
 - Throughput: ``iters`` batches of ``search_chunks_device`` dispatched
   back-to-back (the pipelined-serving pattern; every op of the public
   method minus the final host fetch), synced once by fetching one element.
-- p50/p95 latency: per-call dispatch->fetch of the FULL public
-  ``search_chunks`` at B=1, with the measured tunnel RPC floor (the cost of
-  fetching one element of an already-computed array, ~27 ms here, ~us on a
-  locally attached host) subtracted per call.  These are true per-call
-  percentiles, not a pipelined mean.
-- recall@10: chunk-level agreement of the production (approximate) routing
-  vs the exact top-k routing on the same index.
+- p50/p95 latency: percentiles over serialized on-device CHAINS of the
+  fused B=1 production program (32 data-dependent dispatches per sample,
+  one sync each, interleaved pure-RPC median subtracted) — per-call timing
+  through the ~30 ms dev tunnel both hides and inflates true latency.
+  The B=1 routing is the int4 two-stage scan when enabled (the default).
+- recall@10: chunk-level agreement of the production routing vs the exact
+  top-k routing on the same index, for BOTH the large-batch program and
+  the small-batch (latency) routing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
