@@ -35,8 +35,9 @@ def delete_documents(
         return 0
     with store.write_lock():
         deleted_docs = [store.documents[d] for d in present]
+        present_set = set(present)
         affects_adapter = invalidate_query_adapter and any(
-            ev.document_id in set(present) for ev in store.evals.values()
+            ev.document_id in present_set for ev in store.evals.values()
         )
         store.delete_documents(present)
         store.prune_metadata(deleted_docs)

@@ -124,15 +124,20 @@ def insert_documents(
         if document.content is None:
             msg = f"document {document.id} has no content"
             raise ValueError(msg)
-    # Dedup within the batch and against the store (reference: _insert.py:190-204).
-    unique: dict[str, Document] = {}
-    for document in documents:
-        if document.id not in unique and not store.has_document(document.id):
-            unique[document.id] = document
-    todo = list(unique.values())
-    if not todo:
-        return
     with store.write_lock():
+        # Dedup within the batch and against the store UNDER the lock, after
+        # absorbing any concurrent writer's committed state — otherwise two
+        # processes inserting the same document both pass the check and
+        # commit duplicate chunk rows (reference dedups inside its
+        # transaction, _insert.py:190-204).
+        store.absorb_concurrent()
+        unique: dict[str, Document] = {}
+        for document in documents:
+            if document.id not in unique and not store.has_document(document.id):
+                unique[document.id] = document
+        todo = list(unique.values())
+        if not todo:
+            return
         workers = min(max_workers or MAX_WORKERS, MAX_WORKERS, max(len(todo), 1))
         progress = tqdm(
             total=len(todo), desc="Inserting documents", unit="document",

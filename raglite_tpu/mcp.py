@@ -72,6 +72,15 @@ class MCPServer:
     # --- Request handlers -------------------------------------------------
 
     def handle(self, request: dict[str, Any]) -> dict[str, Any] | None:
+        if not isinstance(request, dict):
+            # Valid JSON that is not a request object (e.g. a batch array,
+            # which this minimal server does not support) must produce an
+            # Invalid Request error, not crash the stdio loop.
+            return {
+                "jsonrpc": "2.0",
+                "id": None,
+                "error": {"code": -32600, "message": "Invalid Request: expected an object"},
+            }
         method = request.get("method", "")
         params = request.get("params") or {}
         req_id = request.get("id")
@@ -103,6 +112,8 @@ class MCPServer:
                     "error": {"code": -32601, "message": f"Method not found: {method}"},
                 }
         except Exception as e:  # noqa: BLE001
+            if req_id is None:
+                return None  # JSON-RPC forbids responding to notifications
             return {
                 "jsonrpc": "2.0",
                 "id": req_id,

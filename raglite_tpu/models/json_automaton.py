@@ -102,6 +102,11 @@ class JsonAutomaton:
 
     def _value_start(self, byte: int) -> None:
         """Dispatch the first byte of a value."""
+        if byte in _WS:
+            # Leading whitespace does not start the value — marking it
+            # "started" would lift the top_level_object restriction and let
+            # constrained decoding emit a top-level array/scalar.
+            return
         self._started = True
         if byte == 0x7B:  # {
             self.stack.append("o")

@@ -138,6 +138,20 @@ class SchemaAutomaton:
         self._value: Any = None  # active sub-automaton for value regions
         self._advance_into_step()
 
+    @classmethod
+    def from_program(cls, program: list[tuple[str, Any]]) -> "SchemaAutomaton":
+        """Instantiate from an already-compiled program — array items and
+        anyOf branches spawn sub-automatons without recompiling a schema.
+        (Previously three copy-pasted __new__ bootstrap blocks, none of
+        which initialized ``_value``.)"""
+        item = cls.__new__(cls)
+        item._program = program
+        item._pc = 0
+        item._offset = 0
+        item._value = None
+        item._advance_into_step()
+        return item
+
     # --- Step management ---------------------------------------------------
 
     def _current(self) -> tuple[str, Any] | None:
@@ -284,20 +298,10 @@ class _ArrayValue:
         return set()
 
     def _spawn_peek(self) -> set[int]:
-        probe = SchemaAutomaton.__new__(SchemaAutomaton)
-        probe._program = self._item_program
-        probe._pc = 0
-        probe._offset = 0
-        probe._advance_into_step()
-        return probe.allowed_bytes()
+        return self._spawn().allowed_bytes()
 
     def _spawn(self) -> SchemaAutomaton:
-        item = SchemaAutomaton.__new__(SchemaAutomaton)
-        item._program = self._item_program
-        item._pc = 0
-        item._offset = 0
-        item._advance_into_step()
-        return item
+        return SchemaAutomaton.from_program(self._item_program)
 
     def feed(self, byte: int) -> None:
         if byte not in self.allowed_bytes():
@@ -372,10 +376,16 @@ class _EnumValue:
         self._pos += 1
 
     def done(self) -> bool:
-        return any(len(o) == self._pos for o in self._options)
+        # Done only when NO option extends the consumed bytes: an option
+        # that is a byte-prefix of another (enum [1, 12]) must stay
+        # reachable — the program's next fixed byte (',', '}') terminates
+        # the prefix value via done_or_can_end instead.
+        return any(len(o) == self._pos for o in self._options) and not any(
+            len(o) > self._pos for o in self._options
+        )
 
     def done_or_can_end(self) -> bool:
-        return self.done()
+        return any(len(o) == self._pos for o in self._options)
 
     def completion_bytes(self) -> bytes:
         remaining = min((o for o in self._options), key=len)[self._pos :]
@@ -392,12 +402,7 @@ class _FirstByteDispatch:
         self._active: SchemaAutomaton | None = None
 
     def _spawn(self, program: list[tuple[str, Any]]) -> SchemaAutomaton:
-        item = SchemaAutomaton.__new__(SchemaAutomaton)
-        item._program = program
-        item._pc = 0
-        item._offset = 0
-        item._advance_into_step()
-        return item
+        return SchemaAutomaton.from_program(program)
 
     def allowed_bytes(self) -> set[int]:
         if self._active is not None:

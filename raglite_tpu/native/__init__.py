@@ -138,7 +138,11 @@ class NativePostingsBuilder:
             self._handle = None
 
     def add_chunk(self, text: str) -> int:
-        data = text.encode("utf-8")
+        # Lowercase HERE: Python str.lower() covers all of Unicode, while
+        # the C++ lower_cp only maps ASCII/Latin-1 — without this, native
+        # BM25 would be case-sensitive for Greek/Cyrillic/etc. and diverge
+        # from the Python fallback tokenizer (index/keyword.py).
+        data = text.lower().encode("utf-8")
         return int(self._lib.rlt_builder_add_chunk(self._handle, data, len(data)))
 
     @property
@@ -183,12 +187,12 @@ class NativePostingsBuilder:
         }
 
     def lookup(self, term: str) -> int:
-        data = term.encode("utf-8")
+        data = term.lower().encode("utf-8")
         return int(self._lib.rlt_builder_lookup(self._handle, data, len(data)))
 
     def tokenize_lookup(self, text: str, cap: int = 256) -> np.ndarray:
         """Query-side tokenization into term ids (unknown terms skipped)."""
-        data = text.encode("utf-8")
+        data = text.lower().encode("utf-8")
         out = np.zeros(cap, np.int32)
         n = self._lib.rlt_builder_tokenize_lookup(self._handle, data, len(data), out.ctypes.data, cap)
         return out[:n]
@@ -226,7 +230,7 @@ def hash_featurize(
     lib = load_native()
     if lib is None:
         return None
-    data = text.encode("utf-8")
+    data = text.lower().encode("utf-8")
     cap = 2 * len(data) + 64
     # >=1 byte per token bounds the token count (see hash_embed).
     token_cap = min(max_tokens, max(len(data), 1))
@@ -253,7 +257,7 @@ def hash_embed(
     if lib is None:
         return None
     assert table.dtype == np.float32 and table.flags.c_contiguous
-    data = text.encode("utf-8")
+    data = text.lower().encode("utf-8")
     dim = table.shape[1]
     # A token consumes >=1 byte, so len(data) bounds the row count — size the
     # zero-initialized accumulator to the text, not the 8192-token ceiling
@@ -318,7 +322,7 @@ def count_tokens(text: str) -> int | None:
     lib = load_native()
     if lib is None:
         return None
-    data = text.encode("utf-8")
+    data = text.lower().encode("utf-8")
     return int(lib.rlt_count_tokens(data, len(data)))
 
 

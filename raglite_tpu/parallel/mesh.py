@@ -35,8 +35,28 @@ def distributed_init(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as error:
+        if "already" in str(error).lower():
+            return  # double-init is safe and expected
+        if coordinator_address is None and num_processes is None and process_id is None:
+            # Best-effort auto-detection (no explicit cluster requested):
+            # degrade to single-host but SAY so.
+            import warnings
+
+            warnings.warn(
+                f"jax.distributed auto-initialization skipped: {error}", stacklevel=2
+            )
+            return
+        # An EXPLICITLY requested coordinator that fails must FAIL LOUDLY:
+        # silently degrading to single-host would index/search a fraction
+        # of the corpus with no error.
+        raise
+    except ValueError:
+        if coordinator_address is None and num_processes is None and process_id is None:
+            # Auto-detection found no cluster: single-host is a legitimate
+            # configuration, not an error.
+            return
+        raise
 
 
 @lru_cache(maxsize=8)

@@ -363,16 +363,7 @@ class Store:
         if not self.persistent:
             return
         root = Path(self.path)
-        head_path = root / "head.msgpack"
-        if head_path.exists():
-            disk_head = msgpack.unpackb(head_path.read_bytes(), raw=False)
-            disk_state = (
-                disk_head.get("version", 0),
-                disk_head.get("generation", 0),
-                tuple(disk_head.get("segments", [])),
-            )
-            if disk_state != self._disk_state:
-                self._absorb_disk_head(root, disk_head)
+        self.absorb_concurrent()
         new_ids = self.chunk_order[self._saved_chunks :]
         if new_ids:
             seg_name = f"seg-{self.generation:04d}-{self._saved_chunks:010d}"
@@ -490,6 +481,32 @@ class Store:
         self.version = head.get("version", 0)
         self._saved_chunks = len(self.chunk_order)
         self._disk_state = (self.version, self.generation, tuple(self._segments))
+
+    def absorb_concurrent(self) -> None:
+        """Adopt whatever another process committed to disk since our last
+        load/save (no-op for :memory: stores or an unchanged head).
+
+        Call under :meth:`write_lock` before decisions that must see other
+        writers' state — save() always does; insert's idempotency dedup
+        does too (without it, two processes inserting the same document
+        would both pass the has_document check and commit duplicates)."""
+        if not self.persistent:
+            return
+        root = Path(self.path)
+        head_path = root / "head.msgpack"
+        if not head_path.exists():
+            return
+        disk_head = msgpack.unpackb(head_path.read_bytes(), raw=False)
+        disk_state = (
+            disk_head.get("version", 0),
+            disk_head.get("generation", 0),
+            tuple(disk_head.get("segments", [])),
+        )
+        if disk_state != self._disk_state:
+            self._absorb_disk_head(root, disk_head)
+            # Remember what we just absorbed so a following save() (or a
+            # second absorb) does not repeat the merge.
+            self._disk_state = disk_state
 
     def _absorb_disk_head(self, root: Path, head: dict[str, Any]) -> None:
         """Reconcile with a head another process committed since our last

@@ -119,3 +119,28 @@ def test_jax_llm_schema_constrained_output_conforms() -> None:
     assert set(parsed) == {"name", "age", "hobbies"}
     assert isinstance(parsed["age"], int)
     assert isinstance(parsed["hobbies"], list)
+
+
+def test_enum_prefix_options_both_reachable() -> None:
+    """Enum options that are byte-prefixes of other options (1 vs 12) must
+    BOTH be generable (regression: the automaton advanced as soon as the
+    prefix matched, making 12 unreachable)."""
+    schema = {"type": "object", "properties": {"x": {"enum": [1, 12]}}, "required": ["x"]}
+    for want in ('{"x": 1}', '{"x": 12}'):
+        automaton = SchemaAutomaton(schema)
+        for byte in want.encode():
+            assert byte in automaton.allowed_bytes(), (want, chr(byte))
+            automaton.feed(byte)
+        assert automaton.done(), want
+
+
+def test_json_object_mode_rejects_top_level_array_after_whitespace() -> None:
+    """Leading whitespace must not lift the top-level-object restriction
+    (regression: a sampled space re-enabled '[' / scalars)."""
+    from raglite_tpu.models.json_automaton import JsonAutomaton
+
+    automaton = JsonAutomaton()
+    automaton.feed(0x20)  # space
+    assert 0x5B not in automaton.allowed_bytes()  # [
+    assert 0x22 not in automaton.allowed_bytes()  # "
+    assert 0x7B in automaton.allowed_bytes()  # {
