@@ -34,13 +34,12 @@ def delete_documents(
     if not present:
         return 0
     with store.write_lock():
-        deleted_docs = [store.documents[d] for d in present]
         present_set = set(present)
         affects_adapter = invalidate_query_adapter and any(
             ev.document_id in present_set for ev in store.evals.values()
         )
         store.delete_documents(present)
-        store.prune_metadata(deleted_docs)
+        store.prune_metadata()
         if affects_adapter and "query_adapter" in store.index_metadata:
             del store.index_metadata["query_adapter"]
             store.version += 1

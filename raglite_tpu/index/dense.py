@@ -319,6 +319,12 @@ class DenseIndex:
         self._dirty = True  # full re-upload required (capacity/valid changed)
         self._dev_rows_synced = 0  # rows already on device (append watermark)
         self._synced_version = -1
+        import threading
+
+        #: Serializes sync() against concurrent server threads — two
+        #: searches after an insert would otherwise both read the same
+        #: watermark and double-append the new chunks.
+        self._sync_lock = threading.Lock()
 
     # --- Build / mutate (host mirror) ------------------------------------
 
@@ -326,9 +332,11 @@ class DenseIndex:
         if needed <= self.capacity:
             return
         self._dirty = True  # reallocation invalidates the device arrays
-        # Capacity is a multiple of devices x lanes so the row axis shards
-        # evenly over the mesh.
-        new_cap = _round_up(max(needed, 2 * max(self.capacity, 1)), _LANE * self.num_devices)
+        # Capacity is a multiple of devices x Pallas bucket count so the row
+        # axis shards evenly over the mesh AND the fused-scan kernels never
+        # pad (a per-query jnp.pad would copy the whole matrix: ~1.3 GB at
+        # the design point).  Wastes at most 1023 rows (~1 MB at d=1024).
+        new_cap = _round_up(max(needed, 2 * max(self.capacity, 1)), 1024 * self.num_devices)
         rows = np.zeros((new_cap, self.dim), dtype=np.float16)
         rows[: self.num_rows] = self._host_rows[: self.num_rows]
         valid = np.zeros((new_cap,), dtype=np.bool_)
@@ -390,12 +398,22 @@ class DenseIndex:
     def sync(self, store: "Store") -> None:
         """Incremental append when the store only grew; tombstone-mask
         update on deletes; full rebuild only after a compaction (store
-        generation bump) or an unrecognized log."""
+        generation bump) or an unrecognized log.  Thread-safe: concurrent
+        server requests serialize here."""
         if (
             self._synced_version == store.version
             and getattr(self, "_synced_generation", 0) == store.generation
         ):
             return
+        with self._sync_lock:
+            self._sync_locked(store)
+
+    def _sync_locked(self, store: "Store") -> None:
+        if (
+            self._synced_version == store.version
+            and getattr(self, "_synced_generation", 0) == store.generation
+        ):
+            return  # another thread synced while we waited on the lock
         n_known = len(self.chunk_ids)
         if (
             getattr(self, "_synced_generation", 0) == store.generation

@@ -44,6 +44,9 @@ class KeywordIndex:
     """
 
     def __init__(self) -> None:
+        import threading
+
+        self._sync_lock = threading.Lock()  # see DenseIndex._sync_lock
         self.chunk_ids: list[str] = []
         #: term -> {chunk ordinal -> tf} (Python fallback path)
         self._postings: dict[str, dict[int, int]] = {}
@@ -99,6 +102,12 @@ class KeywordIndex:
     def sync(self, store: "Store") -> None:
         if self._synced_version == store.version:
             return
+        with self._sync_lock:
+            self._sync_locked(store)
+
+    def _sync_locked(self, store: "Store") -> None:
+        if self._synced_version == store.version:
+            return  # another thread synced while we waited
         if (
             len(store.deleted_chunks) == getattr(self, "_synced_deleted", 0)
             and len(store.chunk_order) >= len(self.chunk_ids)

@@ -255,12 +255,22 @@ class _HtmlToMarkdown(HTMLParser):
         self._list_stack: list[str] = []
         self._href: str | None = None
 
+    def _tail(self, k: int = 4) -> str:
+        """Last <= k characters of the output WITHOUT joining everything —
+        re-joining per tag/data event would make conversion O(n^2)."""
+        tail = ""
+        for part in reversed(self.parts):
+            tail = part + tail
+            if len(tail) >= k:
+                return tail[-k:]
+        return tail
+
     def _newline(self, n: int = 2) -> None:
-        joined = "".join(self.parts)
-        while joined.endswith("\n" * (n + 1)):
-            return
-        if joined and not joined.endswith("\n" * n):
-            self.parts.append("\n" * n)
+        tail = self._tail(n)
+        if self.parts and tail != "\n" * n:
+            trailing = len(tail) - len(tail.rstrip("\n"))
+            if trailing < n:
+                self.parts.append("\n" * (n - trailing))
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in self._SKIP:
@@ -323,7 +333,7 @@ class _HtmlToMarkdown(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
             return
-        if "".join(self.parts).endswith(("\n", "# ", "- ", "1. ", "> ")) or not self.parts:
+        if self._tail().endswith(("\n", "# ", "- ", "1. ", "> ")) or not self.parts:
             data = data.lstrip("\n")
         if data.strip() or data == " ":
             self.parts.append(re.sub(r"[ \t]+", " ", data.replace("\n", " ")))

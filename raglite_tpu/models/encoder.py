@@ -363,10 +363,18 @@ class OpenAICompatEncoder:
     BATCH = 96  # reference: _embed.py:150
 
     def __init__(self, spec: str, *, dim: int | None = None) -> None:
+        import os
+
         base, _, model = spec.partition("#")
         self.base_url = base.rstrip("/")
         self.model = model or "default"
         self._dim = dim
+        # Authenticated endpoints (api.openai.com and most hosted
+        # compatibles) need a bearer token; unauthenticated local servers
+        # work with none set.
+        self.api_key = os.environ.get("RAGLITE_TPU_EMBEDDER_API_KEY") or os.environ.get(
+            "OPENAI_API_KEY", ""
+        )
 
     def _post(self, texts: list[str]) -> np.ndarray:
         import json
@@ -375,7 +383,10 @@ class OpenAICompatEncoder:
         req = urllib.request.Request(
             f"{self.base_url}/embeddings",
             data=json.dumps({"model": self.model, "input": texts}).encode(),
-            headers={"Content-Type": "application/json"},
+            headers={
+                "Content-Type": "application/json",
+                **({"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}),
+            },
         )
         with urllib.request.urlopen(req, timeout=300) as resp:  # noqa: S310
             payload = json.loads(resp.read())

@@ -166,8 +166,9 @@ def vector_search_batch(
     corrected_oversample = oversample * config.chunk_max_size / 2048
     num_hits = max(1, round(corrected_oversample)) * max(num_results, 10)
     row_mask = None
-    if adapt_metadata(metadata_filter):
-        cmask = _chunk_mask(store, adapt_metadata(metadata_filter))
+    metadata_filter = adapt_metadata(metadata_filter)
+    if metadata_filter:
+        cmask = _chunk_mask(store, metadata_filter)
         if not cmask.any():
             return [([], []) for _ in queries]
         row_mask = cmask[index.row_chunk]

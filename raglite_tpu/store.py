@@ -204,9 +204,10 @@ class Store:
                     existing.append(v)
         self.version += 1
 
-    def prune_metadata(self, deleted_documents: list[Document]) -> None:
+    def prune_metadata(self) -> None:
         """Drop metadata values no remaining document holds
-        (reference: _delete.py:67-104)."""
+        (reference: _delete.py:67-104; recomputed from the surviving
+        documents, so no argument is needed)."""
         remaining: dict[str, set[Any]] = {}
         for doc in self.documents.values():
             for key, value in doc.metadata_.items():
@@ -375,11 +376,8 @@ class Store:
             counts = np.asarray(
                 [self.embeddings[cid].shape[0] for cid in new_ids], dtype=np.int64
             )
-            dim = self.embeddings[new_ids[0]].shape[1] if len(new_ids) else 0
-            stacked = (
-                np.concatenate([np.asarray(self.embeddings[cid]) for cid in new_ids], axis=0)
-                if len(new_ids)
-                else np.zeros((0, dim), dtype=np.float16)
+            stacked = np.concatenate(
+                [np.asarray(self.embeddings[cid]) for cid in new_ids], axis=0
             )
             np.save(seg_dir / "embeddings.npy", stacked.astype(np.float16))
             np.save(seg_dir / "counts.npy", counts)

@@ -173,11 +173,19 @@ def rtf_to_markdown(text: str) -> str:
             depth -= 1
             i += 1
         elif ch == "\\":
+            if text[i + 1 : i + 2] == "*":
+                # \* marks an IGNORABLE destination: skip the whole group
+                # (real Word files carry many — \*\listtable, \*\mmathPr, ...).
+                depth_skip.append(depth)
+                i += 2
+                continue
             m = re.match(r"\\([a-z]+)(-?\d+)? ?", text[i:])
             if m:
                 word, arg = m.group(1), m.group(2)
                 if word in _RTF_DESTINATIONS:
                     depth_skip.append(depth)
+                elif depth_skip:
+                    pass  # inside a skipped destination: emit nothing
                 elif word == "par":
                     out.append("\n\n")
                 elif word == "tab":
@@ -185,13 +193,17 @@ def rtf_to_markdown(text: str) -> str:
                 elif word == "u" and arg is not None:
                     code = int(arg)
                     out.append(chr(code + 65536 if code < 0 else code))
-                    # \uN is followed by a fallback character to skip.
+                    # \uN is followed by a fallback to skip: either one plain
+                    # character or a \'hh escape (Word emits \u8217\'92).
                     tail = text[i + len(m.group(0)) :]
-                    if tail[:1] not in ("\\", "{", "}", ""):
+                    if tail[:2] == "\\'":
+                        i += 4  # the \'hh fallback escape
+                    elif tail[:1] not in ("\\", "{", "}", ""):
                         i += 1
                 i += len(m.group(0))
             elif text[i + 1 : i + 2] in ("\\", "{", "}"):
-                out.append(text[i + 1])
+                if not depth_skip:
+                    out.append(text[i + 1])
                 i += 2
             elif text[i + 1 : i + 2] == "'":
                 # \'hh legacy-codepage escape: decode as cp1252 (the common

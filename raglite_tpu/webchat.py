@@ -25,7 +25,6 @@ Run with ``raglite-tpu serve`` (cli.py) or ``create_web_app().serve()``.
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 from dataclasses import replace
@@ -70,6 +69,7 @@ input[type=text] { flex: 1; padding: .5rem; }
 const log = document.getElementById('log');
 const srclist = document.getElementById('srclist');
 const f = document.getElementById('f');
+const session = Math.random().toString(36).slice(2) + Date.now().toString(36);
 function add(cls, text) {
   const d = document.createElement('div');
   d.className = 'msg ' + cls; d.textContent = text;
@@ -80,10 +80,11 @@ f.onsubmit = async (e) => {
   const q = document.getElementById('q');
   const file = document.getElementById('file');
   if (file.files.length) {
-    const fd = new FormData();
-    const body = await file.files[0].text();
-    await fetch('/api/upload', {method: 'POST', headers: {'X-Filename': file.files[0].name},
-                                body});
+    // Raw bytes: .text() would UTF-8-mangle binary files (PDF/docx) and
+    // bypass the server's binary parse path entirely.
+    const body = await file.files[0].arrayBuffer();
+    await fetch('/api/upload', {method: 'POST',
+      headers: {'X-Filename': file.files[0].name, 'X-Session': session}, body});
     add('assistant', 'Uploaded ' + file.files[0].name);
     file.value = '';
   }
@@ -93,7 +94,7 @@ f.onsubmit = async (e) => {
   const out = add('assistant', '');
   const res = await fetch('/api/chat', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
-    body: JSON.stringify({messages: [{role: 'user', content: text}]})});
+    body: JSON.stringify({messages: [{role: 'user', content: text}], session})});
   const reader = res.body.getReader();
   const dec = new TextDecoder();
   let buf = '';
@@ -133,7 +134,10 @@ class WebChatApp:
 
     def __init__(self, config: RAGLiteConfig | None = None) -> None:
         self.config = config or RAGLiteConfig()
-        self._inline_docs: list[str] = []
+        #: Inline attachments keyed by client session id — a shared list
+        #: would inject one client's attachment into whichever /api/chat
+        #: request lands next (cross-user leak under the threading server).
+        self._inline_docs: dict[str, list[str]] = {}
         from raglite_tpu.utils.microbatch import KeyedMicroBatcher
 
         self._search_batcher = KeyedMicroBatcher(self._make_search_batch_fn)
@@ -192,10 +196,27 @@ class WebChatApp:
         """
         allowed = {"llm", "embedder", "vector_search_query_adapter"}
         updates = {k: v for k, v in body.items() if k in allowed}
+        if "embedder" in updates and updates["embedder"] != self.config.embedder:
+            # A different embedding dimensionality cannot serve the existing
+            # store's index — reject instead of 500ing on every later search.
+            from raglite_tpu.models.encoder import embedding_dim
+            from raglite_tpu.store import store_from_config
+
+            store = store_from_config(self.config)
+            if store.chunk_order:
+                new_dim = embedding_dim(replace(self.config, **updates))
+                old_dim = embedding_dim(self.config)
+                if new_dim != old_dim:
+                    return {
+                        "error": (
+                            f"embedder dimensionality {new_dim} does not match the "
+                            f"existing store's {old_dim}; re-ingest into a fresh store"
+                        )
+                    }
         self.config = replace(self.config, **updates)
         return self.handle_settings_get()
 
-    def handle_upload(self, filename: str, data: bytes) -> dict[str, Any]:
+    def handle_upload(self, filename: str, data: bytes, session: str = "") -> dict[str, Any]:
         """Small texts are inlined as context; larger ones are inserted into
         the knowledge base (reference: _chainlit.py:70-91)."""
         from raglite_tpu.documents import Document
@@ -206,7 +227,9 @@ class WebChatApp:
         except UnicodeDecodeError:
             text = ""
         if text and len(text) <= INLINE_ATTACHMENT_MAX_CHARS:
-            self._inline_docs.append(text)
+            self._inline_docs.setdefault(session, []).append(text)
+            while len(self._inline_docs) > 256:  # bound abandoned sessions
+                self._inline_docs.pop(next(iter(self._inline_docs)))
             return {"status": "inlined", "filename": filename}
         if text:
             document = Document.from_text(text, filename=filename)
@@ -318,19 +341,17 @@ class WebChatApp:
             "phases": report(),
         }
 
-    def chat_events(self, messages: list[dict[str, Any]]):
+    def chat_events(self, messages: list[dict[str, Any]], session: str = ""):
         """Yield SSE event tuples ``(event, json_payload)`` for one turn."""
         from raglite_tpu.rag import rag
 
-        if self._inline_docs and messages:
-            attachments = "\n\n".join(
-                f"<attachment>{doc}</attachment>" for doc in self._inline_docs
-            )
+        inline = self._inline_docs.pop(session, None)
+        if inline and messages:
+            attachments = "\n\n".join(f"<attachment>{doc}</attachment>" for doc in inline)
             messages = [
                 *messages[:-1],
                 {**messages[-1], "content": f"{attachments}\n\n{messages[-1]['content']}"},
             ]
-            self._inline_docs = []
         sources: list[dict[str, str]] = []
 
         def on_retrieval(spans) -> None:
@@ -393,13 +414,22 @@ class WebChatApp:
 
             def _same_origin(self) -> bool:
                 """Reject cross-site POSTs: a drive-by web page sends an
-                Origin header naming its own site; same-origin requests (and
-                non-browser clients, which send no Origin) name this host."""
+                Origin header naming its own site.  Compare against the
+                SERVER'S bound address — matching the client-controlled Host
+                header would let DNS rebinding (evil.com -> 127.0.0.1, where
+                Origin and Host agree) through."""
                 origin = self.headers.get("Origin")
                 if origin is None:
-                    return True
-                host = self.headers.get("Host", "")
-                return origin.split("://", 1)[-1] == host
+                    return True  # non-browser clients send no Origin
+                origin_host = origin.split("://", 1)[-1]
+                bound_host, bound_port = self.server.server_address[:2]
+                allowed = {
+                    f"{bound_host}:{bound_port}",
+                    f"localhost:{bound_port}",
+                    f"127.0.0.1:{bound_port}",
+                    f"[::1]:{bound_port}",
+                }
+                return origin_host in allowed
 
             def do_POST(self) -> None:  # noqa: N802
                 if not self._same_origin():
@@ -419,7 +449,8 @@ class WebChatApp:
                     self._json(app.handle_delete(json.loads(self._body() or b"{}")))
                 elif self.path == "/api/upload":
                     filename = self.headers.get("X-Filename", "upload.txt")
-                    self._json(app.handle_upload(filename, self._body()))
+                    session = self.headers.get("X-Session", "")
+                    self._json(app.handle_upload(filename, self._body(), session))
                 elif self.path == "/api/chat":
                     payload = json.loads(self._body() or b"{}")
                     self.send_response(200)
@@ -427,7 +458,9 @@ class WebChatApp:
                     self.send_header("Cache-Control", "no-cache")
                     self.end_headers()
                     try:
-                        for event, data in app.chat_events(payload.get("messages", [])):
+                        for event, data in app.chat_events(
+                            payload.get("messages", []), payload.get("session", "")
+                        ):
                             self.wfile.write(
                                 f"event: {event}\ndata: {data}\n\n".encode()
                             )
