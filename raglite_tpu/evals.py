@@ -100,15 +100,29 @@ def generate_eval(*, max_chunks: int = 20, config: RAGLiteConfig | None = None) 
             f'(a part of) the answer to this question: "{question}"'
         )
 
+    candidates = [c for c in candidate_chunks if c is not None]
+    candidate_strs = [str(c) for c in candidates]
+    # Judge ALL candidates in one batched decode when the LLM supports it
+    # (one prefill + one forward per step for the whole panel — the
+    # reference fans out one llama.cpp call per chunk); failures fall back
+    # to the per-chunk retry loop, and unjudgeable chunks count as misses.
+    from raglite_tpu.extract import _extract_batch_first_pass
+
+    first_pass = _extract_batch_first_pass(
+        ContextEvalResponse, candidate_strs, True, config
+    )
     relevant_chunks = []
-    for candidate in tqdm(
-        candidate_chunks, desc="Evaluating chunks", unit="chunk", dynamic_ncols=True, leave=False
+    for i, candidate in enumerate(
+        tqdm(candidates, desc="Evaluating chunks", unit="chunk", dynamic_ncols=True, leave=False)
     ):
-        if candidate is None:
-            continue
-        with contextlib.suppress(ValueError):
-            if extract_with_llm(ContextEvalResponse, str(candidate), strict=True, config=config).hit:
-                relevant_chunks.append(candidate)
+        verdict = first_pass[i] if first_pass is not None else None
+        if verdict is None:
+            with contextlib.suppress(ValueError):
+                verdict = extract_with_llm(
+                    ContextEvalResponse, candidate_strs[i], strict=True, config=config
+                )
+        if verdict is not None and verdict.hit:
+            relevant_chunks.append(candidate)
     if not relevant_chunks:
         msg = "No relevant chunks found to answer the question."
         raise ValueError(msg)
