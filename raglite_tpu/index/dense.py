@@ -332,11 +332,16 @@ class DenseIndex:
         if needed <= self.capacity:
             return
         self._dirty = True  # reallocation invalidates the device arrays
-        # Capacity is a multiple of devices x Pallas bucket count so the row
-        # axis shards evenly over the mesh AND the fused-scan kernels never
-        # pad (a per-query jnp.pad would copy the whole matrix: ~1.3 GB at
-        # the design point).  Wastes at most 1023 rows (~1 MB at d=1024).
-        new_cap = _round_up(max(needed, 2 * max(self.capacity, 1)), 1024 * self.num_devices)
+        # Capacity is a multiple of devices x the LARGEST Pallas bucket
+        # count (int4 stage-1 uses 4096) so the row axis shards evenly over
+        # the mesh AND no kernel path ever pads (a per-query jnp.pad would
+        # copy the whole matrix: ~1.3 GB at the design point).  Wastes at
+        # most 4095 rows (~4 MB at d=1024 int8).
+        from raglite_tpu.ops.fused_scan import INT4_NUM_BUCKETS
+
+        new_cap = _round_up(
+            max(needed, 2 * max(self.capacity, 1)), INT4_NUM_BUCKETS * self.num_devices
+        )
         rows = np.zeros((new_cap, self.dim), dtype=np.float16)
         rows[: self.num_rows] = self._host_rows[: self.num_rows]
         valid = np.zeros((new_cap,), dtype=np.bool_)
@@ -729,6 +734,32 @@ class DenseIndex:
                 padded = np.zeros((self.capacity,), dtype=np.bool_)
                 padded[: len(row_mask)] = row_mask
                 valid = jnp.logical_and(valid, jnp.asarray(padded))
+            if self.num_devices > 1:
+                from raglite_tpu.parallel.mesh import index_mesh
+                from raglite_tpu.parallel.sharded import sharded_int4_two_stage
+
+                queries_dev = jnp.asarray(queries, dtype=jnp.float32)
+                adapter_dev = self._adapter_device(adapter)
+                if adapter_dev is not None:
+                    queries_dev = queries_dev @ adapter_dev.T
+                scores, idx = sharded_int4_two_stage(
+                    self._dev_packed4,
+                    self._dev_scale4,
+                    self._dev_rows,
+                    self._dev_scale,
+                    self._dev_sqnorm,
+                    valid,
+                    queries_dev,
+                    num_hits=min(num_hits, self.capacity),
+                    candidates=max(
+                        INT4_STAGE1_CANDIDATES, 2 * min(num_hits, self.capacity)
+                    ),
+                    metric=self.metric,
+                    mesh=index_mesh(self.num_devices),
+                    num_buckets=INT4_NUM_BUCKETS,
+                )
+                group = _group_max_topk_bitcast if bitcast else _group_max_topk
+                return group(scores, idx, self._dev_row_chunk, num_results=num_results)
             return _int4_two_stage_chunks(
                 self._dev_packed4,
                 self._dev_scale4,
@@ -888,26 +919,37 @@ class DenseIndex:
 
             packed, scale4 = pack_rows_int4(self._dev_rows, self._dev_scale)
             target = _round_up(packed.shape[0], INT4_NUM_BUCKETS)
-            if target != packed.shape[0]:
+            if target != packed.shape[0]:  # direct from_device_arrays indexes
                 packed = jnp.pad(packed, ((0, target - packed.shape[0]), (0, 0)))
                 scale4 = jnp.pad(scale4, (0, target - scale4.shape[0]), constant_values=1.0)
+            if self.num_devices > 1:
+                from raglite_tpu.parallel.mesh import index_mesh, row_sharding
+
+                mesh = index_mesh(self.num_devices)
+                one_d = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+                packed = jax.device_put(packed, row_sharding(mesh))
+                scale4 = jax.device_put(scale4, one_d)
             self._dev_packed4, self._dev_scale4 = packed, scale4
 
     def _use_int4_stage1(self, batch: int, exact: bool) -> bool:
         """Two-stage int4 routing: latency-bound small batches on indexes
         large enough that approximate search is already the routing (the
-        rescore keeps chunk recall ~0.994; `exact=True` bypasses).  TPU-only:
-        the Pallas kernel is the point (halved HBM traffic)."""
+        rescore keeps chunk recall ~0.998; `exact=True` bypasses).  TPU-only:
+        the Pallas kernel is the point (halved HBM traffic).  Multi-device
+        indexes route through the sharded variant (parallel/sharded.py)."""
+        from raglite_tpu.ops.fused_scan import INT4_NUM_BUCKETS
+
         return (
             self.use_int4_stage1
             and not exact
             and batch <= 32
-            and self.num_devices == 1
             # d/2 must stay a 128-lane multiple for the packed blocks to be
             # tile-legal (dims like 384 fall back to the single-stage scan).
             and self.dim % 256 == 0
             and jax.default_backend() == "tpu"
             and self.num_rows > EXACT_TOPK_MAX_ROWS
+            # every (per-shard) packed block must tile into whole buckets
+            and self.capacity % (INT4_NUM_BUCKETS * self.num_devices) == 0
         )
 
     def _use_fused_kernel(self, batch: int) -> bool:
