@@ -173,3 +173,37 @@ def test_non_json_content_type_rejected(app_port) -> None:
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(request)
     assert err.value.code == 415
+
+
+def test_settings_rejects_mismatched_embedder_dim(tmp_path) -> None:
+    """Repointing the embedder to a different dimensionality over HTTP must
+    be rejected while the store holds chunks (every later search would 500)."""
+    from raglite_tpu import Document, RAGLiteConfig, insert_documents
+    from raglite_tpu.webchat import WebChatApp
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "kb"), embedder="hash:256", llm="echo")
+    insert_documents([Document.from_text("Some content for the store. " * 8)], config=config)
+    app = WebChatApp(config)
+    out = app.handle_settings_post({"embedder": "hash:512"})
+    assert "error" in out
+    assert app.config.embedder == "hash:256"  # unchanged
+    # Same-dimensionality change is fine.
+    out = app.handle_settings_post({"llm": "echo"})
+    assert "error" not in out
+
+
+def test_inline_attachments_are_session_scoped(tmp_path) -> None:
+    """One client's inlined attachment must never leak into another
+    session's chat turn."""
+    from raglite_tpu import RAGLiteConfig
+    from raglite_tpu.webchat import WebChatApp
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "kb"), embedder="hash:256", llm="echo")
+    app = WebChatApp(config)
+    app.handle_upload("a.txt", b"alpha secret attachment", "session-A")
+    # Session B's chat sees no attachment...
+    events_b = list(app.chat_events([{"role": "user", "content": "hi"}], "session-B"))
+    tokens_b = "".join(d for e, d in events_b if e == "token")
+    assert "alpha secret" not in tokens_b
+    # ...and session A still has it queued for its own next turn.
+    assert app._inline_docs.get("session-A")
