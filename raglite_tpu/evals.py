@@ -108,9 +108,12 @@ def generate_eval(*, max_chunks: int = 20, config: RAGLiteConfig | None = None) 
     # to the per-chunk retry loop, and unjudgeable chunks count as misses.
     from raglite_tpu.extract import _extract_batch_first_pass
 
-    first_pass = _extract_batch_first_pass(
-        ContextEvalResponse, candidate_strs, True, config
-    )
+    try:
+        first_pass = _extract_batch_first_pass(
+            ContextEvalResponse, candidate_strs, True, config
+        )
+    except Exception:  # noqa: BLE001 - e.g. a [B, T] cache/prefill OOM
+        first_pass = None  # degrade to the per-chunk loop below
     relevant_chunks = []
     for i, candidate in enumerate(
         tqdm(candidates, desc="Evaluating chunks", unit="chunk", dynamic_ncols=True, leave=False)

@@ -183,68 +183,15 @@ def _int4_two_stage_chunks(
     chunk recall@10 0.994 vs exact even on i.i.d. random vectors (the
     adversarial zero-margin case; real embeddings have larger margins).
     """
-    from raglite_tpu.ops.fused_scan import int4_bucket_scan
+    from raglite_tpu.ops.fused_scan import int4_two_stage_block
 
     if adapter is not None:
         queries = queries @ adapter.T
-    alpha = 2.0 if metric == "l2" else 1.0
-    bias = jnp.where(
-        valid, -row_sqnorm if metric == "l2" else jnp.float32(0.0), jnp.float32(-1e30)
-    )
-    # ``packed``/``scale4`` are pre-padded to a bucket multiple at build
-    # time (padding a 640 MB array per query would cost more than the
-    # scan); the small per-row vectors pad here.  Rescore gathers of
-    # padding candidates clamp to the last row, but their -1e30 bias keeps
-    # them out of every result.
-    np4 = packed.shape[0]
-    if bias.shape[0] != np4:
-        bias = jnp.pad(bias, (0, np4 - bias.shape[0]), constant_values=-1e30)
-    if metric == "l2":
-        # l2 mixes the dot with an additive -||r||^2 term, so every query
-        # must share one scale for the kernel's per-row rscale to be exact.
-        q_abs = jnp.max(jnp.abs(queries))
-        q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)[None, None]
-        kernel_scale = (alpha * q_s[0, 0]) * scale4
-    else:
-        # Cosine/dot: a per-query positive factor cannot change that query's
-        # ranking, so queries quantize PER QUERY (full 127-level resolution
-        # even when adapter-transformed norms vary across the batch) and the
-        # kernel's scores stay per-query-unnormalized; the rescore applies
-        # the true scales.
-        q_abs = jnp.max(jnp.abs(queries), axis=1, keepdims=True)
-        q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)
-        kernel_scale = alpha * scale4
-    q_i8 = jnp.clip(jnp.round(queries / q_s), -127, 127).astype(jnp.int8)
-    # Stage 1: int4 scan over the packed copy.
-    bscores, bids = int4_bucket_scan(
-        q_i8, packed, kernel_scale, bias,
+    sc, ridx = int4_two_stage_block(
+        packed, scale4, rows, row_scale, row_sqnorm, valid, queries,
+        num_hits=num_hits, candidates=candidates, metric=metric,
         num_buckets=num_buckets, interpret=interpret,
     )
-    c = min(candidates, bscores.shape[1])
-    _, bpos = jax.lax.top_k(bscores, c)
-    cand_ids = jnp.take_along_axis(bids, bpos, axis=1)  # [B, C]
-    # Stage 2: exact rescore of the candidates against the full rows.
-    sub = rows[cand_ids]  # [B, C, d]
-    if rows.dtype == jnp.int8:
-        sims2 = jnp.einsum("bd,bcd->bc", q_i8, sub, preferred_element_type=jnp.int32)
-        sims2 = sims2.astype(jnp.float32) * (
-            alpha * q_s.reshape(-1, 1)[: sims2.shape[0]] * row_scale[cand_ids]
-        )
-    else:
-        sims2 = alpha * jnp.einsum(
-            "bd,bcd->bc", queries.astype(sub.dtype), sub,
-            preferred_element_type=jnp.float32,
-        )
-    # Re-apply the bias: the l2 -sqnorm term, and -inf for masked rows (a
-    # masked candidate can surface from stage 1 only when fewer than C rows
-    # are alive; without this it would resurface with a real score).
-    sims2 = sims2 + bias[cand_ids]
-    sc, pos = jax.lax.top_k(sims2, min(num_hits, c))
-    # Restore the -inf sentinel for masked/padding rows: -1e30 is finite, so
-    # downstream `isfinite` fixups (search_chunks ordinal masking) would
-    # otherwise pass filtered/tombstoned chunks through as real results.
-    sc = jnp.where(sc <= jnp.float32(-1e30) / 2, -jnp.inf, sc)
-    ridx = jnp.take_along_axis(cand_ids, pos, axis=1)
     group = _group_max_topk_bitcast if bitcast else _group_max_topk
     return group(sc, ridx, row_chunk, num_results=num_results)
 
@@ -948,8 +895,13 @@ class DenseIndex:
             and self.dim % 256 == 0
             and jax.default_backend() == "tpu"
             and self.num_rows > EXACT_TOPK_MAX_ROWS
-            # every (per-shard) packed block must tile into whole buckets
-            and self.capacity % (INT4_NUM_BUCKETS * self.num_devices) == 0
+            # Only the SHARDED path needs whole-bucket alignment per shard;
+            # single-device packs/pads at build time, so arbitrary
+            # from_device_arrays sizes keep the two-stage routing.
+            and (
+                self.num_devices == 1
+                or self.capacity % (INT4_NUM_BUCKETS * self.num_devices) == 0
+            )
         )
 
     def _use_fused_kernel(self, batch: int) -> bool:

@@ -39,6 +39,7 @@ __all__ = [
     "bucketed_max_scan",
     "fused_scan_topk",
     "int4_bucket_scan",
+    "int4_two_stage_block",
     "pack_rows_int4",
     "quantize_rows_int8",
 ]
@@ -344,6 +345,83 @@ def int4_bucket_scan(
         interpret=interpret,
     )(q_i8, packed, rscale.reshape(1, -1), bias.reshape(1, -1))
     return scores[:B], ids[:B]
+
+
+def int4_two_stage_block(
+    packed: jax.Array,  # [Np, d//2] int4-packed rows (may be bucket-padded)
+    scale4: jax.Array,  # [Np] fp32
+    rows: jax.Array,  # [N, d] full-precision rows for the rescore (N <= Np)
+    row_scale: jax.Array | None,  # [N] fp32 (int8 rows)
+    row_sqnorm: jax.Array,  # [N] fp32 (l2)
+    valid: jax.Array,  # [N] bool
+    queries: jax.Array,  # [B, d] fp32 (adapter already applied)
+    *,
+    num_hits: int,
+    candidates: int,
+    metric: str,
+    num_buckets: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Core two-stage block shared by the single-device program
+    (index/dense.py:_int4_two_stage_chunks) and the per-shard body of
+    parallel/sharded.py:sharded_int4_two_stage — int4 Pallas stage-1 scan,
+    top-``candidates`` selection, exact full-precision rescore, -inf
+    sentinel restore.  Returns (scores [B, K], row ids [B, K] local to
+    ``rows``); masked/padding slots carry -inf scores.
+
+    Rescore gathers of bucket-padding candidates (ids in [N, Np)) clamp to
+    the last row, but their -1e30 stage-1 bias keeps them out of every
+    result."""
+    alpha = 2.0 if metric == "l2" else 1.0
+    bias = jnp.where(
+        valid, -row_sqnorm if metric == "l2" else jnp.float32(0.0), jnp.float32(-1e30)
+    )
+    np4 = packed.shape[0]
+    if bias.shape[0] != np4:
+        bias = jnp.pad(bias, (0, np4 - bias.shape[0]), constant_values=-1e30)
+    if metric == "l2":
+        # l2 mixes the dot with an additive -||r||^2 term, so every query
+        # must share one scale for the kernel's per-row rscale to be exact.
+        q_abs = jnp.max(jnp.abs(queries))
+        q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)[None, None]
+        kernel_scale = (alpha * q_s[0, 0]) * scale4
+    else:
+        # Cosine/dot: a per-query positive factor cannot change that query's
+        # ranking, so queries quantize PER QUERY (full 127-level resolution
+        # even when adapter-transformed norms vary across the batch) and the
+        # kernel's scores stay per-query-unnormalized; the rescore applies
+        # the true scales.
+        q_abs = jnp.max(jnp.abs(queries), axis=1, keepdims=True)
+        q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)
+        kernel_scale = alpha * scale4
+    q_i8 = jnp.clip(jnp.round(queries / q_s), -127, 127).astype(jnp.int8)
+    bscores, bids = int4_bucket_scan(
+        q_i8, packed, kernel_scale, bias, num_buckets=num_buckets, interpret=interpret
+    )
+    c = min(candidates, bscores.shape[1])
+    _, bpos = jax.lax.top_k(bscores, c)
+    cand_ids = jnp.take_along_axis(bids, bpos, axis=1)  # [B, C]
+    sub = rows[cand_ids]  # [B, C, d]
+    if rows.dtype == jnp.int8:
+        sims2 = jnp.einsum("bd,bcd->bc", q_i8, sub, preferred_element_type=jnp.int32)
+        sims2 = sims2.astype(jnp.float32) * (
+            alpha * q_s.reshape(-1, 1)[: sims2.shape[0]] * row_scale[cand_ids]
+        )
+    else:
+        sims2 = alpha * jnp.einsum(
+            "bd,bcd->bc", queries.astype(sub.dtype), sub,
+            preferred_element_type=jnp.float32,
+        )
+    # Re-apply the bias: the l2 -sqnorm term, and -inf for masked rows (a
+    # masked candidate can surface from stage 1 only when fewer than C rows
+    # are alive; without this it would resurface with a real score).
+    sims2 = sims2 + bias[cand_ids]
+    sc, pos = jax.lax.top_k(sims2, min(num_hits, c))
+    # Restore the -inf sentinel for masked/padding rows: -1e30 is finite, so
+    # downstream `isfinite` fixups would otherwise pass filtered/tombstoned
+    # chunks through as real results.
+    sc = jnp.where(sc <= jnp.float32(-1e30) / 2, -jnp.inf, sc)
+    return sc, jnp.take_along_axis(cand_ids, pos, axis=1)
 
 
 def reference_bucketed_max(

@@ -54,49 +54,19 @@ def sharded_int4_two_stage(
     Requires shard row counts divisible by ``num_buckets`` (DenseIndex
     aligns capacity to ``INT4_NUM_BUCKETS * num_devices``).
     Returns (scores [B, K], GLOBAL row ids [B, K])."""
-    from raglite_tpu.ops.fused_scan import int4_bucket_scan
+    from raglite_tpu.ops.fused_scan import int4_two_stage_block
 
-    int8 = rows.dtype == jnp.int8
     if row_scale is None:
         row_scale = jnp.ones((rows.shape[0],), jnp.float32)
-    alpha = 2.0 if metric == "l2" else 1.0
 
     def local(packed_blk, scale4_blk, rows_blk, rscale_blk, sq_blk, valid_blk, q):
-        bias = jnp.where(
-            valid_blk, -sq_blk if metric == "l2" else jnp.float32(0.0), jnp.float32(-1e30)
-        )
-        if metric == "l2":  # additive term: one shared query scale (see dense.py)
-            q_abs = jnp.max(jnp.abs(q))
-            q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)[None, None]
-            kernel_scale = (alpha * q_s[0, 0]) * scale4_blk
-        else:  # per-query factor cannot change per-query ranking
-            q_abs = jnp.max(jnp.abs(q), axis=1, keepdims=True)
-            q_s = jnp.where(q_abs > 0, q_abs / 127.0, 1.0)
-            kernel_scale = alpha * scale4_blk
-        q_i8 = jnp.clip(jnp.round(q / q_s), -127, 127).astype(jnp.int8)
-        bscores, bids = int4_bucket_scan(
-            q_i8, packed_blk, kernel_scale, bias,
+        sc, ridx_local = int4_two_stage_block(
+            packed_blk, scale4_blk, rows_blk, rscale_blk, sq_blk, valid_blk, q,
+            num_hits=num_hits, candidates=candidates, metric=metric,
             num_buckets=num_buckets, interpret=interpret,
         )
-        c = min(candidates, bscores.shape[1])
-        _, bpos = jax.lax.top_k(bscores, c)
-        cand = jnp.take_along_axis(bids, bpos, axis=1)  # [B, C] local ids
-        sub = rows_blk[cand]  # [B, C, d]
-        if int8:
-            sims2 = jnp.einsum("bd,bcd->bc", q_i8, sub, preferred_element_type=jnp.int32)
-            sims2 = sims2.astype(jnp.float32) * (
-                alpha * q_s.reshape(-1, 1)[: sims2.shape[0]] * rscale_blk[cand]
-            )
-        else:
-            sims2 = alpha * jnp.einsum(
-                "bd,bcd->bc", q.astype(sub.dtype), sub, preferred_element_type=jnp.float32
-            )
-        sims2 = sims2 + bias[cand]
-        k = min(num_hits, c)
-        sc, pos = jax.lax.top_k(sims2, k)
-        sc = jnp.where(sc <= jnp.float32(-1e30) / 2, -jnp.inf, sc)
         shard = jax.lax.axis_index("data")
-        ridx = jnp.take_along_axis(cand, pos, axis=1) + shard * rows_blk.shape[0]
+        ridx = ridx_local + shard * rows_blk.shape[0]
         # Cross-chip merge: only the [B, k] winners ride the ICI.
         s_all = jax.lax.all_gather(sc, "data", axis=0)
         i_all = jax.lax.all_gather(ridx, "data", axis=0)
