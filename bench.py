@@ -53,14 +53,19 @@ def main() -> None:
         help="small-batch Pallas routing: auto follows the production config default",
     )
     parser.add_argument(
-        "--warm-chain-only", action="store_true",
-        help="(internal) compile+run the latency-chain program once to "
+        "--warm-all-only", action="store_true",
+        help="(internal) compile+run EVERY program the bench uses once to "
         "populate the persistent cache, then exit",
     )
     parser.add_argument(
-        "--chain-warm-timeout", type=float, default=420.0,
-        help="seconds to allow the chain program's fresh compile in a "
-        "bounded subprocess before falling back to per-call latency",
+        "--no-int4", action="store_true",
+        help="disable the int4 two-stage routing (fallback when its fresh "
+        "compile hangs on the remote compile service)",
+    )
+    parser.add_argument(
+        "--chain-warm-timeout", type=float, default=900.0,
+        help="seconds to allow fresh compiles in a bounded subprocess "
+        "before degrading (no-int4 routing, then per-call latency)",
     )
     args = parser.parse_args()
 
@@ -97,6 +102,8 @@ def main() -> None:
     index = DenseIndex.from_device_arrays(
         rows, row_chunk, row_scale=row_scale, metric="cosine", use_pallas=use_pallas
     )
+    if args.no_int4:
+        index.use_int4_stage1 = False
     queries = jax.random.normal(k_q, (b, d), dtype=jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
     adapter = jax.random.normal(k_adapter, (d, d), dtype=jnp.float32) / np.sqrt(d)
@@ -141,15 +148,59 @@ def main() -> None:
             q = perturb(q1, packed)
         return packed
 
-    if args.warm_chain_only:
-        # Populate the persistent compile cache with the chain's programs
-        # (the fused B=1 routing + the tiny perturbation op) and exit.
+    if args.warm_all_only:
+        # Populate the persistent compile cache with EVERY program the bench
+        # dispatches (large-batch approx + exact, B=32 and B=1 small-batch
+        # routing, the latency chain, the perturbation op) and exit.  The
+        # main process runs this under a bounded subprocess first, so no
+        # in-process compile can hang the driver's bench run.
+        sync(run_device(queries))
+        sync(run_device(queries, exact=True))
+        sync(run_device(queries[:32]))
         sync(latency_chain(q1))
-        print("chain warm ok")  # noqa: T201
+        print("warm ok")  # noqa: T201
         return
 
-    # Warm up / compile both batch shapes (sync via transfer:
-    # block_until_ready does not synchronize through the dev tunnel).
+    # Bound EVERY fresh compile in a subprocess sharing the persistent
+    # cache (the dev tunnel's remote compile service intermittently hangs
+    # for 30+ minutes on big fresh programs; a driver bench run must never
+    # do that).  If the warm fails, retry without the int4 routing (its
+    # Pallas program is the most likely fresh compile), and only then fall
+    # through to unbounded in-process compiles as a last resort.
+    import os
+    import subprocess
+    import sys
+
+    def warm_subprocess(extra: list[str]) -> bool:
+        cmd = [
+            sys.executable, str(Path(__file__).resolve()), "--warm-all-only",
+            "--rows", str(args.rows), "--dim", str(args.dim),
+            "--batch", str(args.batch), "--num-hits", str(args.num_hits),
+            "--num-results", str(args.num_results), "--dtype", args.dtype,
+            "--pallas", args.pallas, *extra,
+        ]
+        env = dict(os.environ)
+        if jax.default_backend() == "cpu":  # keep smoke runs off the tunnel
+            env["JAX_PLATFORMS"] = "cpu"
+        try:
+            subprocess.run(
+                cmd, timeout=args.chain_warm_timeout, check=True,
+                capture_output=True, env=env,
+            )
+        except (subprocess.SubprocessError, OSError):
+            return False
+        return True
+
+    chain_warm = warm_subprocess(["--no-int4"] if args.no_int4 else [])
+    if not chain_warm and not args.no_int4:
+        # The int4 Pallas compile may be the hang: degrade to the XLA-only
+        # routing (the round-1 production path) and warm that instead.
+        index.use_int4_stage1 = False
+        chain_warm = warm_subprocess(["--no-int4"])
+
+    # Warm up / compile both batch shapes (cache hits after the subprocess;
+    # sync via transfer: block_until_ready does not synchronize through the
+    # dev tunnel).
     sync(run_device(queries))
     warm1 = index.search_chunks(
         q1, num_hits=args.num_hits, num_results=args.num_results, adapter=adapter
@@ -191,34 +242,6 @@ def main() -> None:
     sync(outs[-1])
     elapsed = time.perf_counter() - t0 - rpc_floor
     qps = args.iters * b / elapsed
-
-    # Bound the chain program's possibly-hanging fresh compile in a
-    # subprocess sharing the persistent cache; if it lands, the in-process
-    # compile below is a cache hit.  (The dev tunnel's compile service can
-    # hang for 30+ minutes; a driver bench run must never do that.)
-    import subprocess
-    import sys
-
-    warm_cmd = [
-        sys.executable, str(Path(__file__).resolve()), "--warm-chain-only",
-        "--rows", str(args.rows), "--dim", str(args.dim),
-        "--batch", str(args.batch), "--num-hits", str(args.num_hits),
-        "--num-results", str(args.num_results), "--dtype", args.dtype,
-        "--pallas", args.pallas,
-    ]
-    import os
-
-    warm_env = dict(os.environ)
-    if jax.default_backend() == "cpu":  # keep smoke runs off the tunnel TPU
-        warm_env["JAX_PLATFORMS"] = "cpu"
-    try:
-        subprocess.run(
-            warm_cmd, timeout=args.chain_warm_timeout, check=True,
-            capture_output=True, env=warm_env,
-        )
-        chain_warm = True
-    except (subprocess.SubprocessError, OSError):
-        chain_warm = False
 
     latency_method = (
         "percentiles over serialized on-device chains of the fused B=1 "
