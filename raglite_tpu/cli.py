@@ -206,7 +206,13 @@ def bench(  # noqa: PLR0913
 
     if hnsw_recall:
         from raglite_tpu.irbench import hnsw_recall_comparison
+        from raglite_tpu.native import native_available
 
+        if not native_available():
+            raise click.ClickException(
+                "--hnsw-recall needs the first-party C++ HNSW baseline; "
+                "no C++ toolchain is available to build it"
+            )
         report = hnsw_recall_comparison(num_rows=num_rows)
         click.echo(_json.dumps(report))
         return

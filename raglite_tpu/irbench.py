@@ -81,6 +81,17 @@ def compute_measure(measure: str, run: list[str], qrel: dict[str, int]) -> float
     raise ValueError(msg)
 
 
+def _bench_store_dir(config: RAGLiteConfig) -> Path:
+    """Directory for benchmark stores: next to the configured store, or in
+    the bench cache dir for :memory: configs (Path(':memory:').parent is
+    '.', which would litter the working directory)."""
+    if config.store_path != ":memory:":
+        return Path(config.store_path).parent
+    return Path(
+        os.environ.get("RAGLITE_TPU_BENCH_CACHE", str(Path.home() / ".raglite_tpu" / "bench"))
+    )
+
+
 # --- Evaluators ---------------------------------------------------------------
 
 
@@ -91,10 +102,28 @@ class IREvaluator(ABC):
     def __init__(self, dataset: IRDataset, *, variant: str, cache_dir: str | None = None) -> None:
         self.dataset = dataset
         self.variant = variant
-        base = cache_dir or os.environ.get(
-            "RAGLITE_TPU_BENCH_CACHE", str(Path.home() / ".raglite_tpu" / "bench")
+        self.cache_dir = Path(
+            cache_dir
+            or os.environ.get(
+                "RAGLITE_TPU_BENCH_CACHE", str(Path.home() / ".raglite_tpu" / "bench")
+            )
         )
-        self.cache_path = Path(base) / f"{dataset.name}__{variant}.runs.json"
+
+    def _cache_path(self, num_results: int) -> Path:
+        """Run-cache file keyed by dataset, variant, result depth, AND the
+        exact query/corpus set — replaying a 50-query AP@10 cache for a
+        100-query recall@100 scoring would silently corrupt the numbers."""
+        import hashlib
+
+        digest = hashlib.sha256(
+            json.dumps(
+                [sorted(self.dataset.queries), len(self.dataset.documents)]
+            ).encode()
+        ).hexdigest()[:10]
+        return (
+            self.cache_dir
+            / f"{self.dataset.name}__{self.variant}__k{num_results}__{digest}.runs.json"
+        )
 
     @abstractmethod
     def insert_documents(self) -> None: ...
@@ -105,14 +134,15 @@ class IREvaluator(ABC):
 
     def runs(self, *, num_results: int = 10, refresh: bool = False) -> dict[str, list[str]]:
         """Per-query ranked doc ids, replayed from cache when available."""
-        if not refresh and self.cache_path.exists():
-            return json.loads(self.cache_path.read_text())
+        cache_path = self._cache_path(num_results)
+        if not refresh and cache_path.exists():
+            return json.loads(cache_path.read_text())
         self.insert_documents()
         out = {
             qid: self.search(text, num_results) for qid, text in self.dataset.queries.items()
         }
-        self.cache_path.parent.mkdir(parents=True, exist_ok=True)
-        self.cache_path.write_text(json.dumps(out))
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        cache_path.write_text(json.dumps(out))
         return out
 
     def score(self, measure: str = "AP@10", **kwargs) -> float:
@@ -136,7 +166,9 @@ class RAGLiteTPUEvaluator(IREvaluator):
     def __init__(self, dataset: IRDataset, *, variant: str = "multivector", config: RAGLiteConfig | None = None, cache_dir: str | None = None) -> None:
         super().__init__(dataset, variant=variant, cache_dir=cache_dir)
         base = config or RAGLiteConfig()
-        store_path = str(Path(base.store_path).parent / f"bench_{dataset.name}_{variant}")
+        store_path = str(
+            _bench_store_dir(base) / f"bench_{dataset.name}_{variant}_{len(dataset.documents)}d"
+        )
         self.config = replace(
             base,
             store_path=store_path,
@@ -209,7 +241,9 @@ class HnswEvaluator(IREvaluator):
     ) -> None:
         super().__init__(dataset, variant=f"hnsw_ef{ef_search}", cache_dir=cache_dir)
         base = config or RAGLiteConfig()
-        store_path = str(Path(base.store_path).parent / f"bench_{dataset.name}_hnsw")
+        store_path = str(
+            _bench_store_dir(base) / f"bench_{dataset.name}_hnsw_{len(dataset.documents)}d"
+        )
         self.config = replace(base, store_path=store_path)
         self.ef_search = ef_search
         self.M = M
@@ -325,9 +359,22 @@ class RemoteVectorStoreEvaluator(IREvaluator):
             filename = f"{doc.id}.txt"
             self._filename_to_doc[filename] = doc.id
             file_id = self._upload_file(filename, text)
-            self._request(
+            attach = self._request(
                 f"/vector_stores/{self.vector_store_id}/files", {"file_id": file_id}
             )
+            # Real stores index asynchronously: poll until processing
+            # completes, or searches would run against a half-built index
+            # and the empty runs would be cached as the permanent score.
+            import time as _time
+
+            for _ in range(120):
+                status = attach.get("status", "completed")
+                if status not in ("in_progress", "queued"):
+                    break
+                _time.sleep(1.0)
+                attach = self._request(
+                    f"/vector_stores/{self.vector_store_id}/files/{file_id}", {}
+                )
 
     def search(self, query: str, num_results: int) -> list[str]:
         if self.vector_store_id is None:

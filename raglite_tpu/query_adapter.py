@@ -71,9 +71,11 @@ def update_query_adapter(
     questions = [e.question for e in evals]
     qs = embed_queries(questions, config=config).astype(np.float32)  # [E, d]
 
-    # 2. One batched index search for the un-adapted top-k sub-vector hits.
-    corrected_oversample = 4 * config.chunk_max_size / 2048
-    num_hits = max(1, round(corrected_oversample)) * max(optimize_top_k, 10)
+    # 2. One batched index search for the un-adapted top-k sub-vector hits
+    #    (same oversampling heuristic as query-time retrieval).
+    from raglite_tpu.search import corrected_num_hits
+
+    num_hits = corrected_num_hits(4, optimize_top_k, config)
     scores, row_ids = index.search(qs, num_hits=min(num_hits, index.num_rows))
 
     # 3. Build per-eval positive/negative best sub-vectors on the host

@@ -208,6 +208,12 @@ _SEARCH_TOOL = {
 }
 
 
+def _require_messages(messages: list[dict[str, Any]]) -> None:
+    if not messages:
+        msg = "rag() requires at least one message"
+        raise ValueError(msg)
+
+
 def _get_tools(
     messages: list[dict[str, Any]], config: RAGLiteConfig
 ) -> tuple[list[dict[str, Any]] | None, Any]:
@@ -225,11 +231,13 @@ def _get_tools(
     return tools, ("auto" if tools else None)
 
 
-def _run_tool(tool_call: ToolCall, config: RAGLiteConfig) -> tuple[str, list[ChunkSpan]]:
+def _run_tool(
+    index: int, tool_call: ToolCall, config: RAGLiteConfig
+) -> tuple[int, list[ChunkSpan]]:
     if tool_call.name == "search_knowledge_base":
         kwargs = json.loads(tool_call.arguments)
         kwargs["config"] = config
-        return tool_call.id, retrieve_context(**kwargs)
+        return index, retrieve_context(**kwargs)
     msg = f"Unknown function {tool_call.name}."
     raise ValueError(msg)
 
@@ -244,21 +252,24 @@ def _run_tools(
 ) -> list[dict[str, Any]]:
     """Execute tool calls in parallel, budget context, format tool messages
     (reference: _rag.py:304-358)."""
-    spans_by_tool: dict[str, list[ChunkSpan]] = {}
+    # Keyed by POSITION: several open-source OpenAI-compatible servers emit
+    # duplicate or empty tool-call ids, and an id-keyed dict would silently
+    # drop one retrieval and duplicate another.
+    spans_by_call: dict[int, list[ChunkSpan]] = {}
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futures = [pool.submit(_run_tool, tc, config) for tc in tool_calls]
+        futures = [pool.submit(_run_tool, i, tc, config) for i, tc in enumerate(tool_calls)]
         try:
             for future in as_completed(futures):
-                tool_id, spans = future.result()
-                spans_by_tool[tool_id] = spans
+                call_index, spans = future.result()
+                spans_by_call[call_index] = spans
         except Exception as e:
             pool.shutdown(cancel_futures=True)
             msg = f"Error executing tool: {e}"
             raise ValueError(msg) from e
-    spans_by_tool = _limit_chunkspans(spans_by_tool, config, messages=messages)
+    spans_by_call = _limit_chunkspans(spans_by_call, config, messages=messages)
     tool_messages: list[dict[str, Any]] = []
-    for tool_call in tool_calls:
-        spans = spans_by_tool.get(tool_call.id, [])
+    for call_index, tool_call in enumerate(tool_calls):
+        spans = spans_by_call.get(call_index, [])
         tool_messages.append(
             {
                 "role": "tool",
@@ -281,6 +292,7 @@ def rag(
 ) -> Iterator[str]:
     """Two-phase streamed RAG: a tool round (optional) then the answer round,
     appending all messages to the caller's array (reference: _rag.py:361-400)."""
+    _require_messages(messages)
     config = config or RAGLiteConfig()
     llm = llm_from_config(config)
     max_tokens = get_context_size(config)
@@ -319,6 +331,7 @@ async def async_rag(
     import asyncio
     import threading
 
+    _require_messages(messages)
     config = config or RAGLiteConfig()
     loop = asyncio.get_running_loop()
     queue: asyncio.Queue[str | None] = asyncio.Queue()

@@ -60,6 +60,14 @@ def _chunk_mask(store, metadata_filter: MetadataFilter) -> np.ndarray:
     return store.chunk_mask_for_filter(metadata_filter)
 
 
+def corrected_num_hits(oversample: int, num_results: int, config: "RAGLiteConfig") -> int:
+    """Oversampled sub-vector hit count, normalized by chunk size
+    (reference: _search.py:66-67) — the ONE copy of the heuristic shared by
+    query-time search and query-adapter training."""
+    corrected = oversample * config.chunk_max_size / 2048
+    return max(1, round(corrected)) * max(num_results, 10)
+
+
 def vector_search(
     query: str | FloatVector,
     *,
@@ -102,8 +110,7 @@ def vector_search(
     if index.num_rows == 0:
         return [], []
     # Oversampled sub-vector hit count (reference: _search.py:66-67).
-    corrected_oversample = oversample * config.chunk_max_size / 2048
-    num_hits = max(1, round(corrected_oversample)) * max(num_results, 10)
+    num_hits = corrected_num_hits(oversample, num_results, config)
     row_mask = None
     if metadata_filter:
         cmask = _chunk_mask(store, metadata_filter)
@@ -163,8 +170,7 @@ def vector_search_batch(
     index = dense_index_from_config(config)
     if index.num_rows == 0:
         return [([], []) for _ in queries]
-    corrected_oversample = oversample * config.chunk_max_size / 2048
-    num_hits = max(1, round(corrected_oversample)) * max(num_results, 10)
+    num_hits = corrected_num_hits(oversample, num_results, config)
     row_mask = None
     metadata_filter = adapt_metadata(metadata_filter)
     if metadata_filter:

@@ -20,7 +20,9 @@ _STOPWORDS = {
     "pt": {"o", "a", "os", "as", "que", "uma", "para", "com", "não", "dos", "mais"},
 }
 
-_WORD_RE = re.compile(r"[a-zà-ÿ]+")
+# Latin letters incl. the sharp s (U+00DF) but NOT the division sign
+# (U+00F7) — [à-ÿ] splits 'weiß' and joins '÷'.
+_WORD_RE = re.compile(r"[a-zß-öø-ÿ]+")
 
 
 def detect_language(text: str) -> str:

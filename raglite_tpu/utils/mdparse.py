@@ -17,7 +17,16 @@ _MD = MarkdownIt()
 
 
 @lru_cache(maxsize=8)
-def parse_markdown(doc: str):
+def _parse_markdown_cached(doc: str):
     """Token stream for ``doc`` (cached; markdown-it tokens are read-only
     by convention here — callers must not mutate them)."""
     return _MD.parse(doc)
+
+
+def parse_markdown(doc: str) -> tuple:
+    """Token stream for ``doc``, cached and returned as an immutable tuple —
+    sentences.py, chunklets.py, and documents.py all receive the SAME cached
+    parse, and markdown-it tokens are mutable objects (a tuple prevents a
+    future caller from appending/reordering the shared stream; token
+    attributes remain read-only by convention)."""
+    return tuple(_parse_markdown_cached(doc))

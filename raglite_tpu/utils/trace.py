@@ -104,7 +104,8 @@ class Progress:
         self._stream.write(
             f"\r{self.desc}: {self.count}/{self.total} ({rate:.1f}/s)"
         )
-        if self.count >= self.total:
+        if self.count >= self.total and not getattr(self, "_finished", False):
+            self._finished = True  # newline once, even if total was a guess
             self._stream.write("\n")
         self._stream.flush()
 
