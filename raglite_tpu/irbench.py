@@ -81,15 +81,13 @@ def compute_measure(measure: str, run: list[str], qrel: dict[str, int]) -> float
     raise ValueError(msg)
 
 
-def _bench_store_dir(config: RAGLiteConfig) -> Path:
+def _bench_store_dir(config: RAGLiteConfig, cache_dir: Path) -> Path:
     """Directory for benchmark stores: next to the configured store, or in
-    the bench cache dir for :memory: configs (Path(':memory:').parent is
-    '.', which would litter the working directory)."""
+    the evaluator's cache dir for :memory: configs (Path(':memory:').parent
+    is '.', which would litter the working directory)."""
     if config.store_path != ":memory:":
         return Path(config.store_path).parent
-    return Path(
-        os.environ.get("RAGLITE_TPU_BENCH_CACHE", str(Path.home() / ".raglite_tpu" / "bench"))
-    )
+    return cache_dir
 
 
 # --- Evaluators ---------------------------------------------------------------
@@ -117,7 +115,10 @@ class IREvaluator(ABC):
 
         digest = hashlib.sha256(
             json.dumps(
-                [sorted(self.dataset.queries), len(self.dataset.documents)]
+                [
+                    sorted(self.dataset.queries.items()),
+                    sorted(d.id for d in self.dataset.documents),
+                ]
             ).encode()
         ).hexdigest()[:10]
         return (
@@ -167,7 +168,8 @@ class RAGLiteTPUEvaluator(IREvaluator):
         super().__init__(dataset, variant=variant, cache_dir=cache_dir)
         base = config or RAGLiteConfig()
         store_path = str(
-            _bench_store_dir(base) / f"bench_{dataset.name}_{variant}_{len(dataset.documents)}d"
+            _bench_store_dir(base, self.cache_dir)
+            / f"bench_{dataset.name}_{variant}_{len(dataset.documents)}d"
         )
         self.config = replace(
             base,
@@ -242,7 +244,8 @@ class HnswEvaluator(IREvaluator):
         super().__init__(dataset, variant=f"hnsw_ef{ef_search}", cache_dir=cache_dir)
         base = config or RAGLiteConfig()
         store_path = str(
-            _bench_store_dir(base) / f"bench_{dataset.name}_hnsw_{len(dataset.documents)}d"
+            _bench_store_dir(base, self.cache_dir)
+            / f"bench_{dataset.name}_hnsw_{len(dataset.documents)}d"
         )
         self.config = replace(base, store_path=store_path)
         self.ef_search = ef_search
@@ -318,10 +321,14 @@ class RemoteVectorStoreEvaluator(IREvaluator):
         self._filename_to_doc: dict[str, str] = {}
 
     def _request(self, path: str, payload: dict | None = None, *, data: bytes | None = None,
-                 content_type: str | None = None) -> dict:
+                 content_type: str | None = None, method: str = "POST") -> dict:
         import urllib.request
 
-        body = data if data is not None else json.dumps(payload or {}).encode()
+        body = (
+            None
+            if method == "GET"
+            else (data if data is not None else json.dumps(payload or {}).encode())
+        )
         req = urllib.request.Request(
             f"{self.base_url}{path}",
             data=body,
@@ -330,6 +337,7 @@ class RemoteVectorStoreEvaluator(IREvaluator):
                 **({"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}),
             },
         )
+        req.method = method
         with urllib.request.urlopen(req, timeout=300) as resp:  # noqa: S310
             return json.loads(resp.read())
 
@@ -373,8 +381,16 @@ class RemoteVectorStoreEvaluator(IREvaluator):
                     break
                 _time.sleep(1.0)
                 attach = self._request(
-                    f"/vector_stores/{self.vector_store_id}/files/{file_id}", {}
+                    f"/vector_stores/{self.vector_store_id}/files/{file_id}",
+                    method="GET",
                 )
+            else:
+                msg = (
+                    f"vector store file {file_id} still "
+                    f"{attach.get('status')!r} after 120 s — refusing to "
+                    "benchmark (and permanently cache) a half-built index"
+                )
+                raise RuntimeError(msg)
 
     def search(self, query: str, num_results: int) -> list[str]:
         if self.vector_store_id is None:

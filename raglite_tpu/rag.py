@@ -98,7 +98,7 @@ def _cutoff_idx(token_counts: list[int], max_tokens: int, *, reverse: bool = Fal
 
 
 def _limit_chunkspans(
-    tool_chunk_spans: dict[str, list[ChunkSpan]],
+    tool_chunk_spans: dict[int, list[ChunkSpan]],
     config: RAGLiteConfig,
     *,
     messages: list[dict[str, Any]] | None = None,

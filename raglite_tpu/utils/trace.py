@@ -104,15 +104,16 @@ class Progress:
         self._stream.write(
             f"\r{self.desc}: {self.count}/{self.total} ({rate:.1f}/s)"
         )
-        if self.count >= self.total and not getattr(self, "_finished", False):
-            self._finished = True  # newline once, even if total was a guess
-            self._stream.write("\n")
         self._stream.flush()
 
     def __enter__(self) -> "Progress":
         return self
 
     def __exit__(self, *exc) -> None:
-        if self._tty and self.count < self.total:
+        # One terminating newline whenever a \r status line was written —
+        # totals are sometimes estimates, so this is the ONLY place the
+        # line ends (per-update newlines glued/duplicated lines on
+        # overshoot).
+        if self._tty and self.count > 0:
             self._stream.write("\n")
             self._stream.flush()
