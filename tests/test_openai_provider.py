@@ -14,22 +14,30 @@ from raglite_tpu.models.llm import OpenAICompatLLM, ToolCall
 
 @pytest.fixture(scope="module")
 def stub_server():
-    """An OpenAI-compatible /chat/completions stub recording requests."""
+    """An OpenAI-compatible /chat/completions stub recording requests.
+
+    Prompts containing "slowstream" make the SSE handler BLOCK after the
+    first delta until the test sets ``release`` — a deterministic way to
+    assert incremental arrival (sleep-based gaps are flaky under load)."""
     received: list[dict] = []
+    release = threading.Event()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args) -> None:
             pass
 
-        def _sse(self, deltas: list[dict]) -> None:
+        def _sse(self, deltas: list[dict], gate_after_first: bool = False) -> None:
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.end_headers()
-            for delta in deltas:
+            for i, delta in enumerate(deltas):
                 chunk = {"choices": [{"index": 0, "delta": delta}]}
                 self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
                 self.wfile.flush()
-                time.sleep(0.05)  # force distinct network arrivals
+                if gate_after_first and i == 0:
+                    release.wait(10.0)  # hold the rest until the test saw delta 1
+                else:
+                    time.sleep(0.02)  # distinct network arrivals
             self.wfile.write(b"data: [DONE]\n\n")
             self.wfile.flush()
             received.append({"event": "stream_done"})
@@ -40,6 +48,7 @@ def stub_server():
             received.append({"path": self.path, "payload": payload})
             wants_tool = payload.get("tools") and "weather" in json.dumps(payload["messages"])
             if payload.get("stream"):
+                gate = "slowstream" in json.dumps(payload["messages"])
                 if wants_tool:
                     # Tool-call arguments split across fragments, like real
                     # OpenAI-compatible servers emit them.
@@ -53,7 +62,7 @@ def stub_server():
                     ])
                 else:
                     self._sse([{"content": "stub "}, {"content": "streamed "},
-                               {"content": "answer"}])
+                               {"content": "answer"}], gate_after_first=gate)
                 return
             if wants_tool:
                 message = {
@@ -83,12 +92,12 @@ def stub_server():
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
-    yield server.server_address[1], received
+    yield server.server_address[1], received, release
     server.shutdown()
 
 
 def test_openai_provider_complete_and_path(stub_server) -> None:
-    port, received = stub_server
+    port, received, _ = stub_server
     llm = OpenAICompatLLM(f"http://127.0.0.1:{port}/v1#mymodel")
     response = llm.complete([{"role": "user", "content": "hello"}], temperature=0.5)
     assert response.content == "stub answer"
@@ -98,7 +107,7 @@ def test_openai_provider_complete_and_path(stub_server) -> None:
 
 
 def test_openai_provider_tool_calls(stub_server) -> None:
-    port, received = stub_server
+    port, received, _ = stub_server
     llm = OpenAICompatLLM(f"http://127.0.0.1:{port}/v1#mymodel")
     tools = [
         {
@@ -130,22 +139,29 @@ def test_openai_provider_streams_incrementally(stub_server) -> None:
     """True SSE streaming: the first delta must arrive BEFORE the server
     finishes the response (round 1 buffered the full completion;
     reference streams via LiteLLM, _litellm.py:213-273)."""
-    port, received = stub_server
+    port, received, release = stub_server
+    release.clear()
     llm = OpenAICompatLLM(f"http://127.0.0.1:{port}/v1#mymodel")
-    gen = llm.stream([{"role": "user", "content": "hello"}])
+    # "slowstream" makes the stub BLOCK after the first delta until released,
+    # so "first arrives before the server finished" is deterministic.
+    gen = llm.stream([{"role": "user", "content": "slowstream hello"}])
     first = next(gen)
     assert first == "stub "
     # The stub appends a stream_done marker only after the last chunk.
     assert not any(r.get("event") == "stream_done" for r in received[-1:])
+    release.set()
     rest = list(gen)
     assert "".join([first, *rest]) == "stub streamed answer"
     assert len(rest) >= 2  # multiple chunks, not one buffered blob
     assert any(r.get("event") == "stream_done" for r in received)
-    assert received[-2]["payload"]["stream"] is True
+    # Find OUR request robustly: a prior test's handler thread can append
+    # its stream_done marker between our payload and ours, shifting indices.
+    last_payload = next(r for r in reversed(received) if "payload" in r)
+    assert last_payload["payload"]["stream"] is True
 
 
 def test_openai_provider_via_config(stub_server) -> None:
-    port, _ = stub_server
+    port, _, _ = stub_server
     from raglite_tpu.config import RAGLiteConfig
     from raglite_tpu.models.llm import llm_from_config
 
