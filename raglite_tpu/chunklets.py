@@ -34,10 +34,11 @@ def markdown_chunklet_boundaries(sentences: list[str]) -> FloatVector:
     (reference: _split_chunklets.py:11-55)."""
     doc = "".join(sentences)
     tokens = parse_markdown(doc)
-    # Character offset of every line and every sentence.
-    line_start = [0]
-    for line in doc.splitlines(keepends=True)[:-1]:
-        line_start.append(line_start[-1] + len(line))
+    # Character offset of every line and every sentence (newline_offsets:
+    # markdown-it counts only \n lines, unlike str.splitlines).
+    from raglite_tpu.utils.mdparse import newline_offsets
+
+    line_start = newline_offsets(doc)
     sent_start = [0]
     for sentence in sentences:
         sent_start.append(sent_start[-1] + len(sentence))

@@ -314,7 +314,10 @@ class ChunkSpan:
         front_matter = self.chunks[0].front_matter
         heading = self.chunks[0].headings.strip()
         bodies = "".join(chunk.body for chunk in self.chunks)
-        return f"{front_matter}\n\n{heading}\n\n{bodies.strip()}".strip()
+        # Strip only the ASSEMBLED string (reference: _database.py:391-395):
+        # stripping `bodies` itself would drop the first chunk's own leading
+        # newlines whenever front matter or heading is present.
+        return f"{front_matter}\n\n{heading}\n\n{bodies}".strip()
 
 
 @dataclass

@@ -276,7 +276,9 @@ def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
             layer["q_norm"] = norm(b + "self_attn.q_norm.weight")
             layer["k_norm"] = norm(b + "self_attn.k_norm.weight")
         params["layers"].append(layer)
-    tokenizer = load_tokenizer(os.path.join(path, "tokenizer.json"))
+    # required=False: pure numerics use (parity tests) can run without the
+    # tokenizer; generation through JaxChatLLM warns loudly in that case.
+    tokenizer = load_tokenizer(os.path.join(path, "tokenizer.json"), required=False)
     return cfg, params, tokenizer
 
 

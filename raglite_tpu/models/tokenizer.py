@@ -27,15 +27,28 @@ class ByteTokenizer:
         return [b + self._OFFSET for b in text.encode("utf-8")]
 
     def decode(self, ids: list[int]) -> str:
-        data = bytes(i - self._OFFSET for i in ids if i >= self._OFFSET)
+        # Ids in [259, vocab_size) are unused vocabulary: skip them rather
+        # than crash (unconstrained sampling can emit any id in the vocab).
+        data = bytes(
+            i - self._OFFSET for i in ids if self._OFFSET <= i < self._OFFSET + 256
+        )
         return data.decode("utf-8", errors="replace")
 
 
 class HFTokenizer:
-    """Wrapper over a ``tokenizers`` JSON file (XLM-R sentencepiece and
-    Qwen byte-level-BPE vocabularies both load through this)."""
+    """Wrapper over a ``tokenizers`` JSON file (XLM-R sentencepiece, Qwen/
+    Llama byte-level-BPE, and Gemma sentencepiece vocabularies all load
+    through this).
 
-    def __init__(self, path: str) -> None:
+    Special ids come from the checkpoint's ``config.json``
+    (eos/bos/pad_token_id — the authoritative source) when available;
+    otherwise from a probe over the common special-token names.  Name
+    guessing alone mis-assigned REAL content tokens as specials for
+    vocabularies using other names (Gemma's <bos>/<eos>, Llama-3's
+    <|begin_of_text|>/<|end_of_text|>), which broke stop-token handling.
+    """
+
+    def __init__(self, path: str, *, special_ids: dict | None = None) -> None:
         from tokenizers import Tokenizer
 
         self._tok = Tokenizer.from_file(path)
@@ -48,9 +61,25 @@ class HFTokenizer:
                     return tid
             return default
 
-        self.PAD = first_id("<pad>", "<|endoftext|>", default=0)
-        self.BOS = first_id("<s>", "<|im_start|>", default=1)
-        self.EOS = first_id("</s>", "<|im_end|>", "<|endoftext|>", default=2)
+        special_ids = special_ids or {}
+
+        def resolved(key: str, *names: str, default: int) -> int:
+            value = special_ids.get(key)
+            if isinstance(value, int):
+                return value
+            if isinstance(value, list) and value and isinstance(value[0], int):
+                return value[0]  # HF configs may list several eos ids
+            return first_id(*names, default=default)
+
+        self.PAD = resolved("pad_token_id", "<pad>", "<|endoftext|>", default=0)
+        self.BOS = resolved(
+            "bos_token_id", "<s>", "<bos>", "<|begin_of_text|>", "<|im_start|>",
+            default=1,
+        )
+        self.EOS = resolved(
+            "eos_token_id", "</s>", "<eos>", "<|end_of_text|>", "<|im_end|>",
+            "<|endoftext|>", default=2,
+        )
 
     def token_id(self, token: str) -> int | None:
         return self._tok.token_to_id(token)
@@ -62,9 +91,38 @@ class HFTokenizer:
         return self._tok.decode(ids)
 
 
-def load_tokenizer(path: str):
+def load_tokenizer(path: str, *, required: bool = True):
+    """Load the checkpoint's tokenizer.json (with special ids from the
+    sibling config.json when present).
+
+    A missing file raises by default — feeding UTF-8 byte ids into a BPE
+    embedding table produces meaningless embeddings / gibberish generations
+    with no error anywhere.  ``required=False`` degrades to the byte
+    tokenizer WITH a warning (numerics-only use, e.g. parity testing).
+    """
+    import json
     import os
 
-    if os.path.exists(path):
-        return HFTokenizer(path)
-    return ByteTokenizer()
+    if not os.path.exists(path):
+        msg = (
+            f"tokenizer.json not found at {path}; a pretrained checkpoint "
+            "must ship its tokenizer (the byte tokenizer is only valid for "
+            "presets and orbax checkpoints trained with it)"
+        )
+        if required:
+            raise FileNotFoundError(msg)
+        import warnings
+
+        warnings.warn(msg + " — falling back to the byte tokenizer", stacklevel=2)
+        return ByteTokenizer()
+    special_ids: dict = {}
+    config_path = os.path.join(os.path.dirname(path), "config.json")
+    if os.path.exists(config_path):
+        with open(config_path) as f:
+            hf = json.load(f)
+        special_ids = {
+            key: hf[key]
+            for key in ("pad_token_id", "bos_token_id", "eos_token_id")
+            if hf.get(key) is not None
+        }
+    return HFTokenizer(path, special_ids=special_ids)

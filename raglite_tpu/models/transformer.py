@@ -211,5 +211,5 @@ def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
                 "mlp_ln_bias": t32(b + "output.LayerNorm.bias"),
             }
         )
-    tokenizer = load_tokenizer(tok_path)
+    tokenizer = load_tokenizer(tok_path, required=False)
     return cfg, params, tokenizer

@@ -100,10 +100,11 @@ def markdown_sentence_boundaries(doc: str) -> FloatVector:
     sentence (reference: _split_sentences.py:23-53).  Returns NaN where no
     override applies."""
     tokens = parse_markdown(doc)
-    lines = doc.splitlines(keepends=True)
-    line_start = [0]
-    for line in lines:
-        line_start.append(line_start[-1] + len(line))
+    # markdown-it counts only \n lines (str.splitlines also splits on form
+    # feeds etc., which would misplace every boundary after one).
+    from raglite_tpu.utils.mdparse import newline_offsets
+
+    line_start = [*newline_offsets(doc), len(doc)]
     overrides = np.full(len(doc), np.nan)
     for token in tokens:
         if token.type == "heading_open" and token.map is not None:

@@ -30,3 +30,17 @@ def parse_markdown(doc: str) -> tuple:
     future caller from appending/reordering the shared stream; token
     attributes remain read-only by convention)."""
     return tuple(_parse_markdown_cached(doc))
+
+
+def newline_offsets(doc: str) -> list[int]:
+    """Character offset of every markdown LINE start (\n-separated).
+
+    str.splitlines also splits on \x0c/\x0b/\u2028/... which markdown-it
+    does NOT count as lines, so token.map line numbers would otherwise point
+    at the wrong offsets for PDF-extracted text containing form feeds."""
+    offsets = [0]
+    pos = doc.find("\n")
+    while pos != -1:
+        offsets.append(pos + 1)
+        pos = doc.find("\n", pos + 1)
+    return offsets

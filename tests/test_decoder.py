@@ -385,3 +385,34 @@ def test_expand_document_metadata_batched_first_pass() -> None:
     fields = {"summary": Annotated[str | None, Field(description="one-line summary")]}
     out = list(expand_document_metadata(docs, fields, config=config))
     assert len(out) == 3  # all documents flow through (metadata may be None-ish)
+
+
+def test_hf_tokenizer_special_ids_from_config(tmp_path) -> None:
+    """EOS/BOS come from the checkpoint's config.json (authoritative), not
+    from name guessing — Gemma names its specials <bos>/<eos>, which the
+    probe list used to miss, assigning a CONTENT token as EOS so generation
+    never stopped (regression)."""
+    import json
+
+    from tokenizers import Tokenizer, models
+
+    from raglite_tpu.models.tokenizer import load_tokenizer
+
+    vocab = {"<pad>": 0, "<eos>": 1, "<bos>": 2, "hello": 3, "world": 4}
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+    tok.save(str(tmp_path / "tokenizer.json"))
+    (tmp_path / "config.json").write_text(
+        json.dumps({"eos_token_id": 1, "bos_token_id": 2, "pad_token_id": 0})
+    )
+    loaded = load_tokenizer(str(tmp_path / "tokenizer.json"))
+    assert (loaded.EOS, loaded.BOS, loaded.PAD) == (1, 2, 0)
+    # Without config.json, the probe still finds gemma-style names.
+    (tmp_path / "config.json").unlink()
+    loaded = load_tokenizer(str(tmp_path / "tokenizer.json"))
+    assert (loaded.EOS, loaded.BOS) == (1, 2)
+    # Missing tokenizer.json raises by default (silent byte-tokenizer
+    # fallback produced gibberish with no error).
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_tokenizer(str(tmp_path / "nope" / "tokenizer.json"))
