@@ -164,7 +164,14 @@ def expand_document_metadata(  # noqa: PLR0913
     # First pass: ONE batched decode over all documents when the LLM
     # supports it (the jax provider shares every device program across the
     # batch); per-document retries handle the validation failures.
-    first_pass = _extract_batch_first_pass(metadata_model, texts, strict, config, **kwargs)
+    try:
+        first_pass = _extract_batch_first_pass(metadata_model, texts, strict, config, **kwargs)
+    except Exception as e:  # noqa: BLE001 — batched [B,T] prefill can OOM on
+        # large doc sets; degrade to the per-document retry loop below so the
+        # "failures warn and leave the document unchanged" contract holds.
+        warnings.warn(f"Batched metadata extraction failed ({e}); retrying per document.",
+                      stacklevel=2)
+        first_pass = None
     for i, document in enumerate(documents):
         extracted = first_pass[i] if first_pass is not None else None
         try:

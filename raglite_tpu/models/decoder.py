@@ -488,10 +488,14 @@ class JaxChatLLM:
         # extract layer handles both, reference: _extract.py:36-63).
         self.supports_response_format = self._byte_level
         self.context_size = cfg["max_len"]
-        # Chat stop tokens (ChatML end marker when the vocab has one).
-        self._stop_ids = {self.tokenizer.EOS}
+        # Chat stop tokens: EVERY checkpoint eos id (Llama-3 instruct lists
+        # [<|end_of_text|>, <|eot_id|>] — stopping only on the first runs to
+        # max_new_tokens appending junk) plus the ChatML end marker when the
+        # vocab has one.
+        self._stop_ids = set(getattr(self.tokenizer, "EOS_IDS", (self.tokenizer.EOS,)))
+        self._stop_ids.add(self.tokenizer.EOS)
         if not self._byte_level:
-            for name in ("<|im_end|>", "<|endoftext|>"):
+            for name in ("<|im_end|>", "<|endoftext|>", "<|eot_id|>", "<end_of_turn>"):
                 tid = self.tokenizer.token_id(name)
                 if tid is not None:
                     self._stop_ids.add(tid)

@@ -18,6 +18,7 @@ class ByteTokenizer:
     """UTF-8 bytes shifted past special ids; deterministic and lossless."""
 
     PAD, BOS, EOS = 0, 1, 2
+    EOS_IDS = (2,)
     _OFFSET = 3
 
     def __init__(self, vocab_size: int = 8192) -> None:
@@ -80,6 +81,14 @@ class HFTokenizer:
             "eos_token_id", "</s>", "<eos>", "<|end_of_text|>", "<|im_end|>",
             "<|endoftext|>", default=2,
         )
+        # HF configs may list SEVERAL eos ids (Llama-3 instruct:
+        # [<|end_of_text|>, <|eot_id|>]); generation must stop on every one
+        # of them, not just EOS = the first.
+        eos_value = special_ids.get("eos_token_id")
+        if isinstance(eos_value, list):
+            self.EOS_IDS = tuple(i for i in eos_value if isinstance(i, int)) or (self.EOS,)
+        else:
+            self.EOS_IDS = (self.EOS,)
 
     def token_id(self, token: str) -> int | None:
         return self._tok.token_to_id(token)

@@ -416,6 +416,11 @@ class Store:
             legacy_path = root / legacy
             if legacy_path.exists():
                 legacy_path.unlink()
+        # The head rewrite has durably committed our deletes; forgetting the
+        # local tombstones now (a) bounds the set on long-lived instances and
+        # (b) lets a later legitimate re-insert of the same document id by
+        # ANOTHER process be absorbed instead of silently dropped.
+        self._locally_deleted_documents.clear()
 
     def _load(self) -> None:
         root = Path(self.path)

@@ -35,6 +35,37 @@ from raglite_tpu.config import RAGLiteConfig
 
 __all__ = ["WebChatApp", "create_web_app"]
 
+
+def _local_addresses() -> set[str]:
+    """Hostnames/IPs that legitimately name this machine, for the wildcard
+    -bind Origin check (cached — interface enumeration is not free)."""
+    global _LOCAL_ADDRESSES
+    if _LOCAL_ADDRESSES is None:
+        import socket
+
+        addrs = {"localhost", "127.0.0.1", "::1"}
+        try:
+            hostname = socket.gethostname()
+            addrs.update({hostname, hostname.lower()})
+            _, aliases, ips = socket.gethostbyname_ex(hostname)
+            addrs.update(a.lower() for a in aliases)
+            addrs.update(ips)
+        except OSError:
+            pass
+        try:
+            # UDP connect sends no packet; it just binds the outbound
+            # interface, revealing the primary LAN address.
+            with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+                s.connect(("10.254.254.254", 1))
+                addrs.add(s.getsockname()[0])
+        except OSError:
+            pass
+        _LOCAL_ADDRESSES = addrs
+    return _LOCAL_ADDRESSES
+
+
+_LOCAL_ADDRESSES: set[str] | None = None
+
 #: Attachments up to this many characters are inlined into the prompt
 #: instead of being inserted into the knowledge base (reference inlines
 #: documents that fit half the context window, _chainlit.py:74-84).
@@ -429,7 +460,27 @@ class WebChatApp:
                     f"127.0.0.1:{bound_port}",
                     f"[::1]:{bound_port}",
                 }
-                return origin_host in allowed
+                if origin_host in allowed:
+                    return True
+                # Wildcard binding (serve --host 0.0.0.0/::): browsers reach
+                # us via a LAN IP/hostname that is not a loopback alias, so
+                # additionally accept an Origin naming one of THIS MACHINE'S
+                # interface addresses/hostnames (on the bound port).  This
+                # stays rebinding-safe: after a DNS rebind the attacker
+                # page's Origin still spells the attacker's DOMAIN, which
+                # never string-equals a literal interface IP or our
+                # hostname.  (Matching the client-controlled Host header
+                # instead would let rebinding through — Origin and Host
+                # agree after a rebind.)  Loopback binds keep the strict
+                # allow-list above.
+                if bound_host in ("0.0.0.0", "::"):  # noqa: S104
+                    o_host, _, o_port = origin_host.rpartition(":")
+                    if not o_host or not o_port.isdigit():
+                        o_host, o_port = origin_host, ""
+                    default = "443" if origin.startswith("https") else "80"
+                    port_ok = (o_port or default) == str(bound_port)
+                    return port_ok and o_host.strip("[]") in _local_addresses()
+                return False
 
             def do_POST(self) -> None:  # noqa: N802
                 if not self._same_origin():

@@ -416,3 +416,27 @@ def test_hf_tokenizer_special_ids_from_config(tmp_path) -> None:
 
     with _pytest.raises(FileNotFoundError):
         load_tokenizer(str(tmp_path / "nope" / "tokenizer.json"))
+
+
+def test_hf_tokenizer_eos_id_list(tmp_path) -> None:
+    """Llama-3-instruct-style configs list SEVERAL eos ids
+    ([<|end_of_text|>, <|eot_id|>]); all of them must be preserved so the
+    decoder stops on <|eot_id|>, not just on the first entry."""
+    import json
+
+    from tokenizers import Tokenizer, models
+
+    from raglite_tpu.models.tokenizer import load_tokenizer
+
+    vocab = {
+        "<|begin_of_text|>": 0, "<|end_of_text|>": 1, "<|eot_id|>": 2,
+        "hello": 3, "world": 4,
+    }
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+    tok.save(str(tmp_path / "tokenizer.json"))
+    (tmp_path / "config.json").write_text(
+        json.dumps({"eos_token_id": [1, 2], "bos_token_id": 0})
+    )
+    loaded = load_tokenizer(str(tmp_path / "tokenizer.json"))
+    assert loaded.EOS == 1
+    assert loaded.EOS_IDS == (1, 2)

@@ -292,6 +292,37 @@ def test_absorb_does_not_resurrect_own_deletes(tmp_path):
     assert merged.num_alive_chunks == 13  # d1's 10 + A's 3
 
 
+def test_local_tombstones_cleared_after_durable_save(tmp_path):
+    """Once save() has durably committed a delete, the instance must forget
+    its local tombstone: a legitimate LATER re-insert of the same document
+    id by another process is then absorbed instead of silently dropped (and
+    the set stays bounded on long-lived instances)."""
+    from raglite_tpu.documents import Document
+
+    path = str(tmp_path / "s")
+    base = Store(path)
+    base.documents["d0"] = Document(id="d0", filename="x", url=None, metadata_={}, content=None)
+    base.add_chunks(*_mk_chunks(0, 4, doc="d0", dim=8, topic="t"))
+    base.save()
+
+    a = Store(path)
+    with a.write_lock():
+        a.delete_documents(["d0"])
+        a.save()
+    assert not a._locally_deleted_documents  # durable commit clears the set
+
+    # Another process re-inserts d0 AFTER a's delete committed.
+    b = Store(path)
+    b.documents["d0"] = Document(id="d0", filename="x", url=None, metadata_={}, content=None)
+    b.add_chunks(*_mk_chunks(100, 4, doc="d0", dim=8, topic="t"))
+    with b.write_lock():
+        b.save()
+
+    with a.write_lock():
+        a.absorb_concurrent()
+    assert a.has_document("d0"), "legitimate re-insert dropped by stale local tombstone"
+
+
 def test_concurrent_same_document_insert_dedups(tmp_path):
     """Two processes inserting the SAME document: the second must dedup
     against the first's committed state under the lock (regression: the

@@ -153,6 +153,56 @@ def test_cross_origin_post_rejected(app_port) -> None:
     assert status == 200
 
 
+def test_wildcard_bind_accepts_lan_origin_rejects_rebinding() -> None:
+    """`serve --host 0.0.0.0` is reached via the machine's LAN IP/hostname;
+    an Origin naming a real local interface must be accepted, while an
+    Origin that merely AGREES with the Host header (the post-DNS-rebind
+    signature: both spell the attacker's domain) must still be refused."""
+    from raglite_tpu.webchat import _local_addresses
+
+    config = RAGLiteConfig(store_path=":memory:", embedder="hash:256", llm="echo")
+    app = create_web_app(config)
+    server, port = app.serve_background(host="0.0.0.0")  # noqa: S104
+    try:
+        # Pick a non-loopback local address when one exists (the exact case
+        # the loopback allow-list missed); loopback otherwise.
+        lan = next(
+            (a for a in _local_addresses() if a not in ("localhost", "127.0.0.1", "::1")),
+            "127.0.0.1",
+        )
+        status, _ = _post(
+            port, "/api/settings", b"{}", {"Origin": f"http://{lan}:{port}"}
+        )
+        assert status == 200
+        # Rebinding simulation: Origin == Host == attacker domain.
+        request = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/settings",
+            data=b"{}",
+            headers={
+                "Content-Type": "application/json",
+                "Origin": f"http://evil.example:{port}",
+                "Host": f"evil.example:{port}",
+            },
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(request)
+        assert err.value.code == 403
+        # Right host, wrong port: still cross-origin.
+        request = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/settings",
+            data=b"{}",
+            headers={"Content-Type": "application/json",
+                     "Origin": f"http://{lan}:{port + 1}"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(request)
+        assert err.value.code == 403
+    finally:
+        server.shutdown()
+
+
 def test_store_path_not_settable_over_http(app_port) -> None:
     """Repointing the store over HTTP is an arbitrary-filesystem primitive;
     the settings endpoint must ignore it."""
