@@ -10,6 +10,7 @@ package, _eval.py:232-303) — so quality evaluation runs fully offline.
 from __future__ import annotations
 
 import contextlib
+import re
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from random import randint
 from typing import ClassVar
@@ -27,7 +28,14 @@ from raglite_tpu.rag import add_context, rag, retrieve_context
 from raglite_tpu.search import retrieve_chunk_spans, vector_search
 from raglite_tpu.store import store_from_config
 
-__all__ = ["generate_eval", "insert_evals", "answer_evals", "evaluate"]
+__all__ = [
+    "generate_eval",
+    "insert_evals",
+    "answer_evals",
+    "evaluate",
+    "answer_faithfulness",
+    "context_precision",
+]
 
 
 class QuestionResponse(BaseModel):
@@ -206,15 +214,193 @@ def _similarity(a: list[str], b: list[str], config: RAGLiteConfig) -> np.ndarray
     return np.sum(ea * eb, axis=1)
 
 
+# --- LLM-judged metrics (Ragas-fidelity faithfulness / context precision) ----
+
+#: Per-judgment context budget (chars); keeps judge prompts inside small
+#: local-model windows the way Ragas relies on the provider's own limits.
+_JUDGE_CONTEXT_CHARS = 6000
+_SENTENCE_RE = re.compile(r"[^.!?\n]+[.!?]?")
+
+
+def _judge_bool_batch(
+    prompt_pairs: list[tuple[str, str]], field: str, config: RAGLiteConfig
+) -> list[bool | None]:
+    """One boolean verdict per (system_prompt, user_text) pair.
+
+    All verdicts share ONE schema but need DIFFERENT system prompts (each
+    embeds the claim/question under judgment), so this batches through
+    ``llm.complete_batch`` directly — one batched decode for the whole panel
+    — with a per-item fallback; unjudgeable items return None.  The
+    reference reaches the same metrics through Ragas's LLM bridge
+    (/root/reference/src/raglite/_eval.py:232-303)."""
+    import json
+
+    from raglite_tpu.models.llm import llm_from_config
+
+    llm = llm_from_config(config)
+    schema = {
+        "type": "object",
+        "properties": {field: {"type": "boolean"}},
+        "required": [field],
+        "additionalProperties": False,
+    }
+    response_format = (
+        {"type": "json_schema", "json_schema": {"name": "Verdict", "schema": schema, "strict": True}}
+        if llm.supports_response_format
+        else None
+    )
+    schema_suffix = (
+        "" if response_format is not None
+        else f"\n\nFormat your response according to this JSON schema:\n{schema}"
+    )
+    messages = [
+        [
+            {"role": "system", "content": system + schema_suffix},
+            {"role": "user", "content": user},
+        ]
+        for system, user in prompt_pairs
+    ]
+    responses: list | None = None
+    if hasattr(llm, "complete_batch"):
+        try:
+            responses = list(llm.complete_batch(messages, response_format=response_format))
+        except Exception:  # noqa: BLE001 — e.g. batched prefill OOM
+            responses = None
+    verdicts: list[bool | None] = []
+    for i, msg in enumerate(messages):
+        response = responses[i] if responses is not None else None
+        if response is None:
+            try:
+                response = llm.complete(msg, response_format=response_format)
+            except Exception:  # noqa: BLE001
+                response = None
+        verdict: bool | None = None
+        if response is not None and response.content:
+            with contextlib.suppress(ValueError, TypeError, AttributeError):
+                parsed = json.loads(response.content)
+                if isinstance(parsed.get(field), bool):
+                    verdict = parsed[field]
+        verdicts.append(verdict)
+    return verdicts
+
+
+def _decompose_claims(question: str, answer: str, config: RAGLiteConfig) -> list[str]:
+    """Split an answer into standalone factual claims: LLM decomposition
+    (Ragas's statement generation) with a deterministic sentence-split
+    fallback for providers without reliable list output."""
+
+    class ClaimsResponse(BaseModel):
+        """Standalone factual claims made by an answer."""
+
+        model_config = ConfigDict(extra="forbid")
+        claims: list[str] = Field(
+            ..., description="Short standalone factual claims made by the answer, one per item."
+        )
+        system_prompt: ClassVar[str] = (
+            f'You are given the answer to the question "{question}". Decompose the answer '
+            "into short standalone factual claims, each fully understandable on its own. "
+            "Include every claim the answer makes and nothing it does not state."
+        )
+
+    claims: list[str] = []
+    with contextlib.suppress(ValueError):
+        claims = extract_with_llm(ClaimsResponse, answer, strict=True, config=config).claims
+    claims = [c.strip() for c in claims if c and c.strip()]
+    if not claims:
+        claims = [m.group(0).strip() for m in _SENTENCE_RE.finditer(answer) if m.group(0).strip()]
+    return claims[:16]
+
+
+def answer_faithfulness(df: pd.DataFrame, config: RAGLiteConfig | None = None) -> np.ndarray:
+    """LLM-judged faithfulness: fraction of the answer's claims directly
+    supported by the retrieved contexts (Ragas semantics — the reference
+    gets this metric from ragas_evaluate, _eval.py:299-303).  NaN where no
+    claim could be judged."""
+    config = config or RAGLiteConfig()
+    pairs: list[tuple[str, str]] = []
+    owners: list[int] = []
+    for i, (question, answer, contexts) in enumerate(
+        zip(df["question"], df["answer"], df["contexts"])
+    ):
+        context_block = "\n\n".join(contexts)[:_JUDGE_CONTEXT_CHARS]
+        if not context_block.strip():
+            continue
+        for claim in _decompose_claims(question, str(answer), config):
+            system = (
+                "You are given context passages extracted from documents. Determine "
+                f'whether this claim is directly supported by them: "{claim}"'
+            )
+            pairs.append((system, context_block))
+            owners.append(i)
+    verdicts = _judge_bool_batch(pairs, "supported", config)
+    supported = np.zeros(len(df))
+    total = np.zeros(len(df))
+    for owner, verdict in zip(owners, verdicts):
+        if verdict is not None:
+            total[owner] += 1
+            supported[owner] += bool(verdict)
+    with np.errstate(invalid="ignore"):
+        return np.where(total > 0, supported / np.maximum(total, 1), np.nan)
+
+
+def context_precision(df: pd.DataFrame, config: RAGLiteConfig | None = None) -> np.ndarray:
+    """LLM-judged context precision: rank-weighted usefulness of each
+    retrieved context — sum_k(precision@k * v_k) / sum_k(v_k) over the
+    judged verdicts v_k in retrieval order (Ragas's formula).  NaN where no
+    context could be judged."""
+    config = config or RAGLiteConfig()
+    pairs: list[tuple[str, str]] = []
+    owners: list[int] = []
+    for i, (question, ground_truth, contexts) in enumerate(
+        zip(df["question"], df["ground_truth"], df["contexts"])
+    ):
+        system = (
+            "You are given ONE retrieved context passage. Determine whether it contains "
+            f'information useful for answering this question: "{question}" '
+            f"(reference answer: {str(ground_truth)[:800]})"
+        )
+        for context in contexts:
+            pairs.append((system, str(context)[:_JUDGE_CONTEXT_CHARS]))
+            owners.append(i)
+    verdicts = _judge_bool_batch(pairs, "useful", config)
+    per_eval: dict[int, list[bool]] = {}
+    for owner, verdict in zip(owners, verdicts):
+        if verdict is not None:
+            per_eval.setdefault(owner, []).append(bool(verdict))
+    out = np.full(len(df), np.nan)
+    for i, ordered in per_eval.items():
+        hits, score = 0, 0.0
+        for k, useful in enumerate(ordered, start=1):
+            if useful:
+                hits += 1
+                score += hits / k
+        out[i] = score / hits if hits else 0.0
+    return out
+
+
 def evaluate(
-    answered_evals: pd.DataFrame | int = 100, config: RAGLiteConfig | None = None
+    answered_evals: pd.DataFrame | int = 100,
+    config: RAGLiteConfig | None = None,
+    *,
+    judge: bool = True,
 ) -> pd.DataFrame:
-    """Compute Ragas-style quality metrics with first-party embedding-based
-    implementations (reference bridges to the ragas package, _eval.py:232-303):
+    """Compute Ragas-fidelity quality metrics (reference bridges to the
+    ragas package, _eval.py:232-303):
+
+    - faithfulness: LLM-judged fraction of the answer's claims supported by
+      the contexts (per-claim verdicts via one batched decode)
+    - context_precision: LLM-judged rank-weighted context usefulness
+      (Ragas's sum(precision@k * v_k) / sum(v_k))
+
+    plus cheap embedding-based companions:
 
     - answer_similarity: cosine(answer, ground_truth)
     - context_relevancy: mean cosine(question, context)
-    - faithfulness_proxy: cosine(answer, concatenated contexts)
+    - faithfulness_proxy: cosine(answer, concatenated contexts) — topical
+      agreement only; the judged ``faithfulness`` column is the real metric
+
+    ``judge=False`` skips the LLM-judged columns (embedding-only, no LLM
+    calls — useful for quick smoke evaluations).
     """
     config = config or RAGLiteConfig()
     df = (
@@ -224,7 +410,10 @@ def evaluate(
     )
     if df.empty:
         return pd.DataFrame(
-            columns=["question", "answer_similarity", "context_relevancy", "faithfulness_proxy"]
+            columns=[
+                "question", "answer_similarity", "context_relevancy",
+                "faithfulness_proxy", "faithfulness", "context_precision",
+            ]
         )
     answer_similarity = _similarity(list(df["answer"]), list(df["ground_truth"]), config)
     # Context relevancy: ONE batched embed of every question and every
@@ -244,14 +433,16 @@ def evaluate(
         block = c_emb[offset : offset + len(ctx)]
         offset += len(ctx)
         context_relevancy[i] = float(np.mean(block @ q_emb[i]))
-    faithfulness = _similarity(
+    faithfulness_cosine = _similarity(
         list(df["answer"]), ["\n".join(ctx) for ctx in df["contexts"]], config
     )
-    return pd.DataFrame(
-        {
-            "question": df["question"],
-            "answer_similarity": answer_similarity,
-            "context_relevancy": context_relevancy,
-            "faithfulness_proxy": faithfulness,
-        }
-    )
+    out = {
+        "question": df["question"],
+        "answer_similarity": answer_similarity,
+        "context_relevancy": context_relevancy,
+        "faithfulness_proxy": faithfulness_cosine,
+    }
+    if judge:
+        out["faithfulness"] = answer_faithfulness(df, config)
+        out["context_precision"] = context_precision(df, config)
+    return pd.DataFrame(out)

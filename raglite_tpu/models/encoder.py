@@ -223,12 +223,24 @@ class TransformerEncoder:
 
         import os
 
+        if spec == "sem":
+            # The packaged semantic encoder trained on-TPU from the in-image
+            # corpus (scripts/train_encoder.py; MLM + Contriever-style
+            # contrastive).  Replaces the reference's downloaded bge-m3
+            # default (_config.py:50-64) in the no-egress image.
+            spec = os.path.join(os.path.dirname(__file__), "data", "encoder")
         if spec.startswith("ckpt:"):
             # orbax checkpoint written by save_checkpoint() below.
             from raglite_tpu.models.checkpoint import load_checkpoint
 
             params, cfg = load_checkpoint(spec.removeprefix("ckpt:"))
             tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
+        elif os.path.isdir(spec) and os.path.exists(os.path.join(spec, "encoder.npz")):
+            from raglite_tpu.models.tokenizer import load_tokenizer
+            from raglite_tpu.models.transformer import load_npz_encoder
+
+            cfg, params, _ = load_npz_encoder(os.path.join(spec, "encoder.npz"), dtype=dtype)
+            tokenizer = load_tokenizer(os.path.join(spec, "tokenizer.json"))
         elif os.path.isdir(spec) or spec.endswith(".safetensors"):
             cfg, params, tokenizer = load_pretrained_encoder(spec, dtype=dtype)
         else:

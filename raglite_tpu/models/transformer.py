@@ -122,6 +122,55 @@ class EncoderModel:
         return x.astype(jnp.float32)
 
 
+def save_npz_encoder(path: str, params: Params, cfg: dict, *, dtype=None) -> None:
+    """Serialize encoder params as one flat npz (portable, ships in-package
+    like models/data/boundary_model.npz; orbax stays the sharded-checkpoint
+    path).  Keys: top-level names plus ``layers.<i>.<name>``."""
+    import json as _json
+
+    flat: dict[str, np.ndarray] = {}
+    for k, v in params.items():
+        if k == "layers":
+            for i, layer in enumerate(v):
+                for name, arr in layer.items():
+                    flat[f"layers.{i}.{name}"] = np.asarray(arr)
+        else:
+            flat[k] = np.asarray(v)
+    if dtype is not None:
+        # Squeeze storage (fp16 halves the package payload); LN params and
+        # biases stay fp32 — they are tiny and numerically sensitive.
+        flat = {
+            k: (v.astype(dtype) if v.ndim >= 2 else v.astype(np.float32))
+            for k, v in flat.items()
+        }
+    flat["__config__"] = np.frombuffer(_json.dumps(cfg).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **flat)
+
+
+def load_npz_encoder(path: str, *, dtype=jnp.bfloat16):
+    """Load an npz written by :func:`save_npz_encoder`.
+
+    Returns ``(cfg, params, None)`` — the tokenizer (if any) lives next to
+    the npz as ``tokenizer.json`` and is loaded by the caller.
+    """
+    import json as _json
+
+    z = np.load(path)
+    cfg = _json.loads(bytes(z["__config__"]).decode())
+    params: Params = {"layers": [dict() for _ in range(cfg["layers"])]}
+    for key in z.files:
+        if key == "__config__":
+            continue
+        arr = z[key]
+        target = jnp.asarray(arr, dtype=dtype if arr.ndim >= 2 else jnp.float32)
+        if key.startswith("layers."):
+            _, idx, name = key.split(".", 2)
+            params["layers"][int(idx)][name] = target
+        else:
+            params[key] = target
+    return cfg, params, None
+
+
 def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
     """Load an XLM-R-family HF checkpoint directory into our param layout.
 

@@ -1,0 +1,371 @@
+"""Train a small semantic text encoder ON the TPU, from scratch, offline.
+
+Round-3 deliverable (VERDICT.md "Next round" #1): every retrieval-quality
+lever of the framework (multivector blend, query adapter, MaxSim rerank —
+reference semantics: /root/reference/src/raglite/_insert.py:125-145,
+_query_adapter.py:41, _search.py:364-397) only *means* anything on semantic
+embeddings, and the image ships no pretrained weights.  So we train our own:
+
+  phase 1  masked-language-model pretraining (BERT-style, 15% masking with
+           the 80/10/10 corruption split) over the in-image documentation
+           corpus built by scripts/build_corpus.py — this is where
+           distributional semantics come from;
+  phase 2  unsupervised contrastive finetuning (Contriever-style independent
+           cropping: two random spans of the same document are a positive
+           pair, in-batch negatives, InfoNCE with symmetric cross-entropy) —
+           this aligns the mean-pooled sentence space for retrieval.
+
+The model is the framework's own `EncoderModel` (models/transformer.py):
+4 layers, d_model=512 (dim % 256 == 0 keeps the int4 scan routing), 8 heads,
+d_ff=2048, vocab 8192 byte-level BPE trained on the same corpus.  ~17M
+params.  Training runs in bf16 on the MXU with an fp32 Adam state; steps are
+async-dispatched so the dev-tunnel RPC floor does not serialize the loop.
+
+The final checkpoint is exported to raglite_tpu/models/data/encoder/
+(flat npz + tokenizer.json + config.json) and loads as embedder="flax:sem".
+
+Usage:
+  python scripts/train_encoder.py --phase all            # tokenize+mlm+clip+export
+  python scripts/train_encoder.py --phase mlm --steps 20000
+  python scripts/train_encoder.py --phase contrastive --steps 4000
+  python scripts/train_encoder.py --phase export
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CORPUS = REPO / "data" / "corpus"
+WORKDIR = REPO / "data" / "encoder_train"
+EXPORT = REPO / "raglite_tpu" / "models" / "data" / "encoder"
+
+CFG = dict(layers=4, d_model=512, heads=8, d_ff=2048, vocab=8192, max_len=512)
+PAD, BOS, EOS, MASK = 0, 1, 2, 3
+SEQ = 128  # training sequence length (inference runs up to max_len)
+
+
+# --- Tokenizer + token cache --------------------------------------------------
+
+
+def train_tokenizer() -> None:
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    WORKDIR.mkdir(parents=True, exist_ok=True)
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=CFG["vocab"],
+        special_tokens=["<pad>", "<s>", "</s>", "<mask>"],
+        show_progress=False,
+    )
+
+    def lines():
+        with open(CORPUS / "train.jsonl") as f:
+            for line in f:
+                yield json.loads(line)["text"]
+
+    t0 = time.time()
+    tok.train_from_iterator(lines(), trainer)
+    tok.save(str(WORKDIR / "tokenizer.json"))
+    print(f"tokenizer: vocab={tok.get_vocab_size()} in {time.time()-t0:.0f}s")
+
+
+def build_token_cache() -> None:
+    """Tokenize the train corpus once into a flat int16 array + doc offsets."""
+    from tokenizers import Tokenizer
+
+    tok = Tokenizer.from_file(str(WORKDIR / "tokenizer.json"))
+    ids_all: list[np.ndarray] = []
+    offsets = [0]
+    n = 0
+    t0 = time.time()
+    with open(CORPUS / "train.jsonl") as f:
+        batch: list[str] = []
+        for line in f:
+            batch.append(json.loads(line)["text"])
+            if len(batch) == 2048:
+                for e in tok.encode_batch(batch):
+                    arr = np.asarray(e.ids, dtype=np.uint16)
+                    ids_all.append(arr)
+                    n += arr.size
+                    offsets.append(n)
+                batch = []
+        for e in tok.encode_batch(batch):
+            arr = np.asarray(e.ids, dtype=np.uint16)
+            ids_all.append(arr)
+            n += arr.size
+            offsets.append(n)
+    flat = np.concatenate(ids_all)
+    np.savez(WORKDIR / "tokens.npz", flat=flat, offsets=np.asarray(offsets, np.int64))
+    print(f"token cache: {n/1e6:.1f}M tokens, {len(offsets)-1} docs, {time.time()-t0:.0f}s")
+
+
+def _load_tokens():
+    z = np.load(WORKDIR / "tokens.npz")
+    return z["flat"], z["offsets"]
+
+
+# --- Model/optimizer scaffolding ---------------------------------------------
+
+
+def _make_state(params_dtype, seed: int = 0, resume: str | None = None):
+    import jax.numpy as jnp
+
+    from raglite_tpu.models.transformer import init_encoder_params
+
+    if resume and (WORKDIR / resume).exists():
+        from raglite_tpu.models.transformer import load_npz_encoder
+
+        cfg, params, _ = load_npz_encoder(str(WORKDIR / resume), dtype=jnp.float32)
+        print(f"resumed params from {resume}")
+        return params
+    params = init_encoder_params(CFG, seed=seed, dtype=jnp.float32)
+    return params
+
+
+def _adamw(lr_schedule):
+    import optax
+
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(lr_schedule, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01),
+    )
+
+
+def _doc_sampler(flat, offsets, rng, min_len=24):
+    """Yield random document (start, length) with at least min_len tokens."""
+    lengths = np.diff(offsets)
+    ok = np.flatnonzero(lengths >= min_len)
+    while True:
+        idx = ok[rng.integers(0, ok.size)]
+        yield offsets[idx], lengths[idx]
+
+
+# --- Phase 1: masked language modeling ---------------------------------------
+
+
+def run_mlm(steps: int, batch: int, resume: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from raglite_tpu.models.transformer import EncoderModel, save_npz_encoder
+
+    flat, offsets = _load_tokens()
+    params = _make_state(jnp.float32, resume="mlm.npz" if resume else None)
+    model = EncoderModel(CFG)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, peak_value=4e-4, warmup_steps=min(1000, steps // 10),
+        decay_steps=steps, end_value=2e-5,
+    )
+    optimizer = _adamw(schedule)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, ids, labels, weights):
+        p16 = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, p
+        )
+        hidden = model.apply_tokens(p16, ids, ids != PAD)  # [B,T,d] fp32
+        logits = jnp.einsum(
+            "btd,vd->btv", hidden.astype(jnp.bfloat16), p16["tok_emb"],
+            preferred_element_type=jnp.float32,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+    @jax.jit
+    def train_step(p, o, ids, labels, weights):
+        loss, grads = jax.value_and_grad(loss_fn)(p, ids, labels, weights)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(0)
+    sampler = _doc_sampler(flat, offsets, rng, min_len=SEQ // 2)
+
+    def make_batch():
+        ids = np.full((batch, SEQ), PAD, np.int32)
+        labels = np.zeros((batch, SEQ), np.int32)
+        weights = np.zeros((batch, SEQ), np.float32)
+        for b in range(batch):
+            start, length = next(sampler)
+            take = min(length, SEQ)
+            off = start + (rng.integers(0, length - take + 1) if length > take else 0)
+            row = flat[off : off + take].astype(np.int32)
+            # 15% masking, 80/10/10 corruption.
+            n_mask = max(1, int(0.15 * take))
+            pos = rng.choice(take, size=n_mask, replace=False)
+            labels[b, pos] = row[pos]
+            weights[b, pos] = 1.0
+            corrupted = row.copy()
+            split = rng.random(n_mask)
+            corrupted[pos[split < 0.8]] = MASK
+            rand_pos = pos[(split >= 0.8) & (split < 0.9)]
+            corrupted[rand_pos] = rng.integers(4, CFG["vocab"], rand_pos.size)
+            ids[b, :take] = corrupted
+        return ids, labels, weights
+
+    from collections import deque
+
+    t0 = time.time()
+    losses = deque(maxlen=50)  # bounded: each entry is a live device scalar
+    for step in range(steps):
+        ids, labels, weights = make_batch()
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(weights)
+        )
+        losses.append(loss)
+        if (step + 1) % 200 == 0:
+            recent = float(np.mean([float(l) for l in losses]))
+            rate = (step + 1) / (time.time() - t0)
+            print(f"mlm step {step+1}/{steps} loss {recent:.3f} ({rate:.1f} steps/s)", flush=True)
+        if (step + 1) % 2000 == 0:
+            save_npz_encoder(str(WORKDIR / "mlm.npz"), params, CFG)
+    save_npz_encoder(str(WORKDIR / "mlm.npz"), params, CFG)
+    print(f"mlm done: final loss {float(np.mean([float(l) for l in losses])):.3f}")
+
+
+# --- Phase 2: contrastive (Contriever-style independent cropping) -------------
+
+
+def run_contrastive(steps: int, batch: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from raglite_tpu.models.transformer import (
+        EncoderModel,
+        load_npz_encoder,
+        save_npz_encoder,
+    )
+
+    flat, offsets = _load_tokens()
+    _, params, _ = load_npz_encoder(str(WORKDIR / "mlm.npz"), dtype=jnp.float32)
+    model = EncoderModel(CFG)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, peak_value=1e-4, warmup_steps=min(500, steps // 10),
+        decay_steps=steps, end_value=1e-5,
+    )
+    optimizer = _adamw(schedule)
+    opt_state = optimizer.init(params)
+    temp = 0.05
+
+    def embed(p, ids):
+        mask = ids != PAD
+        hidden = model.apply_tokens(p, ids, mask)
+        pooled = jnp.sum(hidden * mask[:, :, None], axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1, keepdims=True), 1
+        )
+        return pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=1, keepdims=True), 1e-6)
+
+    def loss_fn(p, a_ids, b_ids):
+        p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, p)
+        za = embed(p16, a_ids)
+        zb = embed(p16, b_ids)
+        logits = za @ zb.T / temp
+        labels = jnp.arange(za.shape[0])
+        loss_ab = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        loss_ba = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+        return 0.5 * (jnp.mean(loss_ab) + jnp.mean(loss_ba))
+
+    @jax.jit
+    def train_step(p, o, a_ids, b_ids):
+        loss, grads = jax.value_and_grad(loss_fn)(p, a_ids, b_ids)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(1)
+    sampler = _doc_sampler(flat, offsets, rng, min_len=48)
+
+    def crop(start, length, lo, hi):
+        size = int(rng.integers(lo, min(hi, length) + 1))
+        off = int(rng.integers(0, length - size + 1))
+        return flat[start + off : start + off + size].astype(np.int32)
+
+    def make_batch():
+        a = np.full((batch, SEQ), PAD, np.int32)
+        b = np.full((batch, SEQ), PAD, np.int32)
+        for i in range(batch):
+            start, length = next(sampler)
+            # Asymmetric crops: one passage-like, one short query-like span —
+            # matching the retrieval workload (short questions vs chunks).
+            ca = crop(start, length, 32, SEQ)
+            cb = crop(start, length, 8, 48)
+            a[i, : ca.size] = ca
+            b[i, : cb.size] = cb
+        return a, b
+
+    from collections import deque
+
+    t0 = time.time()
+    losses = deque(maxlen=50)
+    for step in range(steps):
+        a, b = make_batch()
+        params, opt_state, loss = train_step(params, opt_state, jnp.asarray(a), jnp.asarray(b))
+        losses.append(loss)
+        if (step + 1) % 100 == 0:
+            recent = float(np.mean([float(l) for l in losses]))
+            rate = (step + 1) / (time.time() - t0)
+            print(
+                f"contrastive step {step+1}/{steps} loss {recent:.3f} ({rate:.1f} steps/s)",
+                flush=True,
+            )
+        if (step + 1) % 1000 == 0:
+            save_npz_encoder(str(WORKDIR / "contrastive.npz"), params, CFG)
+    save_npz_encoder(str(WORKDIR / "contrastive.npz"), params, CFG)
+    print(f"contrastive done: final loss {float(np.mean([float(l) for l in losses])):.3f}")
+
+
+# --- Export -------------------------------------------------------------------
+
+
+def run_export() -> None:
+    import jax.numpy as jnp
+
+    from raglite_tpu.models.transformer import load_npz_encoder, save_npz_encoder
+
+    EXPORT.mkdir(parents=True, exist_ok=True)
+    src = WORKDIR / ("contrastive.npz" if (WORKDIR / "contrastive.npz").exists() else "mlm.npz")
+    cfg, params, _ = load_npz_encoder(str(src), dtype=jnp.float16)
+    save_npz_encoder(str(EXPORT / "encoder.npz"), params, cfg, dtype=np.float16)
+    (EXPORT / "tokenizer.json").write_text((WORKDIR / "tokenizer.json").read_text())
+    (EXPORT / "config.json").write_text(
+        json.dumps({**cfg, "pad_token_id": PAD, "bos_token_id": BOS, "eos_token_id": EOS})
+    )
+    size = os.path.getsize(EXPORT / "encoder.npz") / 1e6
+    print(f"exported {src.name} -> {EXPORT} ({size:.1f} MB)")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--phase", default="all",
+                        choices=["tokenizer", "tokens", "mlm", "contrastive", "export", "all"])
+    parser.add_argument("--steps", type=int, default=0)
+    parser.add_argument("--batch", type=int, default=0)
+    parser.add_argument("--resume", action="store_true")
+    args = parser.parse_args()
+    if args.phase in ("tokenizer", "all") and not (WORKDIR / "tokenizer.json").exists():
+        train_tokenizer()
+    if args.phase in ("tokens", "all") and not (WORKDIR / "tokens.npz").exists():
+        build_token_cache()
+    if args.phase in ("mlm", "all"):
+        run_mlm(args.steps or 20000, args.batch or 256, args.resume)
+    if args.phase in ("contrastive", "all"):
+        run_contrastive(args.steps or 4000, args.batch or 512)
+    if args.phase in ("export", "all"):
+        run_export()
+
+
+if __name__ == "__main__":
+    main()
