@@ -7,9 +7,13 @@ tokenization, and positioned text runs grouped into lines and blocks with
 per-span font name/size — the structure `markdown.py` consumes for
 font-size-based heading detection.
 
-Scope: text extraction for Flate/uncompressed PDFs with simple (Type1/TrueType)
-fonts.  CID/Type0 fonts without ToUnicode maps and image-only PDFs are out of
-scope; callers should fall back to another ingestion path for those.
+Scope: text extraction for Flate/uncompressed PDFs with simple (Type1/
+TrueType) fonts AND composite CID/Type0 fonts carrying ToUnicode CMaps
+(bfchar/bfrange, 1- and 2-byte code spaces) — the dominant modern-PDF
+encoding (subset fonts emitted by LaTeX/Word/Chrome print).  Type0 fonts
+WITHOUT a ToUnicode map (codes are raw glyph ids with no text meaning) and
+image-only PDFs remain out of scope; callers should fall back to another
+ingestion path for those.
 """
 
 from __future__ import annotations
@@ -281,7 +285,23 @@ _GLYPH_FIXUPS = {
 _CMSY_FIXUPS = {0x78: "§", 0x79: "†", 0x7A: "‡"}
 
 
-def _decode_text(raw: bytes, font_name: str) -> str:
+@dataclass
+class _FontInfo:
+    """Per-font decode state resolved from the page's /Font resources."""
+
+    name: str = "Unknown"
+    #: code → unicode string from the font's ToUnicode CMap (None = absent).
+    to_unicode: dict[int, str] | None = None
+    #: bytes per character code: 1 for simple fonts, 2 for Identity-H/CID.
+    code_bytes: int = 1
+    #: Type0/CID composite font (2-byte codes even without ToUnicode).
+    composite: bool = False
+
+
+_DEFAULT_FONT = _FontInfo()
+
+
+def _decode_simple(raw: bytes, font_name: str) -> str:
     if "CMSY" in font_name:
         return "".join(_CMSY_FIXUPS.get(b, chr(b) if 32 <= b < 127 else "") for b in raw)
     out = []
@@ -297,22 +317,129 @@ def _decode_text(raw: bytes, font_name: str) -> str:
     return "".join(out)
 
 
-def _page_font_map(pdf: _PdfFile, page_dict: bytes) -> dict[bytes, str]:
-    """Map content-stream font resource names (/F5) to BaseFont names."""
+def _decode_text(raw: bytes, font: _FontInfo) -> str:
+    """Decode a shown string through the font's ToUnicode CMap when present
+    (CID/Type0 and subset simple fonts), else the byte-encoding heuristics.
+
+    The reference reads these fonts through PDFium (pdftext,
+    /root/reference/src/raglite/_markdown.py:9,202)."""
+    if font.to_unicode is not None:
+        step = font.code_bytes
+        out: list[str] = []
+        for i in range(0, len(raw) - step + 1, step):
+            code = int.from_bytes(raw[i : i + step], "big")
+            mapped = font.to_unicode.get(code)
+            if mapped is None and step == 2 and not font.composite:
+                # Mixed 1/2-byte simple-font CMaps: retry the single byte.
+                mapped = font.to_unicode.get(raw[i])
+            out.append(mapped if mapped is not None else "")
+        return "".join(out)
+    if font.composite:
+        return ""  # raw glyph ids carry no text meaning without ToUnicode
+    return _decode_simple(raw, font.name)
+
+
+_HEX_TOKEN = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+
+
+def _utf16_hex(dst_hex: bytes) -> str:
+    """A CMap destination hex string -> unicode (UTF-16BE code units)."""
+    h = re.sub(rb"\s", b"", dst_hex)
+    if len(h) % 2:
+        h += b"0"
+    try:
+        data = bytes.fromhex(h.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return ""
+    if len(data) % 2:  # single-byte destination (rare, but legal per spec)
+        return data.decode("latin-1")
+    return data.decode("utf-16-be", "ignore")
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """Parse a ToUnicode CMap stream: bfchar pairs, bfrange triples (both the
+    incrementing and the array-destination form), and the codespacerange
+    which fixes the code width (PDF 32000 §9.10.3).  Returns
+    (code→unicode, bytes-per-code)."""
+    mapping: dict[int, str] = {}
+    code_bytes = 0
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S):
+        for h in re.finditer(rb"<([0-9A-Fa-f\s]*)>", m.group(1)):
+            clean = re.sub(rb"\s", b"", h.group(1))
+            code_bytes = max(code_bytes, (len(clean) + 1) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        items = re.findall(rb"<([0-9A-Fa-f\s]*)>", m.group(1))
+        for i in range(0, len(items) - 1, 2):
+            src_clean = re.sub(rb"\s", b"", items[i])
+            if src_clean:
+                mapping[int(src_clean, 16)] = _utf16_hex(items[i + 1])
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        tokens = list(_HEX_TOKEN.finditer(m.group(1)))
+        i = 0
+        while i + 2 < len(tokens) or (i + 2 == len(tokens) and tokens[i + 1].group(1) is not None):
+            lo_t, hi_t = tokens[i], tokens[i + 1] if i + 1 < len(tokens) else None
+            if lo_t.group(1) is None or hi_t is None or hi_t.group(1) is None:
+                i += 1
+                continue
+            lo = int(re.sub(rb"\s", b"", lo_t.group(1)) or b"0", 16)
+            hi = int(re.sub(rb"\s", b"", hi_t.group(1)) or b"0", 16)
+            if i + 2 >= len(tokens):
+                break
+            nxt = tokens[i + 2]
+            if nxt.group(2) is not None:  # array form: [ <d1> <d2> ... ]
+                j = i + 3
+                code = lo
+                while j < len(tokens) and tokens[j].group(3) is None:
+                    if tokens[j].group(1) is not None and code <= hi:
+                        mapping[code] = _utf16_hex(tokens[j].group(1))
+                        code += 1
+                    j += 1
+                i = j + 1
+            else:  # incrementing form: <lo> <hi> <dst>
+                base = _utf16_hex(nxt.group(1) or b"")
+                if base:
+                    # The increment applies to the LAST UTF-16 code unit.
+                    head, last = base[:-1], ord(base[-1])
+                    for offset in range(hi - lo + 1):
+                        mapping[lo + offset] = head + chr(last + offset)
+                i += 3
+    return mapping, code_bytes or 1
+
+
+def _font_info(pdf: _PdfFile, fdict: bytes) -> _FontInfo:
+    """Resolve one /Font resource dict into decode state."""
+    bm = re.search(rb"/BaseFont\s*/([#\w\-+.]+)", fdict)
+    name = bm.group(1).decode("latin-1") if bm else "Unknown"
+    composite = re.search(rb"/Subtype\s*/Type0\b", fdict) is not None
+    to_unicode: dict[int, str] | None = None
+    code_bytes = 2 if composite else 1
+    tu = pdf._dict_value(fdict, b"ToUnicode")
+    if tu is not None:
+        ref = re.match(rb"\s*(\d+)\s+\d+\s+R", tu)
+        if ref is not None:
+            stream = pdf.get_stream(int(ref.group(1)))
+            if stream:
+                to_unicode, declared = _parse_tounicode(stream)
+                # Identity-H composite codes are 2 bytes regardless of a
+                # sloppy 1-byte codespacerange in the ToUnicode CMap.
+                code_bytes = max(declared, 2) if composite else declared
+    return _FontInfo(name=name, to_unicode=to_unicode, code_bytes=code_bytes, composite=composite)
+
+
+def _page_font_map(pdf: _PdfFile, page_dict: bytes) -> dict[bytes, _FontInfo]:
+    """Map content-stream font resource names (/F5) to decode state."""
     res = pdf._dict_value(page_dict, b"Resources") or b""
     res = pdf.resolve(res)
     fonts_val = pdf._dict_value(res, b"Font") or b""
     fonts_val = pdf.resolve(fonts_val)
-    font_map: dict[bytes, str] = {}
+    font_map: dict[bytes, _FontInfo] = {}
     for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fonts_val):
         fdict = pdf.objects.get(int(m.group(2)), (b"", None))[0]
-        bm = re.search(rb"/BaseFont\s*/([#\w\-+.]+)", fdict)
-        base = bm.group(1).decode("latin-1") if bm else "Unknown"
-        font_map[m.group(1)] = base
+        font_map[m.group(1)] = _font_info(pdf, fdict)
     return font_map
 
 
-def _extract_page_spans(pdf: _PdfFile, content: bytes, font_map: dict[bytes, str]) -> list[PdfSpan]:  # noqa: C901, PLR0912, PLR0915
+def _extract_page_spans(pdf: _PdfFile, content: bytes, font_map: dict[bytes, _FontInfo]) -> list[PdfSpan]:  # noqa: C901, PLR0912, PLR0915
     """Interpret enough of the text operators to get positioned runs.
 
     Implements proper text-matrix composition (PDF 32000 §9.4.2): ``Td``/``TD``
@@ -322,7 +449,7 @@ def _extract_page_spans(pdf: _PdfFile, content: bytes, font_map: dict[bytes, str
     spans: list[PdfSpan] = []
     stack: list[float | bytes] = []
     names: list[bytes] = []
-    font, size = "Unknown", 10.0
+    font, size = _DEFAULT_FONT, 10.0
     tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # current text matrix [a b c d e f]
     tlm = list(tm)  # line matrix
     leading = 0.0
@@ -346,11 +473,12 @@ def _extract_page_spans(pdf: _PdfFile, content: bytes, font_map: dict[bytes, str
         text = _decode_text(raw, font)
         span = None
         if text:
-            span = PdfSpan(text, font, round(eff_size(), 2), tm[4], tm[5])
+            span = PdfSpan(text, font.name, round(eff_size(), 2), tm[4], tm[5])
             spans.append(span)
         # Advance along the baseline (~0.5 em per glyph; real width tables
-        # are not needed for extraction-quality ordering).
-        adv = 0.5 * size * len(raw)
+        # are not needed for extraction-quality ordering).  Composite fonts
+        # consume code_bytes bytes per glyph.
+        adv = 0.5 * size * (len(raw) // font.code_bytes)
         tm = [tm[0], tm[1], tm[2], tm[3], adv * tm[0] + tm[4], adv * tm[1] + tm[5]]
         if span is not None:
             span.x_end = tm[4]
@@ -377,7 +505,7 @@ def _extract_page_spans(pdf: _PdfFile, content: bytes, font_map: dict[bytes, str
         elif kind == "op":
             op = val
             if op == b"Tf" and names:
-                font = font_map.get(names[-1], names[-1].decode("latin-1"))
+                font = font_map.get(names[-1]) or _FontInfo(name=names[-1].decode("latin-1"))
                 size = float(stack[-1]) if stack and isinstance(stack[-1], float) else size
             elif op == b"Td" and len(stack) >= 2:
                 translate_tlm(float(stack[-2]), float(stack[-1]))  # type: ignore[arg-type]
@@ -407,7 +535,7 @@ def _extract_page_spans(pdf: _PdfFile, content: bytes, font_map: dict[bytes, str
                         show(item)
                     elif isinstance(item, float):
                         if item < -120:  # inter-word gap in em-thousandths
-                            spans.append(PdfSpan(" ", font, round(eff_size(), 2), tm[4], tm[5]))
+                            spans.append(PdfSpan(" ", font.name, round(eff_size(), 2), tm[4], tm[5]))
                         kern(item)
                 in_array = []
             stack.clear()
