@@ -43,6 +43,14 @@ class KeywordIndex:
     with identical behavior.
     """
 
+    #: Dead-chunk fraction above which the postings fully rebuild.  Below
+    #: it, deletes are handled by masking dead ordinals at query time —
+    #: O(postings touched) per query instead of the reference's full FTS
+    #: rebuild on EVERY mutation (_insert.py:268-272, _delete.py:130-178).
+    #: idf/avg_len drift from dead postings is bounded by this fraction and
+    #: snaps back exactly at rebuild.
+    REBUILD_DEAD_FRACTION = 0.3
+
     def __init__(self) -> None:
         import threading
 
@@ -54,6 +62,13 @@ class KeywordIndex:
         self._synced_version = -1
         self._native = None
         self._csr: dict | None = None  # exported CSR cache (native path)
+        self._ordinal: dict[str, int] = {}  # chunk id -> postings ordinal
+        self._dead: set[int] = set()  # ALL tombstoned ordinals (masked at query)
+        #: tombstoned ordinals whose postings still exist (tombstoned since
+        #: the last rebuild) — only these drive the rebuild threshold;
+        #: ordinals rebuilt-with-empty-bodies carry no postings to drop.
+        self._stale_dead: set[int] = set()
+        self._alive_mask: np.ndarray | None = None  # cache over self._dead
         try:
             from raglite_tpu.native import NativePostingsBuilder, native_available
 
@@ -67,6 +82,7 @@ class KeywordIndex:
     def _add_chunk(self, chunk_id: str, text: str) -> None:
         ordinal = len(self.chunk_ids)
         self.chunk_ids.append(chunk_id)
+        self._ordinal[chunk_id] = ordinal
         if self._native is not None:
             self._native.add_chunk(text)
             self._csr = None
@@ -82,6 +98,8 @@ class KeywordIndex:
         self.chunk_ids = []
         self._postings = {}
         self.doc_len = []
+        self._ordinal = {}
+        self._alive_mask = None
         if self._native is not None:
             from raglite_tpu.native import NativePostingsBuilder
 
@@ -89,6 +107,12 @@ class KeywordIndex:
             self._csr = None
         for cid in store.chunk_order:
             self._add_chunk(cid, self._chunk_body(store, cid))
+        # Tombstoned ordinals re-add with EMPTY bodies (slot alignment with
+        # store.chunk_order), so their postings are gone: nothing is stale.
+        self._dead = {
+            self._ordinal[cid] for cid in store.deleted_chunks if cid in self._ordinal
+        }
+        self._stale_dead = set()
         self._synced_version = store.version
 
     @staticmethod
@@ -108,21 +132,49 @@ class KeywordIndex:
     def _sync_locked(self, store: "Store") -> None:
         if self._synced_version == store.version:
             return  # another thread synced while we waited
-        if (
-            len(store.deleted_chunks) == getattr(self, "_synced_deleted", 0)
-            and len(store.chunk_order) >= len(self.chunk_ids)
-            and store.chunk_order[: len(self.chunk_ids)] == self.chunk_ids
+        if len(store.chunk_order) >= len(self.chunk_ids) and (
+            store.chunk_order[: len(self.chunk_ids)] == self.chunk_ids
         ):
+            # Incremental: append new chunks, tombstone deleted ordinals.
             for cid in store.chunk_order[len(self.chunk_ids) :]:
                 self._add_chunk(cid, self._chunk_body(store, cid))
-            self._synced_version = store.version
+            new_dead = {
+                self._ordinal[cid]
+                for cid in store.deleted_chunks
+                if cid in self._ordinal
+            } - self._dead
+            if new_dead:
+                self._dead |= new_dead
+                self._stale_dead |= new_dead
+                self._alive_mask = None
+                # Drop dead doc lengths so avg_len tracks the live corpus
+                # (the CSR export re-zeroes them on refresh).
+                for ordinal in new_dead:
+                    if ordinal < len(self.doc_len):
+                        self.doc_len[ordinal] = 0
+            # Stale (still-posted) dead chunks are masked per query until
+            # they become a large fraction of the LIVE corpus, THEN one
+            # amortized rebuild drops them (and corrects the bounded idf
+            # drift) — versus the reference's full FTS rebuild on every
+            # mutation (_delete.py:130-178).
+            alive_count = max(len(self.chunk_ids) - len(self._dead), 1)
+            if len(self._stale_dead) > self.REBUILD_DEAD_FRACTION * alive_count:
+                self.rebuild(store)
+            else:
+                self._synced_version = store.version
         else:
-            # Deletes rebuild the postings so df/avg_len drop with the dead
-            # chunks — otherwise BM25 ranking would drift from what a fresh
-            # build produces (the reference rebuilds its FTS index on delete
-            # the same way, _delete.py:130-178).
+            # Prefix changed (compaction reordered ordinals): full rebuild.
             self.rebuild(store)
-        self._synced_deleted = len(store.deleted_chunks)
+
+    def _alive(self) -> np.ndarray | None:
+        """Bool mask over ordinals, False where tombstoned (None = all alive)."""
+        if not self._dead:
+            return None
+        if self._alive_mask is None or self._alive_mask.size != len(self.chunk_ids):
+            mask = np.ones(len(self.chunk_ids), dtype=bool)
+            mask[np.fromiter(self._dead, dtype=np.int64, count=len(self._dead))] = False
+            self._alive_mask = mask
+        return self._alive_mask
 
     # --- Search ---------------------------------------------------------
 
@@ -139,6 +191,9 @@ class KeywordIndex:
             if self._csr is None:
                 self._csr = self._native.export()
                 self.doc_len = [int(x) for x in self._csr["doc_len"]]
+                for ordinal in self._dead:  # dead chunks leave avg_len
+                    if ordinal < len(self.doc_len):
+                        self.doc_len[ordinal] = 0
             csr = self._csr
             term_ids = np.unique(self._native.tokenize_lookup(query))
             for tid in term_ids:
@@ -165,6 +220,10 @@ class KeywordIndex:
         chunk = np.concatenate(rows_chunk).astype(np.int32)
         tf = np.concatenate(rows_tf).astype(np.float32)
         idf = np.concatenate(rows_idf).astype(np.float32)
+        alive = self._alive()
+        if alive is not None:  # tombstoned chunks never score
+            keep = alive[chunk]
+            chunk, tf, idf = chunk[keep], tf[keep], idf[keep]
         if chunk_mask is not None:
             keep = chunk_mask[chunk]
             chunk, tf, idf = chunk[keep], tf[keep], idf[keep]

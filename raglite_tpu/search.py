@@ -213,8 +213,10 @@ def keyword_search(
 
         metadata_filter = {**self_query_filter(query, config=config), **(metadata_filter or {})}
     index = keyword_index_from_config(config)
-    # Tombstoned chunks are masked here (the dense index masks them via its
-    # device valid bits; BM25 postings keep them until store compaction).
+    # Tombstoned chunks are masked twice over: the keyword index masks its
+    # own dead ordinals (and amortizes postings rebuilds at >30% dead,
+    # KeywordIndex._sync_locked); the store's alive mask covers any sync
+    # lag.  The dense index masks via its device valid bits.
     chunk_mask = _chunk_mask(store, metadata_filter) if metadata_filter else store.alive_mask()
     ids, scores = index.search(query, num_hits=num_results, chunk_mask=chunk_mask)
     return ids[:num_results], scores[:num_results]
