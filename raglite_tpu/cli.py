@@ -280,7 +280,7 @@ def stats(config: RAGLiteConfig) -> None:
     from raglite_tpu.store import store_from_config
 
     store = store_from_config(config)
-    num_vectors = sum(m.shape[0] for m in store.embeddings.values())
+    num_vectors = store.num_embedding_vectors
     click.echo(
         json.dumps(
             {

@@ -50,10 +50,246 @@ from raglite_tpu.types import ChunkId, DocumentId
 if TYPE_CHECKING:
     from raglite_tpu.config import RAGLiteConfig
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 #: Compact the chunk log when tombstones exceed this fraction of it.
 COMPACTION_TOMBSTONE_FRACTION = 0.5
+
+
+class _Segment:
+    """Lazy random access to one on-disk segment (format v3).
+
+    v3 segments add sidecars beside the embeddings so a 10M-chunk store
+    opens without decoding a single chunk record (VERDICT r2 task #7):
+
+    - ``records.msgpack``   concatenated INDIVIDUALLY-packed records
+    - ``records.idx.npy``   int64 byte offsets [n+1] into records.msgpack
+    - ``ids.msgpack``       the n chunk ids (for chunk_order)
+    - ``aux.msgpack``       {"doc_table": [...], "meta_table": [[k, v], ...]}
+    - ``aux.npz``           doc_idx int32[n], chunk_index int32[n],
+                            meta_<j> int64[...] local ordinals per meta pair
+
+    Record payloads and embeddings are memory-mapped; decoding happens per
+    touched record, so resident memory is O(touched), not O(corpus).
+    """
+
+    def __init__(self, seg_dir: Path, start: int) -> None:
+        self.dir = seg_dir
+        self.start = start  # global ordinal of this segment's first chunk
+        self._offsets = np.load(seg_dir / "records.idx.npy", mmap_mode="r")
+        self.n = int(self._offsets.shape[0]) - 1
+        self._buf: np.memmap | None = None
+        self._aux: dict | None = None
+        self._aux_npz = None
+        self._emb: np.ndarray | None = None
+        self._emb_bounds: np.ndarray | None = None
+
+    @staticmethod
+    def is_v3(seg_dir: Path) -> bool:
+        return (seg_dir / "records.idx.npy").exists()
+
+    def ids(self) -> list[str]:
+        return msgpack.unpackb((self.dir / "ids.msgpack").read_bytes(), raw=False)
+
+    def record(self, local: int) -> dict[str, Any]:
+        if self._buf is None:
+            self._buf = np.memmap(self.dir / "records.msgpack", dtype=np.uint8, mode="r")
+        lo, hi = int(self._offsets[local]), int(self._offsets[local + 1])
+        return msgpack.unpackb(self._buf[lo:hi].tobytes(), raw=False)
+
+    def embedding(self, local: int) -> np.ndarray:
+        if self._emb is None:
+            self._emb = np.load(self.dir / "embeddings.npy", mmap_mode="r")
+            counts = np.load(self.dir / "counts.npy")
+            self._emb_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        lo, hi = int(self._emb_bounds[local]), int(self._emb_bounds[local + 1])
+        return self._emb[lo:hi]
+
+    def aux(self) -> tuple[dict, Any]:
+        if self._aux is None:
+            self._aux = msgpack.unpackb((self.dir / "aux.msgpack").read_bytes(), raw=False)
+            self._aux_npz = np.load(self.dir / "aux.npz", mmap_mode="r")
+        return self._aux, self._aux_npz
+
+
+class _LazyChunks:
+    """MutableMapping-shaped chunk-record table: an overlay dict for
+    unsaved/absorbed records plus on-demand decodes from v3 segments.
+    Deleted ids resolve through ``removed`` (the store's tombstone set).
+
+    Iteration/len decode nothing (ids come from the ordinal map), but
+    ``values()``/``items()`` touch every record — hot paths must not call
+    them (Store keeps sidecar-driven equivalents)."""
+
+    def __init__(
+        self,
+        overlay: dict[str, Chunk],
+        segments: list[_Segment],
+        ordinal_of: dict[str, int],
+        removed: set[str],
+    ) -> None:
+        self.overlay = overlay
+        self._segments = segments
+        self._starts = [s.start for s in segments]
+        self._ordinal_of = ordinal_of
+        self.removed = removed
+
+    def _segment_record(self, cid: str) -> dict[str, Any] | None:
+        ordinal = self._ordinal_of.get(cid)
+        if ordinal is None:
+            return None
+        import bisect
+
+        i = bisect.bisect_right(self._starts, ordinal) - 1
+        if i < 0:
+            return None
+        seg = self._segments[i]
+        local = ordinal - seg.start
+        if local >= seg.n:
+            return None
+        rec = seg.record(local)
+        return rec if rec.get("index", -1) >= 0 and rec.get("id") == cid else None
+
+    def __getitem__(self, cid: str) -> Chunk:
+        chunk = self.overlay.get(cid)
+        if chunk is not None:
+            return chunk
+        if cid in self.removed:
+            raise KeyError(cid)
+        rec = self._segment_record(cid)
+        if rec is None:
+            raise KeyError(cid)
+        return Chunk(
+            id=rec["id"],
+            document_id=rec["document_id"],
+            index=rec["index"],
+            headings=rec["headings"],
+            body=rec["body"],
+            metadata_=rec["metadata_"],
+        )
+
+    def get(self, cid: str, default: Chunk | None = None) -> Chunk | None:
+        try:
+            return self[cid]
+        except KeyError:
+            return default
+
+    def __setitem__(self, cid: str, chunk: Chunk) -> None:
+        # NOTE: does not clear a tombstone for the same id — matches the
+        # eager dict semantics (tombstones are per-id and independently
+        # tracked in store.deleted_chunks).
+        self.overlay[cid] = chunk
+
+    def __delitem__(self, cid: str) -> None:
+        existed = self.overlay.pop(cid, None) is not None
+        if not existed and self._ordinal_of.get(cid) is None:
+            raise KeyError(cid)
+        self.removed.add(cid)
+
+    def __contains__(self, cid: str) -> bool:
+        return self.get(cid) is not None
+
+    def __iter__(self):
+        seen = set(self.overlay)
+        yield from self.overlay
+        for cid in self._ordinal_of:
+            if cid not in seen and cid not in self.removed:
+                yield cid
+
+    def __len__(self) -> int:
+        n = len(self.overlay)
+        for cid in self._ordinal_of:
+            if cid not in self.overlay and cid not in self.removed:
+                n += 1
+        return n
+
+    def keys(self):
+        return list(self)
+
+    def values(self):
+        return [self[cid] for cid in self]
+
+    def items(self):
+        return [(cid, self[cid]) for cid in self]
+
+    def pop(self, cid: str, default: Chunk | None = None) -> Chunk | None:
+        found = self.get(cid)
+        if found is None:
+            return default
+        del self[cid]
+        return found
+
+    def discard(self, cid: str) -> None:
+        """Remove without decoding (deletes must not fault records in)."""
+        self.overlay.pop(cid, None)
+        if cid in self._ordinal_of:
+            self.removed.add(cid)
+
+
+class _LazyEmbeddings:
+    """Mapping-shaped embedding table: overlay for unsaved matrices plus
+    per-touch views into the segments' memory-mapped fp16 files."""
+
+    def __init__(
+        self,
+        overlay: dict[str, np.ndarray],
+        segments: list[_Segment],
+        ordinal_of: dict[str, int],
+    ) -> None:
+        self.overlay = overlay
+        self._segments = segments
+        self._starts = [s.start for s in segments]
+        self._ordinal_of = ordinal_of
+
+    def __getitem__(self, cid: str) -> np.ndarray:
+        matrix = self.overlay.get(cid)
+        if matrix is not None:
+            return matrix
+        ordinal = self._ordinal_of.get(cid)
+        if ordinal is None:
+            raise KeyError(cid)
+        import bisect
+
+        i = bisect.bisect_right(self._starts, ordinal) - 1
+        if i < 0:
+            raise KeyError(cid)
+        seg = self._segments[i]
+        local = ordinal - seg.start
+        if local >= seg.n:
+            raise KeyError(cid)
+        return seg.embedding(local)
+
+    def get(self, cid: str, default: np.ndarray | None = None) -> np.ndarray | None:
+        try:
+            return self[cid]
+        except KeyError:
+            return default
+
+    def __setitem__(self, cid: str, matrix: np.ndarray) -> None:
+        self.overlay[cid] = matrix
+
+    def __contains__(self, cid: str) -> bool:
+        return cid in self.overlay or cid in self._ordinal_of
+
+    def __iter__(self):
+        seen = set(self.overlay)
+        yield from self.overlay
+        for cid in self._ordinal_of:
+            if cid not in seen:
+                yield cid
+
+    def __len__(self) -> int:
+        n = len(self.overlay)
+        for cid in self._ordinal_of:
+            if cid not in self.overlay:
+                n += 1
+        return n
+
+    def values(self):
+        return [self[cid] for cid in self]
+
+    def items(self):
+        return [(cid, self[cid]) for cid in self]
 
 
 class Store:
@@ -77,9 +313,16 @@ class Store:
         #: Metadata field name -> known values (reference: Metadata table,
         #: _database.py:465-472; drives self-query filter extraction).
         self.metadata: dict[str, list[Any]] = {}
-        #: field -> value -> chunk ordinals holding it (incremental; powers
-        #: O(matching) filtered search instead of an O(corpus) scan).
-        self._meta_postings: dict[str, dict[Any, list[int]]] = {}
+        #: field -> value -> chunk ordinals holding it (powers O(matching)
+        #: filtered search instead of an O(corpus) scan).  Split in two so a
+        #: lazy open can adopt segment sidecar arrays without decoding
+        #: records: `_meta_postings` holds loaded base arrays (np.int64) or
+        #: rebuilt lists; `_meta_overlay` collects incremental inserts.
+        self._meta_postings: dict[str, dict[Any, Any]] = {}
+        self._meta_overlay: dict[str, dict[Any, list[int]]] = {}
+        #: v3 lazy-open state (empty when the store is eager/in-memory).
+        self._lazy_segments: list[_Segment] = []
+        self._ordinal_of: dict[ChunkId, int] = {}
         #: Auxiliary state, e.g. the query adapter (reference: IndexMetadata
         #: table, _database.py:433-462) — persisted WITHOUT pickle.
         self.index_metadata: dict[str, Any] = {}
@@ -141,27 +384,55 @@ class Store:
             values = value if isinstance(value, list) else [value]
             for v in values:
                 if isinstance(v, (str, int, float, bool)):
-                    self._meta_postings.setdefault(key, {}).setdefault(v, []).append(ordinal)
+                    self._meta_overlay.setdefault(key, {}).setdefault(v, []).append(ordinal)
 
     def add_chunks(self, chunks: list[Chunk], embeddings: list[np.ndarray]) -> None:
         for chunk, matrix in zip(chunks, embeddings):
             ordinal = len(self.chunk_order)
             self.chunks[chunk.id] = chunk
             self.chunk_order.append(chunk.id)
+            if self._ordinal_of:
+                self._ordinal_of[chunk.id] = ordinal
             self.embeddings[chunk.id] = np.asarray(matrix, dtype=np.float16)
             self._post_metadata(ordinal, chunk.metadata_)
         self.version += 1
+
+    def _chunk_ids_for_documents(self, doomed: set[DocumentId]) -> list[ChunkId]:
+        """Alive chunk ids belonging to the given documents.  Lazy stores
+        answer from the segments' doc-index sidecars (vectorized, no record
+        decode); eager stores scan the dict."""
+        if isinstance(self.chunks, _LazyChunks):
+            out = {
+                cid
+                for cid, chunk in self.chunks.overlay.items()
+                if chunk.document_id in doomed
+            }
+            for seg in self._lazy_segments:
+                aux, npz = seg.aux()
+                targets = [i for i, d in enumerate(aux["doc_table"]) if d in doomed]
+                if not targets:
+                    continue
+                hits = np.flatnonzero(
+                    np.isin(np.asarray(npz["doc_idx"]), np.asarray(targets, np.int32))
+                )
+                for local in hits:
+                    cid = self.chunk_order[seg.start + int(local)]
+                    if cid not in self.deleted_chunks:
+                        out.add(cid)
+            return sorted(out)
+        return [cid for cid, chunk in list(self.chunks.items()) if chunk.document_id in doomed]
 
     def delete_documents(self, document_ids: list[DocumentId]) -> list[ChunkId]:
         """Tombstone every chunk of the given documents (O(doc chunks), no
         renumbering); compaction reclaims space when tombstones dominate."""
         doomed = set(document_ids)
-        removed: list[ChunkId] = []
-        for cid, chunk in list(self.chunks.items()):
-            if chunk.document_id in doomed:
-                removed.append(cid)
-                del self.chunks[cid]
-                self.deleted_chunks.add(cid)
+        removed = self._chunk_ids_for_documents(doomed)
+        for cid in removed:
+            if isinstance(self.chunks, _LazyChunks):
+                self.chunks.discard(cid)  # decode-free tombstone
+            else:
+                self.chunks.pop(cid, None)
+            self.deleted_chunks.add(cid)
         for did in document_ids:
             self.documents.pop(did, None)
             self._locally_deleted_documents.add(did)
@@ -177,12 +448,25 @@ class Store:
 
     def compact(self) -> None:
         """Rewrite the chunk log without tombstones (the analogue of the
-        reference's ``hnsw_compact_index`` + FTS rebuild postlude)."""
+        reference's ``hnsw_compact_index`` + FTS rebuild postlude).
+
+        A lazily-opened store materializes its records here (compaction is
+        inherently O(corpus): every surviving record is rewritten by the
+        next save anyway)."""
         alive = [cid for cid in self.chunk_order if cid not in self.deleted_chunks]
         self.chunk_order = alive
-        self.embeddings = {cid: self.embeddings[cid] for cid in alive}
+        self.embeddings = {cid: np.asarray(self.embeddings[cid]) for cid in alive}
+        if isinstance(self.chunks, _LazyChunks):
+            self.chunks = {
+                cid: chunk
+                for cid in alive
+                if (chunk := self.chunks.get(cid)) is not None
+            }
+            self._lazy_segments = []
+            self._ordinal_of = {}
         self.deleted_chunks = set()
         self._meta_postings = {}
+        self._meta_overlay = {}
         for ordinal, cid in enumerate(alive):
             self._post_metadata(ordinal, self.chunks[cid].metadata_)
         self.generation += 1
@@ -241,6 +525,17 @@ class Store:
     def num_alive_chunks(self) -> int:
         return len(self.chunk_order) - len(self.deleted_chunks)
 
+    @property
+    def num_embedding_vectors(self) -> int:
+        """Total sub-vectors across all chunks.  Lazy stores answer from the
+        segments' count files (stats must not materialize 10M views)."""
+        if isinstance(self.embeddings, _LazyEmbeddings):
+            total = sum(
+                int(np.load(seg.dir / "counts.npy").sum()) for seg in self._lazy_segments
+            )
+            return total + sum(m.shape[0] for m in self.embeddings.overlay.values())
+        return sum(m.shape[0] for m in self.embeddings.values())
+
     def alive_chunk_ids(self) -> list[ChunkId]:
         if not self.deleted_chunks:
             return list(self.chunk_order)
@@ -276,7 +571,22 @@ class Store:
         version — span retrieval at 10M chunks must not scan the table."""
         cached = getattr(self, "_position_cache", None)
         if cached is None or cached[0] != self.version:
-            position = {(c.document_id, c.index): cid for cid, c in self.chunks.items()}
+            if isinstance(self.chunks, _LazyChunks):
+                # Sidecar-driven build: doc/index arrays, no record decode.
+                position = {}
+                for seg in self._lazy_segments:
+                    aux, npz = seg.aux()
+                    doc_table = aux["doc_table"]
+                    doc_idx = np.asarray(npz["doc_idx"])
+                    chunk_index = np.asarray(npz["chunk_index"])
+                    for local in np.flatnonzero(doc_idx >= 0):
+                        cid = self.chunk_order[seg.start + int(local)]
+                        if cid not in self.deleted_chunks:
+                            position[(doc_table[int(doc_idx[local])], int(chunk_index[local]))] = cid
+                for cid, c in self.chunks.overlay.items():  # newest wins
+                    position[(c.document_id, c.index)] = cid
+            else:
+                position = {(c.document_id, c.index): cid for cid, c in self.chunks.items()}
             self._position_cache = (self.version, position)
         else:
             position = cached[1]
@@ -315,11 +625,11 @@ class Store:
             if not all(isinstance(w, (str, int, float, bool)) for w in wanted_list):
                 return self._chunk_mask_scan(metadata_filter)
             key_mask = np.zeros(n, dtype=np.bool_)
-            postings = self._meta_postings.get(key, {})
-            for w in wanted_list:
-                ords = postings.get(w)
-                if ords:
-                    key_mask[np.asarray(ords, dtype=np.int64)] = True
+            for postings in (self._meta_postings.get(key, {}), self._meta_overlay.get(key, {})):
+                for w in wanted_list:
+                    ords = postings.get(w)
+                    if ords is not None and len(ords):
+                        key_mask[np.asarray(ords, dtype=np.int64)] = True
             mask = key_mask if mask is None else (mask & key_mask)
             if not mask.any():
                 return mask
@@ -353,6 +663,52 @@ class Store:
             "metadata_": c.metadata_,
         }
 
+    def _write_segment_records(self, seg_dir: Path, new_ids: list[ChunkId]) -> None:
+        """Write the v3 record stream + lazy-access sidecars (offsets, ids,
+        doc/position/meta aux) so a later open touches no record bytes."""
+        offsets = [0]
+        with open(seg_dir / "records.msgpack", "wb") as fh:
+            for cid in new_ids:
+                payload = msgpack.packb(self._chunk_record(cid), use_bin_type=True)
+                fh.write(payload)
+                offsets.append(offsets[-1] + len(payload))
+        np.save(seg_dir / "records.idx.npy", np.asarray(offsets, dtype=np.int64))
+        (seg_dir / "ids.msgpack").write_bytes(msgpack.packb(list(new_ids), use_bin_type=True))
+        # Aux sidecars: per-record document + chunk index (drives neighbor/
+        # span lookup and delete-by-document) and localized metadata
+        # postings (drives filtered search) — all loadable as flat arrays.
+        doc_table: list[str] = []
+        doc_index: dict[str, int] = {}
+        doc_idx = np.full(len(new_ids), -1, dtype=np.int32)
+        chunk_index = np.full(len(new_ids), -1, dtype=np.int32)
+        meta_locals: dict[tuple[str, Any], list[int]] = {}
+        for local, cid in enumerate(new_ids):
+            chunk = self.chunks.get(cid)
+            if chunk is None:  # tombstoned before ever being saved
+                continue
+            di = doc_index.get(chunk.document_id)
+            if di is None:
+                di = doc_index[chunk.document_id] = len(doc_table)
+                doc_table.append(chunk.document_id)
+            doc_idx[local] = di
+            chunk_index[local] = chunk.index
+            for key, value in chunk.metadata_.items():
+                values = value if isinstance(value, list) else [value]
+                for v in values:
+                    if isinstance(v, (str, int, float, bool)):
+                        meta_locals.setdefault((key, v), []).append(local)
+        meta_table = [[k, v] for (k, v) in meta_locals]
+        arrays = {
+            "doc_idx": doc_idx,
+            "chunk_index": chunk_index,
+        }
+        for j, key in enumerate(meta_locals):
+            arrays[f"meta_{j}"] = np.asarray(meta_locals[key], dtype=np.int64)
+        (seg_dir / "aux.msgpack").write_bytes(
+            msgpack.packb({"doc_table": doc_table, "meta_table": meta_table}, use_bin_type=True)
+        )
+        np.savez(seg_dir / "aux.npz", **arrays)
+
     def save(self) -> None:
         """Append a segment with the not-yet-persisted chunk-log suffix and
         rewrite the (small) head: O(new chunks), not O(corpus).
@@ -370,9 +726,7 @@ class Store:
             seg_name = f"seg-{self.generation:04d}-{self._saved_chunks:010d}"
             seg_dir = root / "segments" / seg_name
             seg_dir.mkdir(parents=True, exist_ok=True)
-            (seg_dir / "records.msgpack").write_bytes(
-                msgpack.packb([self._chunk_record(cid) for cid in new_ids], use_bin_type=True)
-            )
+            self._write_segment_records(seg_dir, new_ids)
             counts = np.asarray(
                 [self.embeddings[cid].shape[0] for cid in new_ids], dtype=np.int64
             )
@@ -429,12 +783,27 @@ class Store:
         elif (root / "records.msgpack").exists():
             self._load_legacy_v1(root)
         self._load_index_metadata(root)
-        # Rebuild the metadata postings (O(corpus), once per open).
+        if self._lazy_segments:
+            return  # postings came from the aux sidecars — no record decode
+        # Eager open (legacy formats / in-memory): rebuild the metadata
+        # postings by scanning records, O(corpus), once per open.
         self._meta_postings = {}
+        self._meta_overlay = {}
         for ordinal, cid in enumerate(self.chunk_order):
             chunk = self.chunks.get(cid)
             if chunk is not None:
                 self._post_metadata(ordinal, chunk.metadata_)
+
+    @staticmethod
+    def _read_segment_records(seg_dir: Path) -> list[dict[str, Any]]:
+        """All records of one segment: v3 streams decode via Unpacker, v2
+        segments hold one packed list."""
+        raw = (seg_dir / "records.msgpack").read_bytes()
+        if _Segment.is_v3(seg_dir):
+            import io
+
+            return list(msgpack.Unpacker(io.BytesIO(raw), raw=False))
+        return msgpack.unpackb(raw, raw=False)
 
     @staticmethod
     def _read_log(
@@ -448,7 +817,7 @@ class Store:
         embeddings: dict[ChunkId, np.ndarray] = {}
         for seg_name in head.get("segments", []):
             seg_dir = root / "segments" / seg_name
-            records = msgpack.unpackb((seg_dir / "records.msgpack").read_bytes(), raw=False)
+            records = Store._read_segment_records(seg_dir)
             counts = np.load(seg_dir / "counts.npy")
             # Memory-map the embedding matrix: per-chunk views keep resident
             # memory bounded at 10M-chunk scale.
@@ -480,9 +849,42 @@ class Store:
         self.deleted_chunks = set(head.get("deleted_chunks", []))
         self.generation = head.get("generation", 0)
         self._segments = list(head.get("segments", []))
-        self.chunk_order, self.chunks, self.embeddings = self._read_log(root, head)
+        seg_dirs = [root / "segments" / name for name in self._segments]
+        if seg_dirs and all(_Segment.is_v3(d) for d in seg_dirs):
+            self._open_lazy(seg_dirs)
+        else:  # pre-v3 segments (or none): eager record decode
+            self.chunk_order, self.chunks, self.embeddings = self._read_log(root, head)
         self.version = head.get("version", 0)
         self._saved_chunks = len(self.chunk_order)
+
+    def _open_lazy(self, seg_dirs: list[Path]) -> None:
+        """Open v3 segments without decoding any chunk record: ids come from
+        the id sidecars, metadata postings from the aux sidecars, records
+        and embeddings resolve per touch through memory-maps — resident
+        memory is O(touched records), not O(corpus) (VERDICT r2 task #7)."""
+        start = 0
+        order: list[ChunkId] = []
+        segments: list[_Segment] = []
+        for seg_dir in seg_dirs:
+            seg = _Segment(seg_dir, start)
+            order.extend(seg.ids())
+            start += seg.n
+            segments.append(seg)
+        self.chunk_order = order
+        self._lazy_segments = segments
+        self._ordinal_of = {cid: i for i, cid in enumerate(order)}
+        self.chunks = _LazyChunks({}, segments, self._ordinal_of, self.deleted_chunks)
+        self.embeddings = _LazyEmbeddings({}, segments, self._ordinal_of)
+        # Metadata postings from the sidecars (flat int arrays, no records).
+        self._meta_postings = {}
+        self._meta_overlay = {}
+        for seg in segments:
+            aux, npz = seg.aux()
+            for j, (key, value) in enumerate(aux["meta_table"]):
+                ords = np.asarray(npz[f"meta_{j}"], dtype=np.int64) + seg.start
+                bucket = self._meta_postings.setdefault(key, {})
+                prev = bucket.get(value)
+                bucket[value] = ords if prev is None else np.concatenate([prev, ords])
         self._disk_state = (self.version, self.generation, tuple(self._segments))
 
     def absorb_concurrent(self) -> None:
@@ -550,8 +952,12 @@ class Store:
                 chunks[cid] = self.chunks[cid]
             embeddings[cid] = np.asarray(self.embeddings[cid], dtype=np.float16)
         self.chunk_order = order + suffix
+        # The merge materializes eager tables (a lazily-opened store drops
+        # its segment handles — the absorbed log supersedes them).
         self.chunks = chunks
         self.embeddings = embeddings
+        self._lazy_segments = []
+        self._ordinal_of = {}
         self._segments = list(head.get("segments", []))
         self._saved_chunks = len(order)
         # Segments the disk head still references must never be deleted as
@@ -561,6 +967,7 @@ class Store:
         ]
         # Ordinals changed: rebuild postings and force device-index rebuilds.
         self._meta_postings = {}
+        self._meta_overlay = {}
         for ordinal, cid in enumerate(self.chunk_order):
             chunk = self.chunks.get(cid)
             if chunk is not None:
