@@ -580,6 +580,59 @@ class JaxChatLLM:
         probs /= probs.sum()
         return int(rng.choice(len(probs), p=probs))
 
+    def _stop_ids_device(self) -> jnp.ndarray:
+        stops = np.full((8,), -7, np.int32)  # -7 matches no sampled token
+        for i, sid in enumerate(sorted(self._stop_ids)[:8]):
+            stops[i] = sid
+        return jnp.asarray(stops)
+
+    def _device_token_stream(  # noqa: PLR0913
+        self,
+        cache,
+        cache_lens,
+        first_logits,  # [B, V] device array (B=1 here)
+        done,
+        *,
+        max_new_tokens: int,
+        logits_mask,
+        temperature: float,
+        top_p: float,
+        top_k: int,
+        min_p: float,
+        seed: int,
+    ) -> Iterator[int]:
+        """Stream tokens from the on-device decode loop, one dispatch per
+        DECODE_CHUNK tokens."""
+        stops = self._stop_ids_device()
+        key = jax.random.PRNGKey(seed)
+        last = first_logits
+        emitted = 0
+        while emitted < max_new_tokens:
+            out, cache, cache_lens, last, done, key = _decode_chunk_device(
+                self.model,
+                cache,
+                self.params,
+                cache_lens,
+                last,
+                logits_mask,
+                done,
+                stops,
+                key,
+                num_steps=DECODE_CHUNK,
+                temperature=float(temperature),
+                top_p=float(top_p),
+                top_k=int(top_k),
+                min_p=float(min_p),
+            )
+            tokens = np.asarray(out[0])
+            for token in tokens:
+                if token == _NO_TOKEN or emitted >= max_new_tokens:
+                    return
+                yield int(token)
+                emitted += 1
+            if bool(np.asarray(done)[0]):
+                return
+
     def _generate_tokens(
         self,
         prompt: str,
@@ -613,7 +666,6 @@ class JaxChatLLM:
         cache = self.model.init_cache(1, max_total)
         logits, cache = _prefill(self.model, self.params, jnp.asarray(batch_ids), cache)
         cache_len = len(ids)
-        last_logits = np.asarray(logits[0, cache_len - 1])
         if automaton is None and json_constrained and self._byte_level:
             automaton = JsonAutomaton()
         if not self._byte_level:
@@ -628,6 +680,25 @@ class JaxChatLLM:
             base_mask[tok._OFFSET : tok._OFFSET + 256] = 0.0
             base_mask[tok.EOS] = 0.0
             mask = base_mask
+        if automaton is None:
+            # Unconstrained: the whole decode loop runs on device in
+            # DECODE_CHUNK-token dispatches (sampling + stop checks
+            # included) — one host fetch per chunk, not per token.
+            yield from self._device_token_stream(
+                cache,
+                jnp.asarray([cache_len], jnp.int32),
+                logits[:, cache_len - 1],
+                jnp.zeros((1,), bool),
+                max_new_tokens=max_new_tokens,
+                logits_mask=jnp.asarray(mask),
+                temperature=temperature,
+                top_p=top_p,
+                top_k=top_k,
+                min_p=min_p,
+                seed=seed,
+            )
+            return
+        last_logits = np.asarray(logits[0, cache_len - 1])
 
         def byte_mask() -> np.ndarray:
             m = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
@@ -711,7 +782,6 @@ class JaxChatLLM:
         max_total = pad + _bucket(max_new_tokens)
         cache = self.model.init_cache(bpad, max_total)
         logits_all, cache = _prefill(self.model, self.params, jnp.asarray(batch_ids), cache)
-        last_logits = np.asarray(logits_all)[np.arange(bpad), lens - 1]
         cache_lens = jnp.asarray(lens)
 
         if automatons is None:
@@ -723,6 +793,25 @@ class JaxChatLLM:
             base_mask = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
             base_mask[ByteTokenizer._OFFSET : ByteTokenizer._OFFSET + 256] = 0.0
             base_mask[tok.EOS] = 0.0
+        if all(a is None for a in automatons):
+            # Unconstrained batch: run the whole decode on device in
+            # DECODE_CHUNK-step dispatches (one fetch per chunk for the
+            # entire batch instead of one per token).
+            return self._generate_batch_device(
+                cache,
+                cache_lens,
+                logits_all[jnp.arange(bpad), lens - 1],
+                n,
+                bpad,
+                max_new_tokens=max_new_tokens,
+                logits_mask=jnp.asarray(base_mask),
+                temperature=temperature,
+                top_p=top_p,
+                top_k=top_k,
+                min_p=min_p,
+                seed=seed,
+            )
+        last_logits = np.asarray(logits_all)[np.arange(bpad), lens - 1]
 
         def byte_mask(automaton) -> np.ndarray:
             m = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
@@ -773,6 +862,62 @@ class JaxChatLLM:
                 outputs[i].extend(
                     byte + ByteTokenizer._OFFSET for byte in automaton.completion_bytes()
                 )
+        return outputs
+
+    def _generate_batch_device(  # noqa: PLR0913
+        self,
+        cache,
+        cache_lens,
+        first_logits,
+        n: int,
+        bpad: int,
+        *,
+        max_new_tokens: int,
+        logits_mask,
+        temperature: float,
+        top_p: float,
+        top_k: int,
+        min_p: float,
+        seed: int,
+    ) -> list[list[int]]:
+        """Batched on-device decode: chunked while_loop dispatches shared by
+        the whole batch; dummy padding rows start done."""
+        stops = self._stop_ids_device()
+        key = jax.random.PRNGKey(seed)
+        done = jnp.asarray(np.arange(bpad) >= n)
+        outputs: list[list[int]] = [[] for _ in range(n)]
+        finished = np.zeros(n, dtype=bool)
+        last = first_logits
+        emitted = 0
+        while emitted < max_new_tokens and not finished.all():
+            out, cache, cache_lens, last, done, key = _decode_chunk_device(
+                self.model,
+                cache,
+                self.params,
+                cache_lens,
+                last,
+                logits_mask,
+                done,
+                stops,
+                key,
+                num_steps=DECODE_CHUNK,
+                temperature=float(temperature),
+                top_p=float(top_p),
+                top_k=int(top_k),
+                min_p=float(min_p),
+            )
+            tokens = np.asarray(out[:n])
+            budget = max_new_tokens - emitted
+            for i in range(n):
+                if finished[i]:
+                    continue
+                for token in tokens[i][:budget]:
+                    if token == _NO_TOKEN:
+                        finished[i] = True
+                        break
+                    outputs[i].append(int(token))
+            emitted += min(DECODE_CHUNK, budget)
+            finished |= np.asarray(done[:n])
         return outputs
 
     def complete_batch(
@@ -1061,6 +1206,102 @@ class JaxChatLLM:
             else:
                 parts.append(item)
         return ChatResponse(content="".join(parts) or None, tool_calls=tool_calls)
+
+
+#: Tokens emitted per device decode dispatch.  Each dispatch runs up to
+#: DECODE_CHUNK forward+sample steps in ONE on-device while_loop, so the
+#: host round-trip cost (28-32 ms through the dev tunnel, ~0.1 ms on a
+#: production host) is paid once per chunk instead of once per token — the
+#: round-2 loop fetched logits to the host EVERY token, capping B=1 decode
+#: at ~35 tokens/s through the tunnel regardless of model size.  Must
+#: divide the cache-length buckets (64-multiples).
+DECODE_CHUNK = 32
+
+#: Sentinel in device decode output for "row was already done".
+_NO_TOKEN = -1
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "num_steps", "temperature", "top_p", "top_k", "min_p"),
+    donate_argnums=(1,),
+)
+def _decode_chunk_device(  # noqa: PLR0913
+    model: DecoderModel,
+    cache,
+    params,
+    cache_lens,  # [B] int32
+    last_logits,  # [B, V] fp32 — logits the next token is sampled from
+    logits_mask,  # [V] fp32 additive mask (0 / -inf), applied every step
+    done,  # [B] bool
+    stop_ids,  # [K] int32 (pad with -7)
+    key,  # jax PRNG key
+    *,
+    num_steps: int,
+    temperature: float,
+    top_p: float,
+    top_k: int,
+    min_p: float,
+):
+    """Up to ``num_steps`` decode iterations fully on device: sample (with
+    the same temperature/top-k/top-p/min-p semantics as the host sampler),
+    stop-token check, KV append, next forward — one dispatch, one fetch.
+    Grammar-constrained decoding cannot use this path (its byte masks are
+    host-side automatons); unconstrained chat/extraction generation does.
+
+    Returns (tokens [B, num_steps] with _NO_TOKEN after each row's stop,
+    cache, cache_lens, last_logits, done, key).
+    """
+    B = last_logits.shape[0]
+
+    def sample(logits, sub):
+        logits = logits + logits_mask[None, :]
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = logits / temperature
+        if top_k and top_k > 0:
+            kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+            logits = jnp.where(logits >= kth, logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if min_p and min_p > 0.0:
+            pmax = jnp.max(probs, axis=-1, keepdims=True)
+            probs = jnp.where(probs >= min_p * pmax, probs, 0.0)
+        if top_p and top_p < 1.0:
+            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+            sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+            csum = jnp.cumsum(sorted_probs, axis=-1)
+            # Keep tokens whose PRECEDING mass is below top_p (host parity).
+            keep = (csum - sorted_probs) < top_p
+            kept_min = jnp.min(
+                jnp.where(keep, sorted_probs, jnp.inf), axis=-1, keepdims=True
+            )
+            probs = jnp.where(probs >= kept_min, probs, 0.0)
+        return jax.random.categorical(
+            sub, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1
+        ).astype(jnp.int32)
+
+    def cond(carry):
+        step, done = carry[0], carry[5]
+        return (step < num_steps) & ~jnp.all(done)
+
+    def body(carry):
+        step, cache, cache_lens, logits, out, done, key = carry
+        key, sub = jax.random.split(key)
+        token = sample(logits, sub)
+        is_stop = jnp.any(token[:, None] == stop_ids[None, :], axis=1)
+        done_next = done | is_stop
+        out = out.at[:, step].set(jnp.where(done_next, _NO_TOKEN, token))
+        feed = jnp.where(done_next, 0, token)
+        new_logits, cache = model.forward(params, feed[:, None], cache, cache_lens)
+        cache_lens = cache_lens + jnp.where(done_next, 0, 1).astype(cache_lens.dtype)
+        return (step + 1, cache, cache_lens, new_logits[:, -1], out, done_next, key)
+
+    out0 = jnp.full((B, num_steps), _NO_TOKEN, jnp.int32)
+    carry = (jnp.asarray(0, jnp.int32), cache, cache_lens, last_logits, out0, done, key)
+    _, cache, cache_lens, last_logits, out, done, key = jax.lax.while_loop(
+        cond, body, carry
+    )
+    return out, cache, cache_lens, last_logits, done, key
 
 
 @partial(jax.jit, static_argnames=("model",), donate_argnums=(3,))
