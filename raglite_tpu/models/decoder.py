@@ -329,10 +329,18 @@ class DecoderModel:
         ids: jax.Array,  # [B, T]
         cache: dict,
         cache_len: jax.Array,  # scalar int32: tokens already in the cache
+        last_positions: jax.Array | None = None,  # [B]: emit logits only there
     ) -> tuple[jax.Array, dict]:
         """Run T tokens starting at position ``cache_len``; returns logits
         [B, T, V] and the updated cache.  Works for both prefill (T = padded
         prompt length, cache_len = 0) and decode (T = 1).
+
+        ``last_positions`` (a [B] vector of in-sequence indices) restricts
+        the unembedding to one position per row, returning [B, V]:
+        generation prefills only ever read the last prompt position, and
+        the full [B, T, V] logits tensor is the dominant prefill cost at
+        real vocab sizes (a [8, 2048, 151936] fp32 tensor is ~10 GB and a
+        ~600x-larger lm_head matmul than the one row the sampler uses).
 
         ``cache_len`` may be a scalar (all rows aligned) or a [B] vector —
         the batched-generation path decodes sequences of different prompt
@@ -424,6 +432,8 @@ class DecoderModel:
                 mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"], self.rms_eps)
             x = x + mlp_out
         x = _rms_norm(x, params["final_norm"], self.rms_eps)
+        if last_positions is not None:
+            x = x[jnp.arange(B), last_positions]  # [B, d]
         logits_out = (x @ params["lm_head"]).astype(jnp.float32)
         if self.final_softcap:  # Gemma2 final-logit soft capping
             logits_out = self.final_softcap * jnp.tanh(logits_out / self.final_softcap)
@@ -433,6 +443,16 @@ class DecoderModel:
 @partial(jax.jit, static_argnames=("model",))
 def _prefill(model: DecoderModel, params, ids, cache):
     return model.forward(params, ids, cache, jnp.asarray(0, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _prefill_last(model: DecoderModel, params, ids, cache, lens):
+    """Prefill emitting only each row's last-prompt-position logits [B, V]
+    (the only row generation samples from) — skips the [B, T, V] logits
+    tensor and ~T-times-larger unembedding matmul of the full prefill."""
+    return model.forward(
+        params, ids, cache, jnp.asarray(0, jnp.int32), last_positions=lens - 1
+    )
 
 
 from raglite_tpu.utils.padding import bucket as _bucket_any
@@ -664,7 +684,10 @@ class JaxChatLLM:
         batch_ids[0, : len(ids)] = ids
         max_total = pad + _bucket(max_new_tokens)
         cache = self.model.init_cache(1, max_total)
-        logits, cache = _prefill(self.model, self.params, jnp.asarray(batch_ids), cache)
+        last_dev, cache = _prefill_last(
+            self.model, self.params, jnp.asarray(batch_ids), cache,
+            jnp.asarray([len(ids)], jnp.int32),
+        )
         cache_len = len(ids)
         if automaton is None and json_constrained and self._byte_level:
             automaton = JsonAutomaton()
@@ -687,7 +710,7 @@ class JaxChatLLM:
             yield from self._device_token_stream(
                 cache,
                 jnp.asarray([cache_len], jnp.int32),
-                logits[:, cache_len - 1],
+                last_dev,
                 jnp.zeros((1,), bool),
                 max_new_tokens=max_new_tokens,
                 logits_mask=jnp.asarray(mask),
@@ -698,7 +721,7 @@ class JaxChatLLM:
                 seed=seed,
             )
             return
-        last_logits = np.asarray(logits[0, cache_len - 1])
+        last_logits = np.asarray(last_dev[0])
 
         def byte_mask() -> np.ndarray:
             m = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
@@ -781,7 +804,9 @@ class JaxChatLLM:
             lens[i] = len(ids)
         max_total = pad + _bucket(max_new_tokens)
         cache = self.model.init_cache(bpad, max_total)
-        logits_all, cache = _prefill(self.model, self.params, jnp.asarray(batch_ids), cache)
+        last_dev, cache = _prefill_last(
+            self.model, self.params, jnp.asarray(batch_ids), cache, jnp.asarray(lens)
+        )
         cache_lens = jnp.asarray(lens)
 
         if automatons is None:
@@ -800,7 +825,7 @@ class JaxChatLLM:
             return self._generate_batch_device(
                 cache,
                 cache_lens,
-                logits_all[jnp.arange(bpad), lens - 1],
+                last_dev,
                 n,
                 bpad,
                 max_new_tokens=max_new_tokens,
@@ -811,7 +836,7 @@ class JaxChatLLM:
                 min_p=min_p,
                 seed=seed,
             )
-        last_logits = np.asarray(logits_all)[np.arange(bpad), lens - 1]
+        last_logits = np.asarray(last_dev)
 
         def byte_mask(automaton) -> np.ndarray:
             m = np.full((self.cfg["vocab"],), -np.inf, dtype=np.float32)
