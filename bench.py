@@ -38,6 +38,198 @@ import time
 import numpy as np
 
 
+def gen_bench(args, rpc_floor: float) -> dict:
+    """Generation-side performance of the shipped decoder (VERDICT r3
+    task #2): prefill tokens/s, decode tokens/s at B=1 and B=8 through the
+    production on-device chunked decode loop, and MFU.
+
+    Weights are random-init at the given preset size (perf only; HF-parity
+    is tested separately).  Decode chunks are data-dependent through the KV
+    cache, so M dispatched chunks serialize on device and one sync times
+    them all — the same tunnel-honest method as the search latency chain.
+    MFU counts matmul FLOPs 2*P_mat*tokens (P_mat = params minus the input
+    embedding) plus dense attention over the padded cache 4*L*S*H*hd, at
+    197 TFLOP/s bf16 peak for v5e.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from raglite_tpu.models.decoder import (
+        DECODE_CHUNK,
+        JaxChatLLM,
+        _decode_chunk_device,
+        _prefill_last,
+    )
+
+    llm = JaxChatLLM(args.gen_preset)
+    model, params, cfg = llm.model, llm.params, llm.cfg
+    p_total = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    p_mat = p_total - int(np.prod(params["tok_emb"].shape))
+    T = min(args.gen_prompt, cfg["max_len"] - 512)
+    n_decode_chunks = args.gen_chunks
+    peak = 197e12 if "v5" in str(jax.devices()[0]).lower() else None
+    stops = jnp.full((8,), -7, jnp.int32)  # never matched: fixed-length runs
+    mask = jnp.zeros((cfg["vocab"],), jnp.float32)
+    out: dict = {"preset": args.gen_preset, "params_m": round(p_total / 1e6, 1),
+                 "prompt_tokens": T, "decode_chunk": DECODE_CHUNK}
+
+    def sync(x):
+        return np.asarray(x.ravel()[0])
+
+    for B in (1, 8):
+        S = T + 512
+        ids = jnp.ones((B, T), jnp.int32)
+        lens = jnp.full((B,), T, jnp.int32)
+        cache0 = model.init_cache(B, S)
+        last, cache = _prefill_last(model, params, ids, cache0, lens)  # compile
+        sync(last)
+        reps = 4
+        t0 = time.perf_counter()
+        outs = [_prefill_last(model, params, ids, cache0, lens)[0] for _ in range(reps)]
+        sync(outs[-1])
+        prefill_s = time.perf_counter() - t0 - rpc_floor
+        out[f"prefill_tok_s_b{B}"] = round(reps * B * T / prefill_s, 1)
+        # Prefill FLOPs: matmuls + causal attention (T^2/2 useful positions).
+        attn_prefill = 4 * cfg["layers"] * (T * T / 2) * cfg["heads"] * (
+            cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
+        )
+        flops_prefill = 2 * p_mat * T + attn_prefill
+        if peak:
+            out[f"mfu_prefill_b{B}"] = round(reps * B * flops_prefill / prefill_s / peak, 3)
+        # Decode: chained chunks (each depends on the previous cache).
+        key = jax.random.PRNGKey(0)
+        done = jnp.zeros((B,), bool)
+        state = (cache, lens, last, done, key)
+
+        def chunk(state):
+            cache, lens, last, done, key = state
+            toks, cache, lens, last, done, key = _decode_chunk_device(
+                model, cache, params, lens, last, mask, done, stops, key,
+                num_steps=DECODE_CHUNK, temperature=0.0, top_p=1.0, top_k=0,
+                min_p=0.0,
+            )
+            return toks, (cache, lens, last, done, key)
+        toks, state = chunk(state)  # compile
+        sync(toks)
+        t0 = time.perf_counter()
+        for _ in range(n_decode_chunks):
+            toks, state = chunk(state)
+        sync(toks)
+        decode_s = time.perf_counter() - t0 - rpc_floor
+        n_tok = n_decode_chunks * DECODE_CHUNK
+        out[f"decode_tok_s_b{B}"] = round(n_tok * B / decode_s, 1)
+        hd = cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
+        flops_decode = 2 * p_mat + 4 * cfg["layers"] * S * cfg["heads"] * hd
+        if peak:
+            out[f"mfu_decode_b{B}"] = round(n_tok * B * flops_decode / decode_s / peak, 4)
+    return out
+
+
+def hybrid_bench(args, index, adapter, queries, rpc_floor: float) -> dict:
+    """Hybrid + filtered search at the shard scale (VERDICT r3 task #3).
+
+    Drives the SAME production components hybrid_search_batch composes
+    (search.py:296-328): the fused dense device scan, the batched BM25
+    device program over a real KeywordIndex built from a synthetic zipf
+    corpus at n_chunks = rows/2, and the production reciprocal_rank_fusion
+    on host.  The filtered number is the dense scan with a ~5%-selectivity
+    metadata row mask (the postings-driven mask path of vector_search).
+    """
+    import jax
+
+    from raglite_tpu.index.keyword import KeywordIndex
+    from raglite_tpu.search import reciprocal_rank_fusion
+
+    n_chunks = args.rows // 2
+    rng = np.random.default_rng(0)
+    vocab = 30_000
+    terms = rng.zipf(1.3, size=(n_chunks, 12)).astype(np.int64) % vocab
+    kw = KeywordIndex()
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        kw._add_chunk(f"c{i}", " ".join(f"w{t}" for t in terms[i]))
+    build_s = time.perf_counter() - t0
+    out: dict = {
+        "n_chunks": n_chunks,
+        "postings_build_s": round(build_s, 1),
+        "postings_backend": "native" if kw._native is not None else "python",
+    }
+
+    def sync(x):
+        return np.asarray(x.ravel()[0])
+
+    bq = min(256, args.batch)
+    query_texts = [
+        " ".join(f"w{t}" for t in (rng.zipf(1.3, size=4).astype(np.int64) % vocab))
+        for _ in range(bq)
+    ]
+    dense_q = np.asarray(queries[:bq])
+    num_hits = 2 * args.num_results  # hybrid oversample=2 (search.py:300)
+
+    def hybrid_batch():
+        packed = index.search_chunks_device(
+            dense_q, num_hits=args.num_hits, num_results=num_hits, adapter=adapter
+        )
+        kw_results = kw.search_batch(query_texts, num_hits=num_hits)
+        dense_np = np.asarray(packed)
+        fused = []
+        for i, (k_ids, _) in enumerate(kw_results):
+            v_ids = [f"c{int(o)}" for o in dense_np[1][i] if o >= 0]
+            ids, scores = reciprocal_rank_fusion(
+                [v_ids, k_ids], weights=[0.75, 0.25]
+            )
+            fused.append(ids[: args.num_results])
+        return fused
+
+    hybrid_batch()  # warm/compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        fused = hybrid_batch()
+    hybrid_s = (time.perf_counter() - t0) / reps
+    assert len(fused) == bq and fused[0]
+    out["hybrid_qps"] = round(bq / hybrid_s, 1)
+    out["hybrid_batch"] = bq
+    # Per-call hybrid latency at B=1 (the keyword gather is host work, so a
+    # pure device chain cannot cover it; labeled per-call minus RPC floor).
+    lat = []
+    for i in range(12):
+        t0 = time.perf_counter()
+        index.search_chunks(
+            dense_q[:1], num_hits=args.num_hits, num_results=num_hits, adapter=adapter
+        )
+        kw.search(query_texts[i % bq], num_hits=num_hits)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    out["hybrid_p50_percall_ms"] = round(
+        float(np.percentile(lat, 50)) - 2 * rpc_floor * 1e3, 3
+    )
+    # Filtered dense scan: ~5%-selectivity chunk mask -> row mask.
+    chunk_mask = rng.random(n_chunks) < 0.05
+    row_mask = chunk_mask[np.asarray(index.row_chunk)]
+    packed = index.search_chunks_device(
+        np.asarray(queries), num_hits=args.num_hits,
+        num_results=args.num_results, row_mask=row_mask, adapter=adapter,
+    )
+    sync(packed)  # warm
+    t0 = time.perf_counter()
+    outs = [
+        index.search_chunks_device(
+            np.asarray(queries), num_hits=args.num_hits,
+            num_results=args.num_results, row_mask=row_mask, adapter=adapter,
+        )
+        for _ in range(max(args.iters // 2, 2))
+    ]
+    sync(outs[-1])
+    filtered_s = time.perf_counter() - t0 - rpc_floor
+    out["filtered_qps"] = round(len(outs) * len(queries) / filtered_s, 1)
+    out["filter_selectivity"] = 0.05
+    # Correctness spot check: every filtered hit satisfies the mask.
+    ords = np.asarray(packed)[1]
+    valid_hits = ords[ords >= 0]
+    assert chunk_mask[valid_hits.astype(np.int64)].all()
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--rows", type=int, default=1_249_280)
@@ -67,6 +259,14 @@ def main() -> None:
         help="seconds to allow fresh compiles in a bounded subprocess "
         "before degrading (no-int4 routing, then per-call latency)",
     )
+    parser.add_argument("--no-gen", action="store_true",
+                        help="skip the generation (decoder) section")
+    parser.add_argument("--gen-preset", default="auto",
+                        help="decoder preset: auto = base on TPU, tiny on CPU")
+    parser.add_argument("--gen-prompt", type=int, default=2048)
+    parser.add_argument("--gen-chunks", type=int, default=6)
+    parser.add_argument("--no-hybrid", action="store_true",
+                        help="skip the hybrid/filtered search section")
     args = parser.parse_args()
 
     import jax
@@ -88,6 +288,10 @@ def main() -> None:
         use_pallas = RAGLiteConfig(store_path=":memory:").use_pallas
     else:
         use_pallas = args.pallas == "on"
+    if args.gen_preset == "auto":
+        args.gen_preset = "base" if jax.default_backend() == "tpu" else "tiny"
+    if jax.default_backend() != "tpu":
+        args.gen_prompt = min(args.gen_prompt, 256)  # CPU smoke stays fast
 
     n, d, b = args.rows, args.dim, args.batch
     key = jax.random.PRNGKey(0)
@@ -151,13 +355,16 @@ def main() -> None:
     if args.warm_all_only:
         # Populate the persistent compile cache with EVERY program the bench
         # dispatches (large-batch approx + exact, B=32 and B=1 small-batch
-        # routing, the latency chain, the perturbation op) and exit.  The
-        # main process runs this under a bounded subprocess first, so no
-        # in-process compile can hang the driver's bench run.
+        # routing, the latency chain, the perturbation op, the generation
+        # prefill/decode programs) and exit.  The main process runs this
+        # under a bounded subprocess first, so no in-process compile can
+        # hang the driver's bench run.
         sync(run_device(queries))
         sync(run_device(queries, exact=True))
         sync(run_device(queries[:32]))
         sync(latency_chain(q1))
+        if not args.no_gen:
+            gen_bench(args, 0.0)
         print("warm ok")  # noqa: T201
         return
 
@@ -177,7 +384,11 @@ def main() -> None:
             "--rows", str(args.rows), "--dim", str(args.dim),
             "--batch", str(args.batch), "--num-hits", str(args.num_hits),
             "--num-results", str(args.num_results), "--dtype", args.dtype,
-            "--pallas", args.pallas, *extra,
+            "--pallas", args.pallas,
+            "--gen-preset", args.gen_preset, "--gen-prompt", str(args.gen_prompt),
+            "--gen-chunks", str(args.gen_chunks),
+            *(["--no-gen"] if args.no_gen else []),
+            *extra,
         ]
         env = dict(os.environ)
         if jax.default_backend() == "cpu":  # keep smoke runs off the tunnel
@@ -266,6 +477,11 @@ def main() -> None:
         per_query_ms = (np.asarray(chain_ms) - rpc_ms) / CHAIN_K
         p50_ms = float(np.percentile(per_query_ms, 50))
         p95_ms = float(np.percentile(per_query_ms, 95))
+        # Raw mode (VERDICT r3 task #10): the same chains WITHOUT the RPC
+        # subtraction — an upper bound that needs no tunnel correction, so
+        # the correction method can be cross-checked on any host.
+        per_query_raw = np.asarray(chain_ms) / CHAIN_K
+        p50_raw_ms = float(np.percentile(per_query_raw, 50))
     except Exception:
         # The dev tunnel's remote-compile service intermittently drops big
         # fresh compiles; fall back to per-call timing of the already-warm
@@ -289,6 +505,20 @@ def main() -> None:
         rpc_ms = float(np.median(rpc_inter)) * 1e3
         p50_ms = float(np.percentile(lat, 50)) - rpc_ms
         p95_ms = float(np.percentile(lat, 95)) - rpc_ms
+        p50_raw_ms = float(np.percentile(lat, 50))
+
+    generation = None
+    if not args.no_gen:
+        try:
+            generation = gen_bench(args, rpc_floor)
+        except Exception as e:  # noqa: BLE001 — the search numbers must
+            generation = {"error": str(e)[:200]}  # still report
+    hybrid = None
+    if not args.no_hybrid:
+        try:
+            hybrid = hybrid_bench(args, index, adapter, queries, rpc_floor)
+        except Exception as e:  # noqa: BLE001
+            hybrid = {"error": str(e)[:200]}
 
     print(
         json.dumps(
@@ -302,6 +532,7 @@ def main() -> None:
                 "vs_baseline": round(qps / 5000.0, 3),
                 "p50_ms": round(p50_ms, 3),
                 "p95_ms": round(p95_ms, 3),
+                "p50_raw_ms": round(p50_raw_ms, 3),
                 "latency_method": latency_method,
                 "tunnel_rpc_ms": round(rpc_ms, 2),
                 "recall_at_10": round(recall, 4),
@@ -314,6 +545,8 @@ def main() -> None:
                 "int4_two_stage_small_batch": bool(
                     index._use_int4_stage1(1, False)
                 ),
+                "generation": generation,
+                "hybrid": hybrid,
                 "device": str(jax.devices()[0]),
             }
         )
