@@ -142,7 +142,17 @@ def main() -> None:
     parser.add_argument("--adapter-queries", type=int, default=200)
     parser.add_argument("--workdir", default=str(REPO / "data" / "irbench"))
     parser.add_argument("--skip-hash", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin JAX to CPU (the shell env var is ignored "
+                        "when the TPU plugin is installed)")
     args = parser.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from dataclasses import replace
 
