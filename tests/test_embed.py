@@ -155,3 +155,42 @@ def test_flax_late_chunking_long_document() -> None:
     np.testing.assert_allclose(
         np.linalg.norm(emb.astype(np.float32), axis=1), 1.0, atol=1e-2
     )
+
+
+def test_insert_uses_batched_token_level_path(tmp_path) -> None:
+    """Transformer-encoder ingestion must flow through
+    embed_token_level_batch (bucketed [B, T] forwards), never the per-
+    segment single-text path — the TPU ingestion-throughput guarantee
+    (VERDICT r3 task #6; reference hot loop: _embed.py:16-141)."""
+    from raglite_tpu import Document, insert_documents
+    from raglite_tpu.models import encoder as encoder_mod
+
+    cfg = RAGLiteConfig(store_path=str(tmp_path / "kb"), embedder="flax:tiny", llm="echo")
+    enc = encoder_mod.encoder_from_config(cfg)
+    calls = {"batch": 0, "single": 0}
+    orig_batch = type(enc).embed_token_level_batch
+    orig_single = type(enc).embed_token_level
+
+    def counting_batch(self, texts):
+        calls["batch"] += 1
+        return orig_batch(self, texts)
+
+    def counting_single(self, text):
+        calls["single"] += 1
+        return orig_single(self, text)
+
+    type(enc).embed_token_level_batch = counting_batch
+    type(enc).embed_token_level = counting_single
+    try:
+        docs = [
+            Document.from_text(
+                f"# Doc {i}\n\n" + f"Paragraph about topic {i} with several sentences. " * 30
+            )
+            for i in range(3)
+        ]
+        insert_documents(docs, config=cfg)
+    finally:
+        type(enc).embed_token_level_batch = orig_batch
+        type(enc).embed_token_level = orig_single
+    assert calls["batch"] >= 1, "insert bypassed the batched encoder path"
+    assert calls["single"] == 0, "insert fell back to per-segment encodes"
