@@ -355,6 +355,13 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args()
+    if args.phase == "export":
+        # Export is pure array juggling; pin to CPU so the weights do not
+        # round-trip the dev tunnel's ~15 MB/s device link.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.phase in ("tokenizer", "all") and not (WORKDIR / "tokenizer.json").exists():
         train_tokenizer()
     if args.phase in ("tokens", "all") and not (WORKDIR / "tokens.npz").exists():

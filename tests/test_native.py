@@ -70,6 +70,7 @@ class _FakeStore:
         self.chunk_order = [f"c{i}" for i in range(len(texts))]
         self.chunks = {f"c{i}": _FakeChunk(t) for i, t in enumerate(texts)}
         self.version = 1
+        self.deleted_chunks: set[str] = set()
 
 
 def test_keyword_index_native_vs_python_search_parity() -> None:
