@@ -85,6 +85,15 @@ class RAGLiteConfig:
     vector_search_multivector: bool = True
     vector_search_query_adapter: bool = True
 
+    # Embedding mode: "auto" = late chunking when the encoder exposes
+    # token-level embeddings, standard otherwise (the reference keys this
+    # off llama-cpp vs API embedders, _embed.py:187-190).  "standard"
+    # forces one pooled whole-chunk embedding even for token-capable
+    # encoders (true single-vector stores, e.g. for A/B-ing the multivector
+    # levers); "late_chunking" forces the contextual per-chunklet mode and
+    # raises at embed time if the encoder cannot provide token embeddings.
+    embedding_type: str = "auto"
+
     # Embedding storage dtype on device ("bfloat16" | "float16" | "float32"
     # | "int8").  The reference stores fp16 halfvec on Postgres
     # (_typing.py:145-175); bfloat16 is the TPU-native choice (MXU-native,
@@ -147,4 +156,7 @@ class RAGLiteConfig:
             raise ValueError(msg)
         if self.sentence_boundary_model not in ("heuristic", "learned"):
             msg = f"unknown sentence boundary model {self.sentence_boundary_model!r}"
+            raise ValueError(msg)
+        if self.embedding_type not in ("auto", "late_chunking", "standard"):
+            msg = f"unknown embedding type {self.embedding_type!r}"
             raise ValueError(msg)

@@ -118,9 +118,22 @@ def embed_strings_without_late_chunking(
 
 def embedding_type(*, config: RAGLiteConfig | None = None) -> str:
     """"late_chunking" when the encoder exposes token-level embeddings
-    (reference keys this off llama-cpp vs API, _embed.py:187-190)."""
+    (reference keys this off llama-cpp vs API, _embed.py:187-190);
+    ``config.embedding_type`` overrides ("standard" forces true
+    single-vector stores, "late_chunking" requires token support)."""
     config = config or RAGLiteConfig()
     encoder = encoder_from_config(config)
+    override = getattr(config, "embedding_type", "auto")
+    if override == "standard":
+        return "standard"
+    if override == "late_chunking":
+        if not encoder.supports_token_embeddings:
+            msg = (
+                f"embedding_type='late_chunking' requires a token-level "
+                f"encoder; {config.embedder!r} has none"
+            )
+            raise ValueError(msg)
+        return "late_chunking"
     return "late_chunking" if encoder.supports_token_embeddings else "standard"
 
 

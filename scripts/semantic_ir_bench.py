@@ -181,6 +181,10 @@ def main() -> None:
         )
     configs["sem_single"] = RAGLiteConfig(
         store_path=str(workdir / "sem_single"), embedder="flax:sem", llm="echo",
+        # TRUE single-vector store: one pooled whole-chunk embedding (the
+        # late-chunking default stores per-chunklet sub-vectors regardless
+        # of the multivector flag, faithfully to the reference).
+        embedding_type="standard",
         vector_search_multivector=False, vector_search_query_adapter=False,
     )
     configs["sem_mv"] = RAGLiteConfig(
