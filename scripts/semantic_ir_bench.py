@@ -237,16 +237,30 @@ def main() -> None:
         chunk = store_mv.chunks.get(cid)
         if chunk is not None:
             doc_chunks.setdefault(chunk.document_id, []).append(cid)
+    from raglite_tpu.embed import embed_queries
+
+    adapter_q_emb = embed_queries([q for q, _ in adapter_queries], config=config_mv)
     for i, (query, gold_doc) in enumerate(adapter_queries):
         gold_chunks = doc_chunks.get(gold_doc, [])
         if not gold_chunks:
             continue
+        # Gold = the doc's 2 chunks most similar to the query, not the whole
+        # document: the reference's adapter gold comes from LLM-JUDGED
+        # relevant chunks (_eval.py:97-133) — whole-doc gold poisons the
+        # NNLS targets with unrelated chunks (measured: MRR 0.478 -> 0.228).
+        q_emb = np.asarray(adapter_q_emb[i], np.float32)
+        scored = []
+        for cid in gold_chunks:
+            matrix = np.asarray(store_mv.embeddings[cid], np.float32)
+            scored.append((float(np.max(matrix @ q_emb)), cid))
+        scored.sort(reverse=True)
+        gold_top = [cid for _, cid in scored[:2]]
         evals.append(
             Eval(
                 id=f"adapter-{i:04d}",
                 document_id=gold_doc,
                 question=query,
-                chunk_ids=gold_chunks,
+                chunk_ids=gold_top,
                 contexts=[],
                 ground_truth="",
             )
