@@ -47,6 +47,14 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# Persistent XLA compile cache: fresh processes reuse compiled programs
+# instead of re-compiling through the (intermittently stalling) tunnel
+# compile service.
+import os  # noqa: E402
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 HELDOUT = REPO / "data" / "corpus" / "heldout.jsonl"
 
 _SENT = re.compile(r"[^.!?\n]+[.!?]")
