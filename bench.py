@@ -267,7 +267,14 @@ def main() -> None:
     parser.add_argument("--gen-chunks", type=int, default=6)
     parser.add_argument("--no-hybrid", action="store_true",
                         help="skip the hybrid/filtered search section")
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin JAX to CPU (smoke runs; the shell env var "
+                        "is ignored when the TPU plugin is installed)")
     args = parser.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
     import jax.numpy as jnp
@@ -518,7 +525,10 @@ def main() -> None:
         try:
             hybrid = hybrid_bench(args, index, adapter, queries, rpc_floor)
         except Exception as e:  # noqa: BLE001
-            hybrid = {"error": str(e)[:200]}
+            import traceback
+
+            hybrid = {"error": f"{type(e).__name__}: {e}"[:200],
+                      "trace": traceback.format_exc()[-400:]}
 
     print(
         json.dumps(

@@ -147,6 +147,11 @@ def _group_max_topk(
     chunk_scores = jnp.where(is_repeat, -jnp.inf, scores)
     final_scores, pos = jax.lax.top_k(chunk_scores, min(num_results, k))
     final_chunks = jnp.take_along_axis(chunks, pos, axis=1)
+    # Empty slots (repeat-masked or invalid rows) carry -inf scores; pin
+    # their ordinal to -1 so consumers can filter on EITHER field (the
+    # documented contract — previously only repeat slots kept a real-looking
+    # ordinal).
+    final_chunks = jnp.where(jnp.isneginf(final_scores), -1, final_chunks)
     return jnp.stack([final_scores, final_chunks.astype(jnp.float32)])
 
 
@@ -222,6 +227,7 @@ def _group_max_topk_bitcast(
     chunk_scores = jnp.where(is_repeat, -jnp.inf, scores)
     final_scores, pos = jax.lax.top_k(chunk_scores, min(num_results, k))
     final_chunks = jnp.take_along_axis(chunks, pos, axis=1)
+    final_chunks = jnp.where(jnp.isneginf(final_scores), -1, final_chunks)  # empty slots
     return jnp.stack(
         [final_scores, jax.lax.bitcast_convert_type(final_chunks.astype(jnp.int32), jnp.float32)]
     )
@@ -791,6 +797,11 @@ class DenseIndex:
         index._dev_scale = row_scale
         index._dev_valid = valid if valid is not None else jnp.ones((n,), jnp.bool_)
         index._dev_row_chunk = row_chunk.astype(jnp.int32)
+        # Host mirror of the row->chunk map: metadata-filter callers build
+        # row masks from it (a device-built index previously left it EMPTY,
+        # silently turning chunk_mask[index.row_chunk] into an all-False
+        # row mask — every filtered search returned nothing).
+        index.row_chunk = np.asarray(row_chunk, dtype=np.int64)
         if metric == "l2":
             deq = rows.astype(jnp.float32)
             if row_scale is not None:
@@ -798,7 +809,6 @@ class DenseIndex:
             index._dev_sqnorm = jnp.sum(deq * deq, axis=1)
         else:
             index._dev_sqnorm = jnp.zeros((n,), jnp.float32)
-        index.row_chunk = np.zeros((0,), dtype=np.int64)  # host mirror absent
         index.chunk_ids = []
         index._dirty = False
         index._dev_rows_synced = n
