@@ -18,7 +18,7 @@ import numpy as np
 
 from raglite_tpu.utils.padding import round_up as _round_up
 
-from raglite_tpu.ops.bm25 import bm25_idf, bm25_topk
+from raglite_tpu.ops.bm25 import K1, bm25_idf, bm25_topk, bm25_topk_resident
 
 if TYPE_CHECKING:
     from raglite_tpu.config import RAGLiteConfig
@@ -51,6 +51,14 @@ class KeywordIndex:
     #: snaps back exactly at rebuild.
     REBUILD_DEAD_FRACTION = 0.3
 
+    #: Device-resident postings: terms with more postings than this
+    #: contribute only their LCAP highest-impact postings (impact-ordered
+    #: early termination; only stopword-class terms truncate).  Rounded up
+    #: to the 128-lane multiple at build.
+    RESIDENT_LCAP = 8192
+    #: Queries with more unique terms fall back to the host-gather path.
+    RESIDENT_MAX_TERMS = 32
+
     def __init__(self) -> None:
         import threading
 
@@ -69,6 +77,9 @@ class KeywordIndex:
         #: ordinals rebuilt-with-empty-bodies carry no postings to drop.
         self._stale_dead: set[int] = set()
         self._alive_mask: np.ndarray | None = None  # cache over self._dead
+        #: device-resident postings (None = not built / invalidated by adds)
+        self._res: dict | None = None
+        self.use_resident = True
         try:
             from raglite_tpu.native import NativePostingsBuilder, native_available
 
@@ -83,6 +94,7 @@ class KeywordIndex:
         ordinal = len(self.chunk_ids)
         self.chunk_ids.append(chunk_id)
         self._ordinal[chunk_id] = ordinal
+        self._res = None  # postings changed: resident arrays rebuild lazily
         if self._native is not None:
             self._native.add_chunk(text)
             self._csr = None
@@ -100,6 +112,7 @@ class KeywordIndex:
         self.doc_len = []
         self._ordinal = {}
         self._alive_mask = None
+        self._res = None
         if self._native is not None:
             from raglite_tpu.native import NativePostingsBuilder
 
@@ -147,6 +160,7 @@ class KeywordIndex:
                 self._dead |= new_dead
                 self._stale_dead |= new_dead
                 self._alive_mask = None
+                self._refresh_resident_masks()
                 # Drop dead doc lengths so avg_len tracks the live corpus
                 # (the CSR export re-zeroes them on refresh).
                 for ordinal in new_dead:
@@ -175,6 +189,193 @@ class KeywordIndex:
             mask[np.fromiter(self._dead, dtype=np.int64, count=len(self._dead))] = False
             self._alive_mask = mask
         return self._alive_mask
+
+    # --- Device-resident postings ---------------------------------------
+
+    def _host_csr(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict[str, int] | None]:
+        """(offsets[V+1] i64, chunks[P] i32, tf[P] i32, term->id or None).
+
+        Native path: the cached C++ CSR export (query lookup stays in the
+        C++ dictionary).  Python path: a CSR built from the postings dict
+        plus an explicit term->id map.
+        """
+        if self._native is not None:
+            if self._csr is None:
+                self._csr = self._native.export()
+                self.doc_len = [int(x) for x in self._csr["doc_len"]]
+                for ordinal in self._dead:
+                    if ordinal < len(self.doc_len):
+                        self.doc_len[ordinal] = 0
+            csr = self._csr
+            return csr["offsets"], csr["chunks"], csr["tf"], None
+        terms = list(self._postings)
+        term_id = {t: i for i, t in enumerate(terms)}
+        counts = np.asarray([len(self._postings[t]) for t in terms], np.int64)
+        offsets = np.zeros(len(terms) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        chunks = np.zeros(int(offsets[-1]), np.int32)
+        tf = np.zeros(int(offsets[-1]), np.int32)
+        for i, t in enumerate(terms):
+            bucket = self._postings[t]
+            lo = int(offsets[i])
+            chunks[lo : lo + len(bucket)] = np.fromiter(bucket.keys(), np.int32, len(bucket))
+            tf[lo : lo + len(bucket)] = np.fromiter(bucket.values(), np.int32, len(bucket))
+        return offsets, chunks, tf, term_id
+
+    def _resident_n_pad(self) -> int:
+        """Corpus-axis pad bucket: ~12.5% geometric steps so inserts reuse
+        compiles (the scatter width is a static shape)."""
+        n = len(self.chunk_ids)
+        step = max(4096, 1 << max(int(n).bit_length() - 4, 0))
+        return _round_up(max(n, 1), step)
+
+    def _ensure_resident(self) -> dict | None:
+        """Build (lazily) the device-resident postings: CSR offsets, chunk
+        ordinals + tf sorted per term by Okapi impact (descending, so LCAP
+        truncation keeps the highest-impact postings), per-term idf, length
+        normalization, and the alive mask — all in HBM.  Queries then upload
+        term ids only (ops/bm25.py bm25_topk_resident)."""
+        if not self.use_resident or not self.chunk_ids:
+            return None
+        if self._res is not None:
+            return self._res
+        with self._sync_lock:
+            if self._res is not None:
+                return self._res
+            offsets, chunks, tf, term_id = self._host_csr()
+            n = len(self.chunk_ids)
+            n_pad = self._resident_n_pad()
+            df = np.diff(offsets)
+            idf = bm25_idf(df.astype(np.float64), n).astype(np.float32)
+            doc_len = np.asarray(self.doc_len, np.float32)
+            alive_len = doc_len > 0
+            avg_len = max(float(doc_len[alive_len].mean()), 1.0) if alive_len.any() else 1.0
+            len_norm = (1.0 - 0.75) + 0.75 * doc_len / avg_len
+            if len(chunks):
+                term_of = np.repeat(np.arange(len(df), dtype=np.int64), df)
+                impact = (
+                    idf[term_of]
+                    * tf
+                    * (K1 + 1.0)
+                    / np.maximum(tf + K1 * len_norm[chunks], 1e-9)
+                )
+                order = np.lexsort((-impact, term_of))
+                chunks, tf = chunks[order], tf[order]
+            lcap = _round_up(min(int(df.max()) if len(df) else 1, self.RESIDENT_LCAP), 128)
+            res = {
+                "offsets": jnp.asarray(offsets.astype(np.int32)),
+                "chunk": jnp.asarray(chunks.astype(np.int32)),
+                "tf": jnp.asarray(tf.astype(np.float32)),
+                "idf": jnp.asarray(idf),
+                "term_id": term_id,
+                "lcap": int(lcap),
+                "n_pad": int(n_pad),
+                "version": (len(self.chunk_ids), len(self._dead)),
+            }
+            self._res = res
+            self._refresh_resident_masks()
+            return self._res
+
+    def _refresh_resident_masks(self) -> None:
+        """Re-upload len_norm + alive (tiny arrays) after deletes; the
+        postings themselves stay resident.  avg_len re-averages over live
+        chunks, matching the host path exactly; the impact SORT keeps its
+        build-time order, which only affects which postings truncate for
+        over-LCAP stopword terms."""
+        if self._res is None:
+            return
+        n, n_pad = len(self.chunk_ids), self._res["n_pad"]
+        len_norm = self._len_norm(n_pad)
+        alive = self._alive()
+        mask = np.ones(n_pad, bool)
+        mask[n:] = False
+        if alive is not None:
+            mask[:n] = alive
+        self._res["len_norm"] = jnp.asarray(len_norm)
+        self._res["mask"] = jnp.asarray(mask)
+
+    def _resident_term_ids(self, queries: list[str]) -> np.ndarray | None:
+        """[B, T] int32 unique term ids per query (pad -1), or None when a
+        query exceeds RESIDENT_MAX_TERMS unique known terms."""
+        res = self._res
+        rows = []
+        for q in queries:
+            if self._native is not None:
+                ids = np.unique(self._native.tokenize_lookup(q))
+                ids = ids[ids >= 0]
+            else:
+                term_id = res["term_id"]
+                seen = dict.fromkeys(tokenize(q))
+                ids = np.asarray(
+                    [term_id[t] for t in seen if t in term_id], np.int32
+                )
+            if len(ids) > self.RESIDENT_MAX_TERMS:
+                return None
+            rows.append(ids)
+        t_max = max((len(r) for r in rows), default=0)
+        t_pad = 4
+        while t_pad < t_max:
+            t_pad *= 2
+        out = np.full((len(queries), t_pad), -1, np.int32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+        return out
+
+    def _resident_search(
+        self,
+        queries: list[str],
+        *,
+        num_hits: int,
+        chunk_mask: np.ndarray | None,
+    ) -> list[tuple[list[str], list[float]]] | None:
+        """All queries through the resident device program, or None to fall
+        back to the host-gather path (resident disabled / too many terms)."""
+        res = self._ensure_resident()
+        if res is None:
+            return None
+        term_ids = self._resident_term_ids(queries)
+        if term_ids is None:
+            return None
+        n = len(self.chunk_ids)
+        mask = res["mask"]
+        if chunk_mask is not None:
+            m = np.zeros(res["n_pad"], bool)
+            m[:n] = chunk_mask[:n]
+            alive = self._alive()
+            if alive is not None:
+                m[:n] &= alive
+            mask = jnp.asarray(m)
+        k = min(num_hits, n)
+        results: list[tuple[list[str], list[float]]] = []
+        for start in range(0, len(queries), 256):
+            block = term_ids[start : start + 256]
+            b_pad = 1
+            while b_pad < len(block):
+                b_pad *= 2
+            if b_pad != len(block):
+                block = np.pad(
+                    block, ((0, b_pad - len(block)), (0, 0)), constant_values=-1
+                )
+            scores_b, ordinals_b = bm25_topk_resident(
+                res["offsets"], res["chunk"], res["tf"], res["idf"],
+                res["len_norm"], mask, jnp.asarray(block),
+                num_chunks=res["n_pad"], lcap=res["lcap"], num_hits=k,
+            )
+            scores_b = np.asarray(scores_b)
+            ordinals_b = np.asarray(ordinals_b)
+            for b in range(min(256, len(queries) - start)):
+                # approx_max_k's winners are unordered: sort by score desc,
+                # ordinal asc (top_k's tie order).
+                order = np.lexsort((ordinals_b[b], -scores_b[b]))
+                sc, od = scores_b[b][order], ordinals_b[b][order]
+                hits = (sc > 0.0) & (od < n)
+                results.append(
+                    (
+                        [self.chunk_ids[int(o)] for o in od[hits]],
+                        [float(s) for s in sc[hits]],
+                    )
+                )
+        return results
 
     # --- Search ---------------------------------------------------------
 
@@ -255,6 +456,11 @@ class KeywordIndex:
         n = len(self.chunk_ids)
         if n == 0:
             return [], []
+        resident = self._resident_search(
+            [query], num_hits=num_hits, chunk_mask=chunk_mask
+        )
+        if resident is not None:
+            return resident[0]
         chunk, tf, idf = self._gather_postings(query, chunk_mask)
         if chunk.size == 0:
             return [], []
@@ -298,6 +504,11 @@ class KeywordIndex:
         n = len(self.chunk_ids)
         if n == 0 or not queries:
             return [([], []) for _ in queries]
+        resident = self._resident_search(
+            queries, num_hits=num_hits, chunk_mask=chunk_mask
+        )
+        if resident is not None:
+            return resident
         gathered = [self._gather_postings(q, chunk_mask) for q in queries]
         total = sum(g[0].size for g in gathered)
         if total == 0:

@@ -21,7 +21,14 @@ import numpy as np
 K1 = 1.2
 B = 0.75
 
-__all__ = ["bm25_scores", "bm25_topk", "bm25_idf", "bm25_scores_batch", "bm25_topk_batch"]
+__all__ = [
+    "bm25_scores",
+    "bm25_topk",
+    "bm25_idf",
+    "bm25_scores_batch",
+    "bm25_topk_batch",
+    "bm25_topk_resident",
+]
 
 
 def bm25_idf(df: np.ndarray, num_chunks: int) -> np.ndarray:
@@ -87,6 +94,65 @@ def bm25_topk_batch(
         num_chunks=num_chunks, batch=batch,
     )
     return jax.lax.top_k(scores, num_hits)
+
+
+@partial(jax.jit, static_argnames=("num_chunks", "lcap", "num_hits", "exact_topk"))
+def bm25_topk_resident(
+    offsets: jax.Array,  # [V+1] int32 CSR term offsets (device-resident)
+    post_chunk: jax.Array,  # [P] int32 chunk ordinal per posting (resident)
+    post_tf: jax.Array,  # [P] fp32 term frequency (resident)
+    idf: jax.Array,  # [V] fp32 per-term idf (resident)
+    len_norm: jax.Array,  # [num_chunks] fp32 (resident)
+    mask: jax.Array,  # [num_chunks] bool: alive AND optional metadata filter
+    term_ids: jax.Array,  # [B, T] int32 query term ids, padded with -1
+    *,
+    num_chunks: int,
+    lcap: int,
+    num_hits: int,
+    exact_topk: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Device-resident BM25: postings stay in HBM; a query uploads ONLY its
+    term ids [B, T] (a few hundred bytes).
+
+    Round-3 redesign: the gather-on-host path shipped every query batch's
+    postings host->device (~16 MB per 256-query batch — 1 s through the dev
+    tunnel, and on production hosts still PCIe traffic + per-batch-size
+    recompiles from the ragged postings pad).  Here the gather itself runs
+    on device from the CSR offsets: idx = offsets[term] + arange(lcap),
+    masked at the term's df.  Terms with df > lcap contribute their lcap
+    highest-IMPACT postings only (the build sorts each term's postings by
+    Okapi impact, descending), the classic impact-ordered early-termination
+    — only stopword-class terms truncate, and their per-posting impact is
+    idf-floored.  All shapes are static: one compile per (B, T) bucket.
+
+    ``exact_topk=False`` ranks with the TPU's hardware ``approx_max_k``
+    (recall_target=0.99, measured ~2x faster than full top_k at 625k
+    chunks); the host caller re-sorts the k winners so output ordering
+    matches the exact program.
+    """
+    batch, T = term_ids.shape
+    t = jnp.maximum(term_ids, 0)
+    lo = offsets[t]  # [B, T]
+    df = offsets[t + 1] - lo
+    take = jnp.minimum(df, lcap)
+    ar = jnp.arange(lcap, dtype=jnp.int32)
+    in_range = (ar[None, None, :] < take[..., None]) & (term_ids >= 0)[..., None]
+    idx = jnp.where(in_range, lo[..., None] + ar[None, None, :], 0)
+    chunk = post_chunk[idx]  # [B, T, L]
+    tfv = post_tf[idx]
+    ln = len_norm[jnp.minimum(chunk, num_chunks - 1)]
+    contrib = idf[t][..., None] * tfv * (K1 + 1.0) / jnp.maximum(tfv + K1 * ln, 1e-9)
+    live = in_range & mask[jnp.minimum(chunk, num_chunks - 1)]
+    contrib = jnp.where(live, contrib, 0.0)
+    # One 2-D scatter-add into [B, num_chunks+1]; masked entries land on the
+    # sink row num_chunks.
+    rows = jnp.broadcast_to(jnp.arange(batch, dtype=jnp.int32)[:, None, None], chunk.shape)
+    cols = jnp.where(live, chunk, num_chunks)
+    scores = jnp.zeros((batch, num_chunks + 1), jnp.float32)
+    scores = scores.at[rows, cols].add(contrib)[:, :num_chunks]
+    if exact_topk:
+        return jax.lax.top_k(scores, num_hits)
+    return jax.lax.approx_max_k(scores, num_hits, recall_target=0.99)
 
 
 @partial(jax.jit, static_argnames=("num_chunks", "num_hits"))

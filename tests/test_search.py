@@ -199,3 +199,98 @@ def test_bm25_batch_no_flat_id_overflow() -> None:
         num_chunks=num_chunks, batch=batch,
     )[batch - 1, 7])
     assert scores > 0.0
+
+
+# --- Device-resident BM25 (postings stay in HBM; queries upload term ids) --
+
+
+def _zipf_keyword_index(n_chunks=1200, vocab=300, seed=0):
+    from raglite_tpu.index.keyword import KeywordIndex
+
+    rng = np.random.default_rng(seed)
+    index = KeywordIndex()
+    for i in range(n_chunks):
+        words = " ".join(
+            f"w{t}" for t in rng.integers(0, vocab, size=rng.integers(5, 50))
+        )
+        index._add_chunk(f"c{i}", words)
+    queries = [
+        " ".join(f"w{t}" for t in rng.integers(0, vocab, size=4)) for _ in range(17)
+    ]
+    return index, queries
+
+
+def test_resident_bm25_matches_host_gather() -> None:
+    """The HBM-resident CSR program (ops/bm25.py:bm25_topk_resident) must
+    reproduce the host-gather path exactly: same ids, same scores — single
+    query, batch, metadata mask, and after deletes."""
+    index, queries = _zipf_keyword_index()
+    n = len(index.chunk_ids)
+
+    index.use_resident = True
+    res = index.search_batch(queries, num_hits=10)
+    index.use_resident = False
+    host = index.search_batch(queries, num_hits=10)
+    for (r_ids, r_scores), (h_ids, h_scores) in zip(res, host):
+        assert r_ids == h_ids
+        np.testing.assert_allclose(r_scores, h_scores, rtol=1e-4)
+
+    mask = np.zeros(n, bool)
+    mask[::3] = True
+    index.use_resident = True
+    r1 = index.search(queries[0], num_hits=10, chunk_mask=mask)
+    index.use_resident = False
+    h1 = index.search(queries[0], num_hits=10, chunk_mask=mask)
+    assert r1[0] == h1[0]
+    np.testing.assert_allclose(r1[1], h1[1], rtol=1e-4)
+
+    # Deletes flip mask bits + zero doc lengths (the sync path's effect).
+    dead = set(range(0, n, 7))
+    index._dead |= dead
+    index._alive_mask = None
+    for ordinal in dead:
+        index.doc_len[ordinal] = 0
+    index.use_resident = True
+    index._refresh_resident_masks()
+    r2 = index.search_batch(queries[:5], num_hits=10)
+    index.use_resident = False
+    h2 = index.search_batch(queries[:5], num_hits=10)
+    for (r_ids, r_scores), (h_ids, h_scores) in zip(r2, h2):
+        assert r_ids == h_ids
+        np.testing.assert_allclose(r_scores, h_scores, rtol=1e-3)
+
+
+def test_resident_bm25_wide_query_falls_back() -> None:
+    """A query with more unique terms than RESIDENT_MAX_TERMS silently uses
+    the host-gather path — same results, no crash."""
+    index, _ = _zipf_keyword_index(n_chunks=300)
+    wide = " ".join(f"w{t}" for t in range(index.RESIDENT_MAX_TERMS + 5))
+    index.use_resident = True
+    r = index.search(wide, num_hits=10)
+    index.use_resident = False
+    h = index.search(wide, num_hits=10)
+    assert r[0] == h[0]
+    np.testing.assert_allclose(r[1], h[1], rtol=1e-4)
+
+
+def test_resident_bm25_lcap_truncation_keeps_top_impact() -> None:
+    """Terms with df > LCAP keep only their LCAP highest-impact postings
+    (impact-ordered early termination).  For a single-term query, impact
+    order IS score order, so the top-k under truncation must equal the
+    exact top-k whenever k <= LCAP."""
+    from raglite_tpu.index.keyword import KeywordIndex
+
+    rng = np.random.default_rng(1)
+    index = KeywordIndex()
+    # 'stop' appears in every chunk with varying tf and lengths.
+    for i in range(600):
+        body = " ".join(["stop"] * int(rng.integers(1, 6)))
+        body += " " + " ".join(f"w{t}" for t in rng.integers(0, 50, size=rng.integers(3, 30)))
+        index._add_chunk(f"c{i}", body)
+    index.RESIDENT_LCAP = 128  # instance override: df(stop)=600 > 128
+    index.use_resident = True
+    r_ids, r_scores = index.search("stop", num_hits=10)
+    index.use_resident = False
+    h_ids, h_scores = index.search("stop", num_hits=10)
+    assert r_ids == h_ids
+    np.testing.assert_allclose(r_scores, h_scores, rtol=1e-4)
