@@ -197,8 +197,11 @@ def hybrid_bench(args, index, adapter, queries, rpc_floor: float) -> dict:
     assert len(fused) == bq and fused[0]
     out["hybrid_qps"] = round(bq / hybrid_s, 1)
     out["hybrid_batch"] = bq
-    # Per-call hybrid latency at B=1 (the keyword gather is host work, so a
-    # pure device chain cannot cover it; labeled per-call minus RPC floor).
+    # Per-call hybrid latency at B=1: two device programs (fused dense scan
+    # + resident BM25), each one packed fetch = one RPC through the dev
+    # tunnel.  Raw per-call is an upper bound needing no correction; the
+    # floor-subtracted value clamps at 0 (the device work is sub-ms, below
+    # the subtraction's run-to-run noise).
     lat = []
     for i in range(12):
         t0 = time.perf_counter()
@@ -207,8 +210,9 @@ def hybrid_bench(args, index, adapter, queries, rpc_floor: float) -> dict:
         )
         kw.search(query_texts[i % bq], num_hits=num_hits)
         lat.append((time.perf_counter() - t0) * 1e3)
+    out["hybrid_p50_percall_raw_ms"] = round(float(np.percentile(lat, 50)), 3)
     out["hybrid_p50_percall_ms"] = round(
-        float(np.percentile(lat, 50)) - 2 * rpc_floor * 1e3, 3
+        max(float(np.percentile(lat, 50)) - 2 * rpc_floor * 1e3, 0.0), 3
     )
     # Filtered dense scan: ~5%-selectivity chunk mask -> row mask.
     chunk_mask = rng.random(n_chunks) < 0.05

@@ -160,12 +160,13 @@ class KeywordIndex:
                 self._dead |= new_dead
                 self._stale_dead |= new_dead
                 self._alive_mask = None
-                self._refresh_resident_masks()
                 # Drop dead doc lengths so avg_len tracks the live corpus
-                # (the CSR export re-zeroes them on refresh).
+                # (the CSR export re-zeroes them on refresh), THEN refresh
+                # the resident weights from the updated lengths.
                 for ordinal in new_dead:
                     if ordinal < len(self.doc_len):
                         self.doc_len[ordinal] = 0
+                self._refresh_resident_weights()
             # Stale (still-posted) dead chunks are masked per query until
             # they become a large fraction of the LIVE corpus, THEN one
             # amortized rebuild drops them (and corrects the bounded idf
@@ -230,11 +231,13 @@ class KeywordIndex:
         return _round_up(max(n, 1), step)
 
     def _ensure_resident(self) -> dict | None:
-        """Build (lazily) the device-resident postings: CSR offsets, chunk
-        ordinals + tf sorted per term by Okapi impact (descending, so LCAP
-        truncation keeps the highest-impact postings), per-term idf, length
-        normalization, and the alive mask — all in HBM.  Queries then upload
-        term ids only (ops/bm25.py bm25_topk_resident)."""
+        """Build (lazily) the device-resident postings: CSR offsets plus,
+        per posting, the chunk ordinal and its PRECOMPUTED Okapi weight
+        ``idf·tf·(K1+1)/(tf+K1·len_norm)`` — every term-frequency/idf/
+        length factor is known at build time, so query-time scoring is pure
+        weight summation.  Over-cap terms keep their top-impact postings
+        (truncated at build).  Queries then upload term ids only
+        (ops/bm25.py bm25_topk_resident)."""
         if not self.use_resident or not self.chunk_ids:
             return None
         if self._res is not None:
@@ -252,6 +255,10 @@ class KeywordIndex:
             avg_len = max(float(doc_len[alive_len].mean()), 1.0) if alive_len.any() else 1.0
             len_norm = (1.0 - 0.75) + 0.75 * doc_len / avg_len
             if len(chunks):
+                # Truncate over-cap terms to their top-impact postings AT
+                # BUILD (impact-ordered early termination; only
+                # stopword-class terms lose postings).  idf keeps the full
+                # pre-truncation df, matching the host path.
                 term_of = np.repeat(np.arange(len(df), dtype=np.int64), df)
                 impact = (
                     idf[term_of]
@@ -260,39 +267,65 @@ class KeywordIndex:
                     / np.maximum(tf + K1 * len_norm[chunks], 1e-9)
                 )
                 order = np.lexsort((-impact, term_of))
-                chunks, tf = chunks[order], tf[order]
+                chunks, tf, term_of = chunks[order], tf[order], term_of[order]
+                rank = np.arange(len(chunks), dtype=np.int64) - offsets[term_of]
+                keep = rank < self.RESIDENT_LCAP
+                chunks, tf, term_of = chunks[keep], tf[keep], term_of[keep]
+                df = np.bincount(term_of, minlength=len(df)).astype(np.int64)
+                offsets = np.zeros(len(df) + 1, np.int64)
+                np.cumsum(df, out=offsets[1:])
+                idf_post = idf[term_of]
+            else:
+                idf_post = np.zeros((0,), np.float32)
             lcap = _round_up(min(int(df.max()) if len(df) else 1, self.RESIDENT_LCAP), 128)
+            # dynamic_slice reads [lo, lo+lcap); pad the resident arrays so
+            # slices at the tail never clamp (clamping would misalign them).
+            slice_pad = 1 << max(int(lcap) - 1, 1).bit_length()
+            chunk_dev = np.full(len(chunks) + slice_pad, n_pad, np.int32)
+            chunk_dev[: len(chunks)] = chunks
             res = {
                 "offsets": jnp.asarray(offsets.astype(np.int32)),
-                "chunk": jnp.asarray(chunks.astype(np.int32)),
-                "tf": jnp.asarray(tf.astype(np.float32)),
-                "idf": jnp.asarray(idf),
+                "chunk": jnp.asarray(chunk_dev),
                 "term_id": term_id,
+                "df_host": df.astype(np.int64),
+                # host copies for weight recomputation after deletes
+                "host_chunks": chunks.astype(np.int64),
+                "host_tf": tf.astype(np.float32),
+                "host_idf_post": idf_post.astype(np.float32),
+                "slice_pad": int(slice_pad),
+                "dummy_mask": jnp.zeros((1,), bool),
                 "lcap": int(lcap),
                 "n_pad": int(n_pad),
                 "version": (len(self.chunk_ids), len(self._dead)),
             }
             self._res = res
-            self._refresh_resident_masks()
+            self._refresh_resident_weights()
             return self._res
 
-    def _refresh_resident_masks(self) -> None:
-        """Re-upload len_norm + alive (tiny arrays) after deletes; the
-        postings themselves stay resident.  avg_len re-averages over live
-        chunks, matching the host path exactly; the impact SORT keeps its
-        build-time order, which only affects which postings truncate for
-        over-LCAP stopword terms."""
+    def _refresh_resident_weights(self) -> None:
+        """(Re)compute + upload the per-posting weights — at build, and
+        after deletes (which change avg_len and zero dead chunks' weights;
+        the postings/offsets themselves stay resident).  avg_len
+        re-averages over live chunks, matching the host path exactly."""
         if self._res is None:
             return
-        n, n_pad = len(self.chunk_ids), self._res["n_pad"]
+        res = self._res
+        chunks = res["host_chunks"]
+        tf = res["host_tf"]
+        n_pad = res["n_pad"]
         len_norm = self._len_norm(n_pad)
+        w = (
+            res["host_idf_post"]
+            * tf
+            * (K1 + 1.0)
+            / np.maximum(tf + K1 * len_norm[chunks].astype(np.float32), 1e-9)
+        )
         alive = self._alive()
-        mask = np.ones(n_pad, bool)
-        mask[n:] = False
         if alive is not None:
-            mask[:n] = alive
-        self._res["len_norm"] = jnp.asarray(len_norm)
-        self._res["mask"] = jnp.asarray(mask)
+            w = np.where(alive[chunks], w, 0.0)
+        w_dev = np.zeros(len(chunks) + res["slice_pad"], np.float32)
+        w_dev[: len(chunks)] = w
+        res["w"] = jnp.asarray(w_dev)
 
     def _resident_term_ids(self, queries: list[str]) -> np.ndarray | None:
         """[B, T] int32 unique term ids per query (pad -1), or None when a
@@ -337,14 +370,15 @@ class KeywordIndex:
         if term_ids is None:
             return None
         n = len(self.chunk_ids)
-        mask = res["mask"]
-        if chunk_mask is not None:
+        # Weights already encode alive/dead; a metadata filter adds a
+        # per-posting mask gather inside the kernel (masked=True route).
+        masked = chunk_mask is not None
+        if masked:
             m = np.zeros(res["n_pad"], bool)
             m[:n] = chunk_mask[:n]
-            alive = self._alive()
-            if alive is not None:
-                m[:n] &= alive
             mask = jnp.asarray(m)
+        else:
+            mask = res["dummy_mask"]
         k = min(num_hits, n)
         results: list[tuple[list[str], list[float]]] = []
         for start in range(0, len(queries), 256):
@@ -356,13 +390,24 @@ class KeywordIndex:
                 block = np.pad(
                     block, ((0, b_pad - len(block)), (0, 0)), constant_values=-1
                 )
-            scores_b, ordinals_b = bm25_topk_resident(
-                res["offsets"], res["chunk"], res["tf"], res["idf"],
-                res["len_norm"], mask, jnp.asarray(block),
-                num_chunks=res["n_pad"], lcap=res["lcap"], num_hits=k,
+            # Adaptive postings width: pad the per-term slice fetch to the
+            # max (truncated) df among THIS block's terms, pow2 bucket —
+            # tail queries fetch/sort 4-64x fewer slots than the global cap.
+            valid = block[block >= 0]
+            max_df = int(res["df_host"][valid].max()) if valid.size else 1
+            lcap_b = 128
+            while lcap_b < max_df:
+                lcap_b *= 2
+            packed = np.asarray(  # ONE device fetch: [2, B, k]
+                bm25_topk_resident(
+                    res["offsets"], res["chunk"], res["w"], mask,
+                    jnp.asarray(block),
+                    num_chunks=res["n_pad"], lcap=lcap_b, num_hits=k,
+                    masked=masked,
+                )
             )
-            scores_b = np.asarray(scores_b)
-            ordinals_b = np.asarray(ordinals_b)
+            scores_b = packed[0]
+            ordinals_b = packed[1].view(np.int32)
             for b in range(min(256, len(queries) - start)):
                 # approx_max_k's winners are unordered: sort by score desc,
                 # ordinal asc (top_k's tie order).

@@ -96,63 +96,110 @@ def bm25_topk_batch(
     return jax.lax.top_k(scores, num_hits)
 
 
-@partial(jax.jit, static_argnames=("num_chunks", "lcap", "num_hits", "exact_topk"))
+@partial(
+    jax.jit,
+    static_argnames=("num_chunks", "lcap", "num_hits", "exact_topk", "masked"),
+)
 def bm25_topk_resident(
-    offsets: jax.Array,  # [V+1] int32 CSR term offsets (device-resident)
-    post_chunk: jax.Array,  # [P] int32 chunk ordinal per posting (resident)
-    post_tf: jax.Array,  # [P] fp32 term frequency (resident)
-    idf: jax.Array,  # [V] fp32 per-term idf (resident)
-    len_norm: jax.Array,  # [num_chunks] fp32 (resident)
-    mask: jax.Array,  # [num_chunks] bool: alive AND optional metadata filter
+    offsets: jax.Array,  # [V+1] int32 CSR offsets over (truncated) postings
+    post_chunk: jax.Array,  # [P+pad] int32 chunk ordinal per posting (HBM)
+    post_w: jax.Array,  # [P+pad] fp32 PRECOMPUTED Okapi weight per posting
+    mask: jax.Array,  # [num_chunks] bool (metadata filter) or [1] dummy
     term_ids: jax.Array,  # [B, T] int32 query term ids, padded with -1
     *,
     num_chunks: int,
-    lcap: int,
+    lcap: int,  # power-of-two postings width >= max df among the terms
     num_hits: int,
     exact_topk: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    masked: bool = False,
+) -> jax.Array:  # [2, B, k]: scores; ordinals (bitcast int32)
     """Device-resident BM25: postings stay in HBM; a query uploads ONLY its
     term ids [B, T] (a few hundred bytes).
 
-    Round-3 redesign: the gather-on-host path shipped every query batch's
-    postings host->device (~16 MB per 256-query batch — 1 s through the dev
-    tunnel, and on production hosts still PCIe traffic + per-batch-size
-    recompiles from the ragged postings pad).  Here the gather itself runs
-    on device from the CSR offsets: idx = offsets[term] + arange(lcap),
-    masked at the term's df.  Terms with df > lcap contribute their lcap
-    highest-IMPACT postings only (the build sorts each term's postings by
-    Okapi impact, descending), the classic impact-ordered early-termination
-    — only stopword-class terms truncate, and their per-posting impact is
-    idf-floored.  All shapes are static: one compile per (B, T) bucket.
+    Round-3 redesign, arrived at by measurement at 625k chunks / 7.5M
+    postings on v5e (B=256 tail queries, T=4):
 
+    - The host-gather path shipped every batch's postings host->device
+      (~16 MB / 1 s through the dev tunnel) and recompiled per ragged pad.
+    - A [B, N] scatter-add on device serialized: 314 QPS end-to-end.
+    - A flat device gather `post[lo + arange]` is lowered as 8.4M-element
+      random gather: 51 ms (the gather, not the sort, dominated).
+    - A T-way sorted-list merge via vectorized binary search was 10x WORSE
+      (1.8 s): per-element take_along_axis steps are the slowest primitive
+      of all on TPU.
+
+    What ships: the per-posting Okapi weight ``w = idf * tf * (K1+1) /
+    (tf + K1 * len_norm[chunk])`` is fully determined at BUILD time, so it
+    is precomputed and resident — query time reads NO tf/idf/len_norm at
+    all.  Each (query, term) fetches its contiguous postings slice with
+    ``lax.map``-chained ``dynamic_slice`` DMAs (x8 unrolled; 7.9 ms vs the
+    35.7 ms flat gather), then one [B, T*lcap] bitonic sort groups chunk
+    ids and a segmented Hillis-Steele scan (segments <= T, so
+    ceil(log2(T)) exact shift-adds) sums duplicate chunks; ``approx_max_k``
+    ranks.  Over-cap terms were truncated to their highest-impact postings
+    at build (impact-ordered early termination — only stopword-class terms
+    lose postings, and deletes re-zero their weights on refresh).
+
+    ``masked=True`` additionally gathers a [num_chunks] bool metadata
+    filter per posting (the filtered-search path; costs one random gather).
     ``exact_topk=False`` ranks with the TPU's hardware ``approx_max_k``
-    (recall_target=0.99, measured ~2x faster than full top_k at 625k
-    chunks); the host caller re-sorts the k winners so output ordering
-    matches the exact program.
+    (recall_target=0.99); the host caller re-sorts the k winners so output
+    ordering matches the exact program.
     """
     batch, T = term_ids.shape
     t = jnp.maximum(term_ids, 0)
     lo = offsets[t]  # [B, T]
     df = offsets[t + 1] - lo
-    take = jnp.minimum(df, lcap)
+    take = jnp.where(term_ids >= 0, jnp.minimum(df, lcap), 0)
+    flat_lo = lo.reshape(-1)
+    flat_take = take.reshape(-1)
+    pad = (-flat_lo.shape[0]) % 8
+    if pad:
+        zero = jnp.zeros((pad,), jnp.int32)
+        flat_lo = jnp.concatenate([flat_lo, zero])
+        flat_take = jnp.concatenate([flat_take, zero])
     ar = jnp.arange(lcap, dtype=jnp.int32)
-    in_range = (ar[None, None, :] < take[..., None]) & (term_ids >= 0)[..., None]
-    idx = jnp.where(in_range, lo[..., None] + ar[None, None, :], 0)
-    chunk = post_chunk[idx]  # [B, T, L]
-    tfv = post_tf[idx]
-    ln = len_norm[jnp.minimum(chunk, num_chunks - 1)]
-    contrib = idf[t][..., None] * tfv * (K1 + 1.0) / jnp.maximum(tfv + K1 * ln, 1e-9)
-    live = in_range & mask[jnp.minimum(chunk, num_chunks - 1)]
-    contrib = jnp.where(live, contrib, 0.0)
-    # One 2-D scatter-add into [B, num_chunks+1]; masked entries land on the
-    # sink row num_chunks.
-    rows = jnp.broadcast_to(jnp.arange(batch, dtype=jnp.int32)[:, None, None], chunk.shape)
-    cols = jnp.where(live, chunk, num_chunks)
-    scores = jnp.zeros((batch, num_chunks + 1), jnp.float32)
-    scores = scores.at[rows, cols].add(contrib)[:, :num_chunks]
+
+    def fetch8(args):
+        los, takes = args
+        ks, ws = [], []
+        for i in range(8):
+            c = jax.lax.dynamic_slice(post_chunk, (los[i],), (lcap,))
+            w = jax.lax.dynamic_slice(post_w, (los[i],), (lcap,))
+            valid = ar < takes[i]
+            ks.append(jnp.where(valid, c, jnp.int32(num_chunks)))
+            ws.append(jnp.where(valid, w, 0.0))
+        return jnp.stack(ks), jnp.stack(ws)
+
+    keys, vals = jax.lax.map(fetch8, (flat_lo.reshape(-1, 8), flat_take.reshape(-1, 8)))
+    keys = keys.reshape(-1, lcap)[: batch * T].reshape(batch, T * lcap)
+    vals = vals.reshape(-1, lcap)[: batch * T].reshape(batch, T * lcap)
+    if masked:
+        ok = mask[jnp.minimum(keys, num_chunks - 1)] & (keys < num_chunks)
+        vals = jnp.where(ok, vals, 0.0)
+    keys, vals = jax.lax.sort((keys, vals), dimension=-1, num_keys=1)
+    step = 1
+    while step < T:
+        same = keys[:, step:] == keys[:, :-step]
+        vals = vals.at[:, step:].add(jnp.where(same, vals[:, :-step], 0.0))
+        step *= 2
+    is_end = jnp.concatenate(
+        [keys[:, 1:] != keys[:, :-1], jnp.ones((batch, 1), bool)], axis=-1
+    )
+    scores = jnp.where(is_end & (keys < num_chunks), vals, -1.0)
+    k = min(num_hits, T * lcap)
     if exact_topk:
-        return jax.lax.top_k(scores, num_hits)
-    return jax.lax.approx_max_k(scores, num_hits, recall_target=0.99)
+        top_scores, pos = jax.lax.top_k(scores, k)
+    else:
+        top_scores, pos = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    top_keys = jnp.take_along_axis(keys, pos, axis=-1)
+    ordinals = jnp.where(top_scores > 0.0, top_keys, num_chunks)
+    # Pack (scores, ordinals) into ONE array so the host needs a single
+    # device fetch (each fetch is a full RPC round trip through the dev
+    # tunnel, and a PCIe D2H on production hosts).
+    return jnp.stack(
+        [top_scores, jax.lax.bitcast_convert_type(ordinals, jnp.float32)]
+    )
 
 
 @partial(jax.jit, static_argnames=("num_chunks", "num_hits"))

@@ -251,7 +251,7 @@ def test_resident_bm25_matches_host_gather() -> None:
     for ordinal in dead:
         index.doc_len[ordinal] = 0
     index.use_resident = True
-    index._refresh_resident_masks()
+    index._refresh_resident_weights()
     r2 = index.search_batch(queries[:5], num_hits=10)
     index.use_resident = False
     h2 = index.search_batch(queries[:5], num_hits=10)
