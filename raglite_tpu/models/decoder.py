@@ -317,10 +317,17 @@ class DecoderModel:
             self.inv_freq_local = self.inv_freq
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+        """KV cache as PER-LAYER leaves (lists of [B, KVH, S, hd]), not one
+        stacked [L, ...] tensor: forward then updates each layer with a
+        dynamic_update_slice on its own (donated) buffer, which XLA performs
+        in place.  The stacked layout forced a jnp.stack over all layers
+        per call — re-materializing the ENTIRE cache every decoded token
+        (measured: the dominant decode cost at B=8, 2 GB rewritten per
+        594M-model step)."""
         L, kvh, hd = self.cfg["layers"], self.cfg["kv_heads"], self.head_dim
         return {
-            "k": jnp.zeros((L, batch, kvh, max_len, hd), dtype),
-            "v": jnp.zeros((L, batch, kvh, max_len, hd), dtype),
+            "k": [jnp.zeros((batch, kvh, max_len, hd), dtype) for _ in range(L)],
+            "v": [jnp.zeros((batch, kvh, max_len, hd), dtype) for _ in range(L)],
         }
 
     def forward(
@@ -350,7 +357,7 @@ class DecoderModel:
         cfg = self.cfg
         heads, kv_heads, hd = cfg["heads"], cfg["kv_heads"], self.head_dim
         B, T = ids.shape
-        S = cache["k"].shape[3]
+        S = cache["k"][0].shape[2]
         per_row = getattr(cache_len, "ndim", 0) == 1
         row_offsets = cache_len if per_row else jnp.full((B,), cache_len, jnp.int32)
         positions = row_offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -377,18 +384,19 @@ class DecoderModel:
                 k = _rms_norm(k, layer["k_norm"], self.rms_eps)
             q = _rope(q, positions, inv_freq)
             k = _rope(k, positions, inv_freq)
+            cache_dtype = cache["k"][li].dtype
             if per_row:  # per-row write offsets (vmapped dus lowers to scatter)
                 row_dus = jax.vmap(
                     lambda c, x, off: jax.lax.dynamic_update_slice(c, x, (0, off, 0))
                 )
-                k_cache = row_dus(cache["k"][li], k.astype(cache["k"].dtype), row_offsets)
-                v_cache = row_dus(cache["v"][li], v.astype(cache["v"].dtype), row_offsets)
+                k_cache = row_dus(cache["k"][li], k.astype(cache_dtype), row_offsets)
+                v_cache = row_dus(cache["v"][li], v.astype(cache_dtype), row_offsets)
             else:
                 k_cache = jax.lax.dynamic_update_slice(
-                    cache["k"][li], k.astype(cache["k"].dtype), (0, 0, cache_len, 0)
+                    cache["k"][li], k.astype(cache_dtype), (0, 0, cache_len, 0)
                 )
                 v_cache = jax.lax.dynamic_update_slice(
-                    cache["v"][li], v.astype(cache["v"].dtype), (0, 0, cache_len, 0)
+                    cache["v"][li], v.astype(cache_dtype), (0, 0, cache_len, 0)
                 )
             new_k.append(k_cache)
             new_v.append(v_cache)
@@ -400,9 +408,19 @@ class DecoderModel:
             # slowdown at B=8 on v5e — while the grouped contraction streams
             # the [B, KVH, S, hd] cache once.
             rep = heads // kv_heads
-            qg = q.reshape(B, kv_heads, rep, T, hd).astype(jnp.float32)
+            # Operands stay in their storage dtypes with fp32 ACCUMULATION
+            # (preferred_element_type): an .astype(f32) on the cache
+            # operands makes XLA materialize full fp32 copies of k/v every
+            # step — ~4 GB/step at B=8 on the base preset, measured as a
+            # 3x decode slowdown over the bf16-operand contraction.
+            qg = q.reshape(B, kv_heads, rep, T, hd)
             logits = (
-                jnp.einsum("bgrtd,bgsd->bgrts", qg, k_cache.astype(jnp.float32))
+                jnp.einsum(
+                    "bgrtd,bgsd->bgrts",
+                    qg.astype(k_cache.dtype),
+                    k_cache,
+                    preferred_element_type=jnp.float32,
+                )
                 * self.attn_scale
             )
             if self.attn_softcap:  # Gemma2 attention-logit soft capping
@@ -414,8 +432,13 @@ class DecoderModel:
                     positions[:, None, None, :, None] - self.sliding_window
                 )
             logits = jnp.where(mask, logits, -1e9)
-            probs = jax.nn.softmax(logits, axis=-1)
-            ctx = jnp.einsum("bgrts,bgsd->bgrtd", probs, v_cache.astype(jnp.float32))
+            probs = jax.nn.softmax(logits, axis=-1)  # fp32
+            ctx = jnp.einsum(
+                "bgrts,bgsd->bgrtd",
+                probs.astype(v_cache.dtype),
+                v_cache,
+                preferred_element_type=jnp.float32,
+            )
             ctx = ctx.reshape(B, heads, T, hd)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, heads * hd).astype(x.dtype)
             attn_out = ctx @ layer["wo"]
@@ -441,7 +464,7 @@ class DecoderModel:
         logits_out = (x @ params["lm_head"]).astype(jnp.float32)
         if self.final_softcap:  # Gemma2 final-logit soft capping
             logits_out = self.final_softcap * jnp.tanh(logits_out / self.final_softcap)
-        return logits_out, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        return logits_out, {"k": new_k, "v": new_v}
 
 
 @partial(jax.jit, static_argnames=("model",))
