@@ -17,6 +17,7 @@ TPU-native replacement for the reference's llama.cpp generation stack
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Iterator
 
@@ -26,6 +27,14 @@ import numpy as np
 
 from raglite_tpu.models.json_automaton import JsonAutomaton
 from raglite_tpu.models.tokenizer import ByteTokenizer
+from raglite_tpu.ops.decode_attention import gqa_decode_attention
+
+# Per-(row, group) VMEM budget for the Pallas decode-attention kernel: K and
+# V blocks are [hd, S] each and the pipeline double-buffers them, so the
+# resident footprint is ~4 * hd * S * itemsize.  12 MB leaves headroom under
+# the ~16 MB/core VMEM for q/out/accumulators; longer caches fall back to
+# the XLA einsum path.
+_DECODE_KERNEL_VMEM_BYTES = 12 * 1024 * 1024
 
 Params = dict[str, Any]
 
@@ -315,19 +324,37 @@ class DecoderModel:
             self.inv_freq_local = jnp.asarray(compute_inv_freq(local_cfg))
         else:
             self.inv_freq_local = self.inv_freq
+        # Decode (T=1) attention runs as a Pallas kernel on TPU: one program
+        # per (row, kv group) streams that group's [hd, S] cache slices
+        # through VMEM exactly once (ops/decode_attention.py).  The XLA
+        # batched-dot lowering of the same contraction reaches ~37% of HBM
+        # bandwidth (measured v5e, base preset).  RAGLITE_TPU_PALLAS_DECODE=0
+        # forces the XLA path everywhere.
+        self.use_pallas_decode = (
+            os.environ.get("RAGLITE_TPU_PALLAS_DECODE", "auto") != "0"
+            and jax.default_backend() == "tpu"
+        )
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
-        """KV cache as PER-LAYER leaves (lists of [B, KVH, S, hd]), not one
+        """KV cache as PER-LAYER leaves (lists of [B, KVH, hd, S]), not one
         stacked [L, ...] tensor: forward then updates each layer with a
         dynamic_update_slice on its own (donated) buffer, which XLA performs
         in place.  The stacked layout forced a jnp.stack over all layers
         per call — re-materializing the ENTIRE cache every decoded token
         (measured: the dominant decode cost at B=8, 2 GB rewritten per
-        594M-model step)."""
+        594M-model step).
+
+        The sequence axis is MINOR-MOST (hd-major, S-minor) because that is
+        the layout both attention contractions consume: with [B, KVH, S, hd]
+        storage, XLA's layout assignment inserted a {2,3,1,0} transpose COPY
+        of every k/v buffer inside the decode while_loop body — 48 full-cache
+        copies per decoded token on the base preset (measured: 2 GB/step at
+        B=8, ~5 ms of the 7.6 ms step).  Stored transposed, the optimized
+        HLO has zero cache-sized copies."""
         L, kvh, hd = self.cfg["layers"], self.cfg["kv_heads"], self.head_dim
         return {
-            "k": [jnp.zeros((batch, kvh, max_len, hd), dtype) for _ in range(L)],
-            "v": [jnp.zeros((batch, kvh, max_len, hd), dtype) for _ in range(L)],
+            "k": [jnp.zeros((batch, kvh, hd, max_len), dtype) for _ in range(L)],
+            "v": [jnp.zeros((batch, kvh, hd, max_len), dtype) for _ in range(L)],
         }
 
     def forward(
@@ -357,7 +384,7 @@ class DecoderModel:
         cfg = self.cfg
         heads, kv_heads, hd = cfg["heads"], cfg["kv_heads"], self.head_dim
         B, T = ids.shape
-        S = cache["k"][0].shape[2]
+        S = cache["k"][0].shape[3]
         per_row = getattr(cache_len, "ndim", 0) == 1
         row_offsets = cache_len if per_row else jnp.full((B,), cache_len, jnp.int32)
         positions = row_offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -385,18 +412,22 @@ class DecoderModel:
             q = _rope(q, positions, inv_freq)
             k = _rope(k, positions, inv_freq)
             cache_dtype = cache["k"][li].dtype
+            # Cache stores sequence minor-most: write the [B, KVH, hd, T]
+            # transpose of the new keys/values at each row's offset.
+            k_t = k.transpose(0, 1, 3, 2).astype(cache_dtype)
+            v_t = v.transpose(0, 1, 3, 2).astype(cache_dtype)
             if per_row:  # per-row write offsets (vmapped dus lowers to scatter)
                 row_dus = jax.vmap(
-                    lambda c, x, off: jax.lax.dynamic_update_slice(c, x, (0, off, 0))
+                    lambda c, x, off: jax.lax.dynamic_update_slice(c, x, (0, 0, off))
                 )
-                k_cache = row_dus(cache["k"][li], k.astype(cache_dtype), row_offsets)
-                v_cache = row_dus(cache["v"][li], v.astype(cache_dtype), row_offsets)
+                k_cache = row_dus(cache["k"][li], k_t, row_offsets)
+                v_cache = row_dus(cache["v"][li], v_t, row_offsets)
             else:
                 k_cache = jax.lax.dynamic_update_slice(
-                    cache["k"][li], k.astype(cache_dtype), (0, 0, cache_len, 0)
+                    cache["k"][li], k_t, (0, 0, 0, cache_len)
                 )
                 v_cache = jax.lax.dynamic_update_slice(
-                    cache["v"][li], v.astype(cache_dtype), (0, 0, cache_len, 0)
+                    cache["v"][li], v_t, (0, 0, 0, cache_len)
                 )
             new_k.append(k_cache)
             new_v.append(v_cache)
@@ -406,7 +437,7 @@ class DecoderModel:
             # materializing jnp.repeat(k_cache, rep) reads an [B, H, S, hd]
             # tensor from HBM every decode step — measured 8x decode
             # slowdown at B=8 on v5e — while the grouped contraction streams
-            # the [B, KVH, S, hd] cache once.
+            # the [B, KVH, hd, S] cache once.
             rep = heads // kv_heads
             # Operands stay in their storage dtypes with fp32 ACCUMULATION
             # (preferred_element_type): an .astype(f32) on the cache
@@ -414,31 +445,54 @@ class DecoderModel:
             # step — ~4 GB/step at B=8 on the base preset, measured as a
             # 3x decode slowdown over the bf16-operand contraction.
             qg = q.reshape(B, kv_heads, rep, T, hd)
-            logits = (
-                jnp.einsum(
-                    "bgrtd,bgsd->bgrts",
-                    qg.astype(k_cache.dtype),
+            use_kernel = (
+                T == 1
+                and self.use_pallas_decode
+                and 4 * hd * S * k_cache.dtype.itemsize <= _DECODE_KERNEL_VMEM_BYTES
+            )
+            if use_kernel:
+                # One Pallas program per (row, kv group) streams that group's
+                # [hd, S] K/V slices through VMEM once and computes the whole
+                # masked-softmax attention on-chip (ops/decode_attention.py).
+                ctx = gqa_decode_attention(
+                    qg[:, :, :, 0, :].astype(k_cache.dtype),
                     k_cache,
+                    v_cache,
+                    row_offsets,
+                    scale=float(self.attn_scale),
+                    softcap=float(self.attn_softcap or 0.0),
+                    window=int(self.sliding_window if sliding else 0),
+                )  # [B, KVH, REP, hd] fp32
+                ctx = ctx[:, :, :, None, :]  # [B, KVH, REP, T=1, hd]
+            else:
+                logits = (
+                    jnp.einsum(
+                        "bgrtd,bgds->bgrts",
+                        qg.astype(k_cache.dtype),
+                        k_cache,
+                        preferred_element_type=jnp.float32,
+                    )
+                    * self.attn_scale
+                )
+                if self.attn_softcap:  # Gemma2 attention-logit soft capping
+                    logits = self.attn_softcap * jnp.tanh(logits / self.attn_softcap)
+                key_pos = jnp.arange(S, dtype=jnp.int32)
+                mask = (
+                    key_pos[None, None, None, None, :]
+                    <= positions[:, None, None, :, None]
+                )
+                if sliding:  # local attention: keys in (pos - window, pos]
+                    mask &= key_pos[None, None, None, None, :] > (
+                        positions[:, None, None, :, None] - self.sliding_window
+                    )
+                logits = jnp.where(mask, logits, -1e9)
+                probs = jax.nn.softmax(logits, axis=-1)  # fp32
+                ctx = jnp.einsum(
+                    "bgrts,bgds->bgrtd",
+                    probs.astype(v_cache.dtype),
+                    v_cache,
                     preferred_element_type=jnp.float32,
                 )
-                * self.attn_scale
-            )
-            if self.attn_softcap:  # Gemma2 attention-logit soft capping
-                logits = self.attn_softcap * jnp.tanh(logits / self.attn_softcap)
-            key_pos = jnp.arange(S, dtype=jnp.int32)
-            mask = key_pos[None, None, None, None, :] <= positions[:, None, None, :, None]
-            if sliding:  # local attention: keys in (pos - window, pos]
-                mask &= key_pos[None, None, None, None, :] > (
-                    positions[:, None, None, :, None] - self.sliding_window
-                )
-            logits = jnp.where(mask, logits, -1e9)
-            probs = jax.nn.softmax(logits, axis=-1)  # fp32
-            ctx = jnp.einsum(
-                "bgrts,bgsd->bgrtd",
-                probs.astype(v_cache.dtype),
-                v_cache,
-                preferred_element_type=jnp.float32,
-            )
             ctx = ctx.reshape(B, heads, T, hd)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, heads * hd).astype(x.dtype)
             attn_out = ctx @ layer["wo"]
