@@ -58,6 +58,62 @@ def test_insert_updates_metadata_table(tmp_path) -> None:
     assert "filename" not in store.metadata  # excluded field
 
 
+def test_insert_tolerates_unhashable_metadata(tmp_path) -> None:
+    """Nested dict/list-of-dict metadata values can't be offered as
+    self-query filter choices, but they must not abort the insert
+    (reference contract: _insert.py:45-61 aggregates only scalars)."""
+    config = _config(tmp_path)
+    insert_documents(
+        [
+            Document.from_text(
+                DOC_A,
+                filename="a.md",
+                topic="Wool",
+                provenance={"source": "farm", "year": 2021},
+                reviews=[{"stars": 5}],
+            )
+        ],
+        config=config,
+    )
+    store = store_from_config(config)
+    assert "Wool" in store.metadata["topic"]
+    assert "provenance" not in store.metadata or not store.metadata["provenance"]
+    # The unhashable values are still on the document itself (adapt_metadata
+    # normalizes scalars-or-dicts to lists).
+    doc = next(iter(store.documents.values()))
+    prov = doc.metadata_["provenance"]
+    prov_list = prov if isinstance(prov, list) else [prov]
+    assert {"source": "farm", "year": 2021} in prov_list
+    # Scalar-filtered search still works alongside the nested metadata.
+    ids, _ = vector_search("alpaca", num_results=3, metadata_filter={"topic": "Wool"}, config=config)
+    assert ids
+
+
+def test_device_row_mask_cache_identity(tmp_path) -> None:
+    """device_row_mask returns the same device buffer for byte-identical
+    host masks (digest cache) and distinct buffers for distinct masks."""
+    config = _config(tmp_path)
+    insert_documents(
+        [Document.from_text(DOC_A, filename="a.md"), Document.from_text(DOC_B, filename="b.md")],
+        config=config,
+    )
+    from raglite_tpu.index.dense import dense_index_from_config
+
+    index = dense_index_from_config(config)
+    n = len(store_from_config(config).chunk_order)
+    mask = np.zeros(index.row_chunk.shape[0], dtype=np.bool_)
+    mask[: max(1, n // 2)] = True
+    dev1 = index.device_row_mask(mask)
+    dev2 = index.device_row_mask(mask.copy())
+    assert dev1 is dev2  # digest-cached
+    other = ~mask
+    dev3 = index.device_row_mask(other)
+    assert dev3 is not dev1
+    # A jax.Array passes through untouched.
+    assert index.device_row_mask(dev1) is dev1
+    assert index.device_row_mask(None) is None
+
+
 def test_embeddings_fp16_and_normalized(tmp_path) -> None:
     config = _config(tmp_path)
     insert_documents([Document.from_text(DOC_A, filename="a.md")], config=config)
