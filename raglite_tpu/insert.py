@@ -102,7 +102,17 @@ def _aggregate_metadata(documents: list[Document]) -> dict[str, set[Any]]:
             if key in METADATA_EXCLUDED_FIELDS:
                 continue
             values = value if isinstance(value, list) else [value]
-            out.setdefault(key, set()).update(v for v in values if v is not None)
+            bucket = out.setdefault(key, set())
+            for v in values:
+                if v is None:
+                    continue
+                try:
+                    bucket.add(v)
+                except TypeError:
+                    # Unhashable (nested dict/list) metadata values can't be
+                    # offered as self-query filter choices; keep them on the
+                    # document but don't let them abort the whole insert.
+                    continue
     return out
 
 
