@@ -59,7 +59,7 @@ def _config_from_options(store_path: str | None, llm: str | None, embedder: str 
 @click.group(name="raglite-tpu")
 @click.option("--store-path", default=None, help="Store directory (env: RAGLITE_TPU_STORE_PATH).")
 @click.option("--llm", default=None, help="LLM spec, e.g. 'echo' or 'jax:tiny' (env: RAGLITE_TPU_LLM).")
-@click.option("--embedder", default=None, help="Embedder spec, e.g. 'hash:1024' (env: RAGLITE_TPU_EMBEDDER).")
+@click.option("--embedder", default=None, help="Embedder spec: 'flax:sem' (default, in-package semantic encoder), 'hash:<dim>' (hermetic lexical), 'flax:<path>'/'openai:<model>' (env: RAGLITE_TPU_EMBEDDER).")
 @click.pass_context
 def cli(ctx: click.Context, store_path: str | None, llm: str | None, embedder: str | None) -> None:
     """RAGLite-TPU: TPU-native retrieval-augmented generation."""

@@ -70,9 +70,18 @@ class RAGLiteConfig:
     # Storage (reference: db_url, _config.py:66)
     store_path: str = field(default_factory=_default_store_path)
 
-    # Models (reference: llm/embedder strings, _config.py:50-64)
+    # Models (reference: llm/embedder strings, _config.py:50-64).  The
+    # default embedder is the in-package TPU-trained semantic encoder
+    # (models/data/encoder/, 17M params, d=512 — trained by
+    # scripts/train_encoder.py), mirroring the reference's real-semantic
+    # default (bge-m3, _config.py:50-64) without downloads.  "hash:<dim>"
+    # remains the fully-hermetic lexical featurizer for tests/benchmarks.
+    # The default LLM stays "echo" (deterministic, offline): unlike the
+    # 31 MB encoder, a useful decoder checkpoint cannot ship in-package;
+    # point ``llm`` at a local HF checkpoint ("jax:<path>") or an
+    # OpenAI-compatible endpoint for real generation.
     llm: str = "echo"
-    embedder: str = "hash:1024"
+    embedder: str = "flax:sem"
 
     # Chunking (reference: _config.py:67-68)
     chunk_max_size: int = 2048  # characters
