@@ -28,6 +28,7 @@ import numpy as np
 from raglite_tpu.models.json_automaton import JsonAutomaton
 from raglite_tpu.models.tokenizer import ByteTokenizer
 from raglite_tpu.ops.decode_attention import gqa_decode_attention
+from raglite_tpu.ops.quant_matmul import QuantLinear, quant_linear_apply
 
 # Per-(row, group) VMEM budget for the Pallas decode-attention kernel: K and
 # V blocks are [hd, S] each and the pipeline double-buffers them, so the
@@ -39,6 +40,36 @@ _DECODE_KERNEL_VMEM_BYTES = 12 * 1024 * 1024
 Params = dict[str, Any]
 
 __all__ = ["DecoderModel", "init_decoder_params", "JaxChatLLM"]
+
+
+def _linear(x: jax.Array, w) -> jax.Array:
+    """``x @ w`` where ``w`` is a dense matrix or a QuantLinear (int8).
+    Decode (few rows) is weight-streaming bound: int8 weights halve HBM
+    traffic, and quant_linear_apply routes those row counts to a native
+    s8xs8 MXU dot at HBM roofline (ops/quant_matmul.py has the measured
+    lowering comparison) — the TPU-native analogue of llama.cpp's
+    quantized GEMV hot loop the reference decodes through
+    (_chatml_function_calling.py:527-580)."""
+    if isinstance(w, QuantLinear):
+        return quant_linear_apply(x, w)
+    return x @ w
+
+
+def quantize_decoder_params(params: Params) -> Params:
+    """Quantize every decode-hot matmul weight to int8 (per-output-channel
+    scales): attention qkv/o, MLP gate/up/down, and the lm_head.  Embedding
+    (a gather), norms, and biases stay in their original dtype."""
+    mats = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+    out = {k: v for k, v in params.items() if k not in ("layers", "lm_head")}
+    out["lm_head"] = QuantLinear.from_dense(params["lm_head"])
+    out["layers"] = [
+        {
+            k: (QuantLinear.from_dense(v) if k in mats else v)
+            for k, v in layer.items()
+        }
+        for layer in params["layers"]
+    ]
+    return out
 
 
 def _rms_norm(x: jax.Array, scale: jax.Array, eps: float = 1e-6) -> jax.Array:
@@ -396,9 +427,9 @@ class DecoderModel:
             sliding = self.layer_sliding[li] and self.sliding_window
             inv_freq = self.inv_freq_local if self.layer_sliding[li] else self.inv_freq
             h = _rms_norm(x, layer["attn_norm"], self.rms_eps)
-            q = h @ layer["wq"]
-            k = h @ layer["wk"]
-            v = h @ layer["wv"]
+            q = _linear(h, layer["wq"])
+            k = _linear(h, layer["wk"])
+            v = _linear(h, layer["wv"])
             if "bq" in layer:  # Qwen2-style attention biases
                 q = q + layer["bq"]
                 k = k + layer["bk"]
@@ -495,27 +526,27 @@ class DecoderModel:
                 )
             ctx = ctx.reshape(B, heads, T, hd)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, heads * hd).astype(x.dtype)
-            attn_out = ctx @ layer["wo"]
+            attn_out = _linear(ctx, layer["wo"])
             if "post_attn_norm" in layer:  # Gemma2/3 sandwich norm
                 attn_out = _rms_norm(attn_out, layer["post_attn_norm"], self.rms_eps)
             x = x + attn_out
             # Gated MLP: SwiGLU (Llama/Qwen/Mistral) or GeGLU (Gemma).
             h = _rms_norm(x, layer["mlp_norm"], self.rms_eps)
-            gate_pre = (h @ layer["w_gate"]).astype(jnp.float32)
+            gate_pre = _linear(h, layer["w_gate"]).astype(jnp.float32)
             gate = (
                 jax.nn.gelu(gate_pre, approximate=True)
                 if self.hidden_act == "gelu_pytorch_tanh"
                 else jax.nn.silu(gate_pre)
             )
-            up = (h @ layer["w_up"]).astype(jnp.float32)
-            mlp_out = (gate * up).astype(x.dtype) @ layer["w_down"]
+            up = _linear(h, layer["w_up"]).astype(jnp.float32)
+            mlp_out = _linear((gate * up).astype(x.dtype), layer["w_down"])
             if "post_mlp_norm" in layer:  # Gemma2/3 sandwich norm
                 mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"], self.rms_eps)
             x = x + mlp_out
         x = _rms_norm(x, params["final_norm"], self.rms_eps)
         if last_positions is not None:
             x = x[jnp.arange(B), last_positions]  # [B, d]
-        logits_out = (x @ params["lm_head"]).astype(jnp.float32)
+        logits_out = _linear(x, params["lm_head"]).astype(jnp.float32)
         if self.final_softcap:  # Gemma2 final-logit soft capping
             logits_out = self.final_softcap * jnp.tanh(logits_out / self.final_softcap)
         return logits_out, {"k": new_k, "v": new_v}
@@ -563,6 +594,13 @@ class JaxChatLLM:
     }
 
     def __init__(self, spec: str = "tiny", *, seed: int = 0, dtype=jnp.bfloat16) -> None:
+        # "<spec>@int8": int8 weight-only decode (halves decode-step HBM
+        # traffic; the reference's analogue is llama.cpp's quantized GGUF,
+        # selected by its model-string grammar `<repo>/<file>@<n_ctx>`,
+        # _litellm.py:96-148).
+        self.quantized = spec.endswith("@int8")
+        if self.quantized:
+            spec = spec[: -len("@int8")]
         if spec.startswith("ckpt:"):
             # orbax checkpoint written by save_checkpoint() below.
             from raglite_tpu.models.checkpoint import load_checkpoint
@@ -582,6 +620,8 @@ class JaxChatLLM:
             self.params = init_decoder_params(cfg, seed=seed, dtype=dtype)
             self.tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
         self.cfg = cfg
+        if self.quantized:
+            self.params = quantize_decoder_params(self.params)
         self.model = DecoderModel(cfg)
         self._byte_level = isinstance(self.tokenizer, ByteTokenizer)
         # Byte-level automatons (grammar-constrained JSON) need the byte
@@ -605,6 +645,11 @@ class JaxChatLLM:
         """Write an orbax checkpoint loadable via ``jax:ckpt:<path>``."""
         from raglite_tpu.models.checkpoint import save_checkpoint
 
+        if self.quantized:
+            # Checkpoints stay full-precision; quantization is a load-time
+            # transform (append @int8 to the spec when reloading).
+            msg = "save_checkpoint on an @int8-quantized model; save the full-precision model instead"
+            raise ValueError(msg)
         save_checkpoint(path, self.params, self.cfg)
 
     # --- Prompting --------------------------------------------------------

@@ -22,6 +22,12 @@ def main() -> None:
     ap.add_argument("--preset", default="base")
     ap.add_argument("--prompt", type=int, default=2048)
     ap.add_argument("--chunks", type=int, default=6)
+    ap.add_argument(
+        "--quant",
+        choices=["none", "int8"],
+        default="none",
+        help="load the preset @int8 (W8A8 decode matmuls, ops/quant_matmul.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -41,7 +47,8 @@ def main() -> None:
     )
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
-    llm = JaxChatLLM(args.preset)
+    spec = args.preset + ("@int8" if args.quant == "int8" else "")
+    llm = JaxChatLLM(spec)
     model, params, cfg = llm.model, llm.params, llm.cfg
     T = min(args.prompt, cfg["max_len"] - 512)
 
