@@ -122,6 +122,53 @@ def gen_bench(args, rpc_floor: float) -> dict:
         flops_decode = 2 * p_mat + 4 * cfg["layers"] * S * cfg["heads"] * hd
         if peak:
             out[f"mfu_decode_b{B}"] = round(n_tok * B * flops_decode / decode_s / peak, 4)
+
+    # int8 (W8A8) quantized decode through the same production loop — the
+    # counterpart of the reference's quantized-GGUF llama.cpp decode.  The
+    # full-precision buffers are dropped first: two base-preset models plus
+    # B=8 KV caches approach the HBM budget alongside the search index.
+    if not getattr(args, "no_int8_gen", False):
+        del llm, model, params, state, cache, last, toks
+        try:
+            qllm = JaxChatLLM(args.gen_preset + "@int8")
+            qmodel, qparams = qllm.model, qllm.params
+            for B in (1, 8):
+                S = T + 512
+                ids = jnp.ones((B, T), jnp.int32)
+                lens = jnp.full((B,), T, jnp.int32)
+                last, cache = _prefill_last(
+                    qmodel, qparams, ids, qmodel.init_cache(B, S), lens
+                )
+                sync(last)
+                key = jax.random.PRNGKey(0)
+                done = jnp.zeros((B,), bool)
+                state = (cache, lens, last, done, key)
+
+                def qchunk(state):
+                    cache, lens, last, done, key = state
+                    toks, cache, lens, last, done, key = _decode_chunk_device(
+                        qmodel, cache, qparams, lens, last, mask, done, stops,
+                        key, num_steps=DECODE_CHUNK, temperature=0.0,
+                        top_p=1.0, top_k=0, min_p=0.0,
+                    )
+                    return toks, (cache, lens, last, done, key)
+
+                toks, state = qchunk(state)  # compile
+                sync(toks)
+                t0 = time.perf_counter()
+                for _ in range(n_decode_chunks):
+                    toks, state = qchunk(state)
+                sync(toks)
+                decode_s = time.perf_counter() - t0 - rpc_floor
+                n_tok = n_decode_chunks * DECODE_CHUNK
+                out[f"int8_decode_tok_s_b{B}"] = round(n_tok * B / decode_s, 1)
+                base = out.get(f"decode_tok_s_b{B}")
+                if base:
+                    out[f"int8_decode_speedup_b{B}"] = round(
+                        out[f"int8_decode_tok_s_b{B}"] / base, 2
+                    )
+        except Exception as e:  # noqa: BLE001 — fp numbers must still report
+            out["int8_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
@@ -289,6 +336,9 @@ def main() -> None:
     )
     parser.add_argument("--no-gen", action="store_true",
                         help="skip the generation (decoder) section")
+    parser.add_argument("--no-int8-gen", action="store_true",
+                        help="skip the int8 (W8A8) decode A/B in the "
+                        "generation section")
     parser.add_argument("--gen-preset", default="auto",
                         help="decoder preset: auto = base on TPU, tiny on CPU")
     parser.add_argument("--gen-prompt", type=int, default=2048)
@@ -305,6 +355,14 @@ def main() -> None:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+
+    if args.cpu:
+        # The env var alone is NOT honored when a TPU platform plugin
+        # auto-registers at import (measured: a --cpu run landed on the
+        # tunnel chip and contended with a concurrent TPU bench); the
+        # config update is what actually pins the backend.
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     # Persistent compilation cache: repeated bench runs (and the driver's
@@ -423,6 +481,8 @@ def main() -> None:
             "--gen-preset", args.gen_preset, "--gen-prompt", str(args.gen_prompt),
             "--gen-chunks", str(args.gen_chunks),
             *(["--no-gen"] if args.no_gen else []),
+            *(["--no-int8-gen"] if args.no_int8_gen else []),
+            *(["--cpu"] if args.cpu else []),
             *extra,
         ]
         env = dict(os.environ)

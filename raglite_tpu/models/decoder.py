@@ -28,7 +28,12 @@ import numpy as np
 from raglite_tpu.models.json_automaton import JsonAutomaton
 from raglite_tpu.models.tokenizer import ByteTokenizer
 from raglite_tpu.ops.decode_attention import gqa_decode_attention
-from raglite_tpu.ops.quant_matmul import QuantLinear, quant_linear_apply
+from raglite_tpu.ops.quant_matmul import (
+    QuantLinear,
+    QuantLinearFused,
+    quant_linear_apply,
+    quant_linear_apply_fused,
+)
 
 # Per-(row, group) VMEM budget for the Pallas decode-attention kernel: K and
 # V blocks are [hd, S] each and the pipeline double-buffers them, so the
@@ -58,17 +63,30 @@ def _linear(x: jax.Array, w) -> jax.Array:
 def quantize_decoder_params(params: Params) -> Params:
     """Quantize every decode-hot matmul weight to int8 (per-output-channel
     scales): attention qkv/o, MLP gate/up/down, and the lm_head.  Embedding
-    (a gather), norms, and biases stay in their original dtype."""
-    mats = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+    (a gather), norms, and biases stay in their original dtype.
+
+    Same-input weights are FUSED into one int8 matmul each (q/k/v ->
+    ``wqkv``, gate/up -> ``w_gate_up``): per-output-channel scales make the
+    fused quantization bit-identical, and decode at B=1 is op-count bound —
+    4 dot+quantize+rescale chains per layer instead of 7."""
     out = {k: v for k, v in params.items() if k not in ("layers", "lm_head")}
     out["lm_head"] = QuantLinear.from_dense(params["lm_head"])
-    out["layers"] = [
-        {
-            k: (QuantLinear.from_dense(v) if k in mats else v)
+    out["layers"] = []
+    for layer in params["layers"]:
+        ql = {
+            k: v
             for k, v in layer.items()
+            if k not in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
         }
-        for layer in params["layers"]
-    ]
+        ql["wqkv"] = QuantLinearFused.from_dense(
+            [layer["wq"], layer["wk"], layer["wv"]]
+        )
+        ql["w_gate_up"] = QuantLinearFused.from_dense(
+            [layer["w_gate"], layer["w_up"]]
+        )
+        ql["wo"] = QuantLinear.from_dense(layer["wo"])
+        ql["w_down"] = QuantLinear.from_dense(layer["w_down"])
+        out["layers"].append(ql)
     return out
 
 
@@ -427,9 +445,12 @@ class DecoderModel:
             sliding = self.layer_sliding[li] and self.sliding_window
             inv_freq = self.inv_freq_local if self.layer_sliding[li] else self.inv_freq
             h = _rms_norm(x, layer["attn_norm"], self.rms_eps)
-            q = _linear(h, layer["wq"])
-            k = _linear(h, layer["wk"])
-            v = _linear(h, layer["wv"])
+            if "wqkv" in layer:  # fused int8 projection (one dot for q/k/v)
+                q, k, v = quant_linear_apply_fused(h, layer["wqkv"])
+            else:
+                q = _linear(h, layer["wq"])
+                k = _linear(h, layer["wk"])
+                v = _linear(h, layer["wv"])
             if "bq" in layer:  # Qwen2-style attention biases
                 q = q + layer["bq"]
                 k = k + layer["bk"]
@@ -532,13 +553,17 @@ class DecoderModel:
             x = x + attn_out
             # Gated MLP: SwiGLU (Llama/Qwen/Mistral) or GeGLU (Gemma).
             h = _rms_norm(x, layer["mlp_norm"], self.rms_eps)
-            gate_pre = _linear(h, layer["w_gate"]).astype(jnp.float32)
+            if "w_gate_up" in layer:  # fused int8 projection (one dot)
+                gate_pre, up = quant_linear_apply_fused(h, layer["w_gate_up"])
+                gate_pre, up = gate_pre.astype(jnp.float32), up.astype(jnp.float32)
+            else:
+                gate_pre = _linear(h, layer["w_gate"]).astype(jnp.float32)
+                up = _linear(h, layer["w_up"]).astype(jnp.float32)
             gate = (
                 jax.nn.gelu(gate_pre, approximate=True)
                 if self.hidden_act == "gelu_pytorch_tanh"
                 else jax.nn.silu(gate_pre)
             )
-            up = _linear(h, layer["w_up"]).astype(jnp.float32)
             mlp_out = _linear((gate * up).astype(x.dtype), layer["w_down"])
             if "post_mlp_norm" in layer:  # Gemma2/3 sandwich norm
                 mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"], self.rms_eps)
@@ -572,6 +597,14 @@ from raglite_tpu.utils.padding import bucket as _bucket_any
 
 def _bucket(n: int, minimum: int = 64) -> int:  # prompt buckets start small
     return _bucket_any(n, minimum)
+
+
+def _max_new(sampling: dict, default: int) -> int:
+    """Generation budget from sampling kwargs.  The protocol key is the
+    OpenAI-style ``max_tokens``; ``max_new_tokens`` (the HF-style spelling)
+    is accepted as an alias because silently ignoring a limit kwarg runs
+    generations ~4x longer than the caller asked for."""
+    return int(sampling.get("max_tokens", sampling.get("max_new_tokens", default)))
 
 
 class JaxChatLLM:
@@ -1096,7 +1129,7 @@ class JaxChatLLM:
                 automatons = [JsonAutomaton() for _ in prompts]
         token_lists = self._generate_batch(
             prompts,
-            max_new_tokens=int(sampling.get("max_tokens", 512)),
+            max_new_tokens=_max_new(sampling, 512),
             temperature=float(sampling.get("temperature", 0.0)),
             top_p=float(sampling.get("top_p", 1.0)),
             top_k=int(sampling.get("top_k", 0)),
@@ -1163,7 +1196,7 @@ class JaxChatLLM:
             )
             tokens = self._generate_tokens(
                 prompt,
-                max_new_tokens=int(sampling.get("max_tokens", 128)),
+                max_new_tokens=_max_new(sampling, 128),
                 temperature=float(sampling.get("temperature", 0.0)),
             )
             raw = "".join(self._decode_stream(tokens)).split("</tool_call>")[0].strip()
@@ -1198,7 +1231,7 @@ class JaxChatLLM:
         prompt = self._format_messages(messages, tools) + f"Arguments for {name}:\n"
         tokens = self._generate_tokens(
             prompt,
-            max_new_tokens=int(sampling.get("max_tokens", 128)),
+            max_new_tokens=_max_new(sampling, 128),
             temperature=float(sampling.get("temperature", 0.0)),
             json_constrained=True,
             automaton=SchemaAutomaton(schema),
@@ -1220,7 +1253,7 @@ class JaxChatLLM:
             yield self._forced_tool_call(messages, tools, tool_choice, sampling)
             return
         prompt = self._format_messages(messages, tools)
-        max_new = int(sampling.get("max_tokens", 128))
+        max_new = _max_new(sampling, 128)
         text_parts: list[str] = []
         # Incremental tool-tag filter: content inside <tool_call>...</tool_call>
         # must never reach the text stream (it is parsed into ToolCall items
@@ -1321,7 +1354,7 @@ class JaxChatLLM:
             )
             tokens = self._generate_tokens(
                 prompt,
-                max_new_tokens=int(sampling.get("max_tokens", 256)),
+                max_new_tokens=_max_new(sampling, 256),
                 temperature=float(sampling.get("temperature", 0.0)),
             )
             return ChatResponse(content="".join(self._decode_stream(tokens)))
@@ -1342,7 +1375,7 @@ class JaxChatLLM:
                 automaton = SchemaAutomaton(schema)
             tokens = self._generate_tokens(
                 prompt,
-                max_new_tokens=int(sampling.get("max_tokens", 256)),
+                max_new_tokens=_max_new(sampling, 256),
                 temperature=float(sampling.get("temperature", 0.0)),
                 json_constrained=True,
                 automaton=automaton,

@@ -52,10 +52,12 @@ from raglite_tpu.utils.padding import round_up as _round_up
 __all__ = [
     "QUANT_KINDS",
     "QuantLinear",
+    "QuantLinearFused",
     "dequantize_linear",
     "int8_matmul_w8a8",
     "int8_matmul_xla",
     "quant_linear_apply",
+    "quant_linear_apply_fused",
     "quantize_linear_int8",
     "quantize_rows_int8",
 ]
@@ -177,10 +179,68 @@ class QuantLinear:
         return dequantize_linear({"q8": self.q8, "s8": self.s8}, self.n_out, dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+class QuantLinearFused:
+    """Several same-input QuantLinears fused into ONE int8 matmul.
+
+    The decode step is dominated not just by HBM bytes but by op COUNT: at
+    B=1 each of the 7 per-layer matmuls pays its own activation-quantize,
+    dot dispatch, and rescale.  Weights that consume the same activation
+    (q/k/v off the attention norm; gate/up off the MLP norm) concatenate on
+    the output axis — per-output-channel scales make the fused quantization
+    bit-identical to quantizing each part separately — so one quantize, one
+    MXU dot, and one rescale produce all the parts, which are then sliced
+    back out (a trivial [rows, N] slice).
+    """
+
+    def __init__(self, q8: jax.Array, s8: jax.Array, n_outs: tuple[int, ...]) -> None:
+        self.q8, self.s8, self.n_outs = q8, s8, tuple(int(n) for n in n_outs)
+
+    def tree_flatten(self):
+        return (self.q8, self.s8), self.n_outs
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+    @classmethod
+    def from_dense(cls, ws: list[jax.Array]) -> "QuantLinearFused":
+        n_outs = tuple(int(w.shape[1]) for w in ws)
+        wq = quantize_linear_int8(jnp.concatenate(ws, axis=1))
+        return cls(wq["q8"], wq["s8"], n_outs)
+
+
 #: Row counts up to this take the W8A8 native-int8 dot on TPU (decode —
 #: weight-streaming bound, activation-quant noise on a handful of rows);
 #: more rows (prefill) are MXU-bound and keep W8A16 activation precision.
 _W8A8_MAX_ROWS = 32
+
+
+def _routed_matmul(x2: jax.Array, q8: jax.Array, s8: jax.Array, rows: int) -> jax.Array:
+    mode = os.environ.get("RAGLITE_TPU_W8A8", "auto")
+    use_w8a8 = mode == "1" or (
+        mode != "0" and rows <= _W8A8_MAX_ROWS and jax.default_backend() == "tpu"
+    )
+    if use_w8a8:
+        return int8_matmul_w8a8(x2, q8, s8)
+    return int8_matmul_xla(x2, q8, s8)
+
+
+def quant_linear_apply_fused(
+    x: jax.Array, w: QuantLinearFused
+) -> tuple[jax.Array, ...]:
+    """One quantize + one int8 dot, sliced into ``len(w.n_outs)`` outputs
+    (each [..., n_i] in ``x``'s dtype)."""
+    lead, K = x.shape[:-1], x.shape[-1]
+    rows = 1
+    for d in lead:
+        rows *= int(d)
+    y = _routed_matmul(x.reshape(rows, K), w.q8, w.s8, rows).astype(x.dtype)
+    outs, off = [], 0
+    for n in w.n_outs:
+        outs.append(y[:, off : off + n].reshape(*lead, n))
+        off += n
+    return tuple(outs)
 
 
 def quant_linear_apply(x: jax.Array, w: QuantLinear) -> jax.Array:
@@ -196,15 +256,5 @@ def quant_linear_apply(x: jax.Array, w: QuantLinear) -> jax.Array:
     rows = 1
     for d in lead:
         rows *= int(d)
-    x2 = x.reshape(rows, K)
-    mode = os.environ.get("RAGLITE_TPU_W8A8", "auto")
-    use_w8a8 = mode == "1" or (
-        mode != "0"
-        and rows <= _W8A8_MAX_ROWS
-        and jax.default_backend() == "tpu"
-    )
-    if use_w8a8:
-        y = int8_matmul_w8a8(x2, w.q8, w.s8)
-    else:
-        y = int8_matmul_xla(x2, w.q8, w.s8)
+    y = _routed_matmul(x.reshape(rows, K), w.q8, w.s8, rows)
     return y[:, : w.n_out].reshape(*lead, w.n_out).astype(x.dtype)

@@ -19,9 +19,11 @@ import jax.numpy as jnp
 from raglite_tpu.models.decoder import JaxChatLLM, quantize_decoder_params
 from raglite_tpu.ops.quant_matmul import (
     QuantLinear,
+    QuantLinearFused,
     int8_matmul_w8a8,
     int8_matmul_xla,
     quant_linear_apply,
+    quant_linear_apply_fused,
     quantize_linear_int8,
     quantize_rows_int8,
 )
@@ -122,11 +124,32 @@ def test_quantize_decoder_params_structure():
     llm = JaxChatLLM("tiny")
     qp = quantize_decoder_params(llm.params)
     assert isinstance(qp["lm_head"], QuantLinear)
-    for layer in qp["layers"]:
-        for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-            assert isinstance(layer[k], QuantLinear)
+    for layer, fp_layer in zip(qp["layers"], llm.params["layers"]):
+        assert isinstance(layer["wqkv"], QuantLinearFused)
+        assert isinstance(layer["w_gate_up"], QuantLinearFused)
+        assert isinstance(layer["wo"], QuantLinear)
+        assert isinstance(layer["w_down"], QuantLinear)
+        for k in ("wq", "wk", "wv", "w_gate", "w_up"):
+            assert k not in layer  # replaced by the fused weights
         assert not isinstance(layer["attn_norm"], QuantLinear)
+        # fused widths = the concatenated per-weight widths
+        assert layer["wqkv"].n_outs == tuple(
+            fp_layer[k].shape[1] for k in ("wq", "wk", "wv")
+        )
     assert qp["tok_emb"] is llm.params["tok_emb"]
+
+
+def test_fused_apply_matches_separate():
+    rng = np.random.default_rng(5)
+    ws = [jnp.asarray(rng.normal(size=(64, n)) * 0.1, jnp.float32) for n in (96, 32, 32)]
+    fused = QuantLinearFused.from_dense(ws)
+    x = jnp.asarray(rng.normal(size=(3, 64)), jnp.float32)
+    outs = quant_linear_apply_fused(x, fused)
+    assert tuple(o.shape[1] for o in outs) == (96, 32, 32)
+    for o, w in zip(outs, ws):
+        # per-output-channel scales => fused quantization == separate
+        sep = quant_linear_apply(x, QuantLinear.from_dense(w))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(sep), atol=1e-5)
 
 
 def test_quantized_tiny_generates():
