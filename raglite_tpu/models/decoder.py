@@ -383,6 +383,10 @@ class DecoderModel:
             os.environ.get("RAGLITE_TPU_PALLAS_DECODE", "auto") != "0"
             and jax.default_backend() == "tpu"
         )
+        #: Optional NamedSharding for KV cache buffers — set by
+        #: parallel/tp_decoder.py so tensor-parallel caches are born on
+        #: their KV-head shards instead of being replicated then resharded.
+        self.cache_sharding = None
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
         """KV cache as PER-LAYER leaves (lists of [B, KVH, hd, S]), not one
@@ -401,9 +405,16 @@ class DecoderModel:
         B=8, ~5 ms of the 7.6 ms step).  Stored transposed, the optimized
         HLO has zero cache-sized copies."""
         L, kvh, hd = self.cfg["layers"], self.cfg["kv_heads"], self.head_dim
+
+        def zeros():
+            buf = jnp.zeros((batch, kvh, hd, max_len), dtype)
+            if self.cache_sharding is not None:  # TP: born on the KVH shards
+                buf = jax.device_put(buf, self.cache_sharding)
+            return buf
+
         return {
-            "k": [jnp.zeros((batch, kvh, hd, max_len), dtype) for _ in range(L)],
-            "v": [jnp.zeros((batch, kvh, hd, max_len), dtype) for _ in range(L)],
+            "k": [zeros() for _ in range(L)],
+            "v": [zeros() for _ in range(L)],
         }
 
     def forward(
