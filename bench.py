@@ -123,6 +123,64 @@ def gen_bench(args, rpc_floor: float) -> dict:
         if peak:
             out[f"mfu_decode_b{B}"] = round(n_tok * B * flops_decode / decode_s / peak, 4)
 
+    # Prompt-lookup speculative decode at B=1 (models/speculative.py): each
+    # verify forward costs one weight-streaming pass but commits 1 + accepted
+    # tokens.  Greedy decode from a random-init model collapses into
+    # repetition, so history n-grams hit — measuring the accepted-draft
+    # regime RAG answers live in (copied spans); the accept rate is reported
+    # so the number can't be mistaken for unconditional speedup.
+    if not getattr(args, "no_spec", False):
+        try:
+            from raglite_tpu.models.speculative import speculate_chunk_device
+            from raglite_tpu.models.decoder import SPEC_DRAFT_LEN, _NO_TOKEN
+
+            B, S = 1, T + 512
+            ids = jnp.ones((B, T), jnp.int32)
+            lens = jnp.full((B,), T, jnp.int32)
+            last, cache = _prefill_last(
+                model, params, ids, model.init_cache(B, S), lens
+            )
+            sync(last)
+            hist = jnp.ones((S,), jnp.int32)
+            state = (
+                cache, lens, last, jnp.full((1,), -1, jnp.int32),
+                jnp.zeros((1,), bool), jax.random.PRNGKey(0), hist,
+                jnp.asarray(T, jnp.int32),
+            )
+
+            def spec_chunk(state):
+                cache, lens, last, rej, done, key, hist, hl = state
+                toks, cache, lens, last, rej, done, key, hist, hl, it = (
+                    speculate_chunk_device(
+                        model, cache, params, lens, last, rej, mask, done,
+                        stops, key, hist, hl, num_tokens=DECODE_CHUNK,
+                        draft_len=SPEC_DRAFT_LEN, pad_id=0, temperature=0.0,
+                        top_p=1.0, top_k=0, min_p=0.0,
+                    )
+                )
+                return toks, it, (cache, lens, last, rej, done, key, hist, hl)
+
+            toks, it, state = spec_chunk(state)  # compile (+ n-gram warmup)
+            sync(toks)
+            outs = []
+            t0 = time.perf_counter()
+            for _ in range(n_decode_chunks):
+                toks, it, state = spec_chunk(state)
+                outs.append((toks, it))
+            sync(toks)
+            spec_s = time.perf_counter() - t0 - rpc_floor
+            n_tok = sum(int(np.sum(np.asarray(t) != _NO_TOKEN)) for t, _ in outs)
+            n_iter = sum(int(i) for _, i in outs)
+            out["spec_decode_tok_s_b1"] = round(n_tok / spec_s, 1)
+            out["spec_tokens_per_forward"] = round(n_tok / max(n_iter, 1), 2)
+            base = out.get("decode_tok_s_b1")
+            if base:
+                out["spec_decode_speedup_b1"] = round(
+                    out["spec_decode_tok_s_b1"] / base, 2
+                )
+        except Exception as e:  # noqa: BLE001 — plain numbers must still report
+            out["spec_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # int8 (W8A8) quantized decode through the same production loop — the
     # counterpart of the reference's quantized-GGUF llama.cpp decode.  The
     # full-precision buffers are dropped first: two base-preset models plus
@@ -339,6 +397,9 @@ def main() -> None:
     parser.add_argument("--no-int8-gen", action="store_true",
                         help="skip the int8 (W8A8) decode A/B in the "
                         "generation section")
+    parser.add_argument("--no-spec", action="store_true",
+                        help="skip the speculative-decode measurement in "
+                        "the generation section")
     parser.add_argument("--gen-preset", default="auto",
                         help="decoder preset: auto = base on TPU, tiny on CPU")
     parser.add_argument("--gen-prompt", type=int, default=2048)
@@ -482,6 +543,7 @@ def main() -> None:
             "--gen-chunks", str(args.gen_chunks),
             *(["--no-gen"] if args.no_gen else []),
             *(["--no-int8-gen"] if args.no_int8_gen else []),
+            *(["--no-spec"] if args.no_spec else []),
             *(["--cpu"] if args.cpu else []),
             *extra,
         ]

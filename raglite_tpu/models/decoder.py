@@ -790,13 +790,66 @@ class JaxChatLLM:
         top_k: int,
         min_p: float,
         seed: int,
+        hist: np.ndarray | None = None,
+        hist_len: int = 0,
+        speculate: bool = False,
     ) -> Iterator[int]:
         """Stream tokens from the on-device decode loop, one dispatch per
-        DECODE_CHUNK tokens."""
+        DECODE_CHUNK tokens.  With ``speculate`` (and ``hist``, the prompt
+        token history), the dispatch runs prompt-lookup speculative decoding
+        (models/speculative.py): n-gram drafts from the history are verified
+        K-at-a-time in one forward, so copy-heavy RAG answers emit several
+        tokens per weight-streaming pass."""
         stops = self._stop_ids_device()
         key = jax.random.PRNGKey(seed)
         last = first_logits
         emitted = 0
+        if speculate and hist is not None:
+            from raglite_tpu.models.speculative import speculate_chunk_device
+
+            hist_dev = jnp.asarray(hist, jnp.int32)
+            hl = jnp.asarray(hist_len, jnp.int32)
+            reject = jnp.full((1,), -1, jnp.int32)
+            tot_iters = 0
+            while emitted < max_new_tokens:
+                (
+                    out, cache, cache_lens, last, reject, done, key,
+                    hist_dev, hl, n_iters,
+                ) = speculate_chunk_device(
+                    self.model,
+                    cache,
+                    self.params,
+                    cache_lens,
+                    last,
+                    reject,
+                    logits_mask,
+                    done,
+                    stops,
+                    key,
+                    hist_dev,
+                    hl,
+                    num_tokens=DECODE_CHUNK,
+                    draft_len=SPEC_DRAFT_LEN,
+                    pad_id=int(self.tokenizer.PAD),
+                    temperature=float(temperature),
+                    top_p=float(top_p),
+                    top_k=int(top_k),
+                    min_p=float(min_p),
+                )
+                tokens = np.asarray(out)
+                tot_iters += int(n_iters)
+                for token in tokens:
+                    if token == _NO_TOKEN or emitted >= max_new_tokens:
+                        break
+                    yield int(token)
+                    emitted += 1
+                # Verified-tokens-per-forward telemetry for bench/tests.
+                self.spec_stats = {"tokens": emitted, "verify_iters": tot_iters}
+                if emitted >= max_new_tokens or bool(np.asarray(done)[0]):
+                    return
+                if not np.any(tokens != _NO_TOKEN):
+                    return  # budget-capped chunk emitted nothing new
+            return
         while emitted < max_new_tokens:
             out, cache, cache_lens, last, done, key = _decode_chunk_device(
                 self.model,
@@ -877,6 +930,19 @@ class JaxChatLLM:
             # Unconstrained: the whole decode loop runs on device in
             # DECODE_CHUNK-token dispatches (sampling + stop checks
             # included) — one host fetch per chunk, not per token.
+            # Prompt-lookup speculation is on by default for greedy decode
+            # (bit-exact there); RAGLITE_TPU_SPECULATE=always extends it to
+            # sampled decode (speculative-sampling acceptance — the target
+            # distribution is preserved but the PRNG stream differs from
+            # plain decode), =0 disables.
+            spec_mode = os.environ.get("RAGLITE_TPU_SPECULATE", "auto")
+            speculate = spec_mode != "0" and (
+                temperature == 0.0 or spec_mode in ("1", "always")
+            )
+            hist0 = None
+            if speculate:
+                hist0 = np.full((max_total,), tok.PAD, dtype=np.int32)
+                hist0[: len(ids)] = ids
             yield from self._device_token_stream(
                 cache,
                 jnp.asarray([cache_len], jnp.int32),
@@ -889,6 +955,9 @@ class JaxChatLLM:
                 top_k=top_k,
                 min_p=min_p,
                 seed=seed,
+                hist=hist0,
+                hist_len=len(ids),
+                speculate=speculate,
             )
             return
         last_logits = np.asarray(last_dev[0])
@@ -1414,6 +1483,12 @@ DECODE_CHUNK = 32
 
 #: Sentinel in device decode output for "row was already done".
 _NO_TOKEN = -1
+
+#: Draft tokens verified per speculative forward (window = draft + 1).  At
+#: B=1 the forward is weight-streaming bound, so an 8-token window costs
+#: the same HBM traffic as one token; larger windows raise the ceiling on
+#: copy-heavy text but waste nothing on misses either way.
+SPEC_DRAFT_LEN = int(os.environ.get("RAGLITE_TPU_SPEC_K", "7"))
 
 
 @partial(

@@ -1,0 +1,147 @@
+"""Prompt-lookup speculative decoding (models/speculative.py).
+
+The exactness contract: with temperature == 0 the speculative device loop
+must emit a BIT-IDENTICAL token sequence to the plain on-device decode
+loop — speculation may only change how many forwards it takes, never what
+comes out.  (Reference decode hot loop being accelerated:
+/root/reference/src/raglite/_chatml_function_calling.py:527-580.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raglite_tpu.models.decoder import JaxChatLLM
+from raglite_tpu.models.speculative import _ngram_draft
+
+
+@pytest.fixture(scope="module")
+def llm() -> JaxChatLLM:
+    return JaxChatLLM("tiny", seed=3)
+
+
+def _tokens(llm, prompt, *, speculate, monkeypatch, max_new=90, **sampling):
+    monkeypatch.setenv("RAGLITE_TPU_SPECULATE", "always" if speculate else "0")
+    return list(
+        llm._generate_tokens(prompt, max_new_tokens=max_new, **sampling)
+    )
+
+
+@pytest.mark.parametrize(
+    "prompt",
+    [
+        # Copy-heavy: greedy decode from a random-init model falls into
+        # repetition, so history n-grams match and drafts accept.
+        "the cat sat on the mat. the cat sat on the mat. the cat sat",
+        # No obvious structure: drafts mostly miss; output must not change.
+        "q9 zp! & unique tokens only here",
+        "ab",  # shorter than a trigram suffix
+    ],
+)
+def test_greedy_speculation_is_exact(llm, prompt, monkeypatch):
+    plain = _tokens(llm, prompt, speculate=False, monkeypatch=monkeypatch)
+    spec = _tokens(llm, prompt, speculate=True, monkeypatch=monkeypatch)
+    assert spec == plain
+    assert len(plain) > 0
+
+
+def test_greedy_speculation_exact_across_chunks(llm, monkeypatch):
+    """max_new far beyond DECODE_CHUNK: the carry (logits/reject/history)
+    must survive chunk boundaries."""
+    prompt = "alpha beta gamma. alpha beta gamma. alpha beta"
+    plain = _tokens(llm, prompt, speculate=False, monkeypatch=monkeypatch, max_new=200)
+    spec = _tokens(llm, prompt, speculate=True, monkeypatch=monkeypatch, max_new=200)
+    assert spec == plain
+
+
+def test_speculation_accepts_on_copy_heavy_text(llm, monkeypatch):
+    """On repetitive text the verify forwards must commit more than one
+    token each on average — the whole point of the machinery."""
+    prompt = "one two three four. " * 8
+    spec = _tokens(llm, prompt, speculate=True, monkeypatch=monkeypatch, max_new=120)
+    stats = llm.spec_stats
+    assert stats["tokens"] == len(spec)
+    # Greedy repetition loops: expect well above 1 token per forward.
+    assert stats["tokens"] / max(stats["verify_iters"], 1) > 1.3
+
+
+def test_sampled_speculation_runs_and_terminates(llm, monkeypatch):
+    """temperature > 0 uses the speculative-sampling acceptance rule; the
+    PRNG stream differs from plain decode so only invariants are checked."""
+    out = _tokens(
+        llm,
+        "the rain in spain stays mainly on the plain. the rain in",
+        speculate=True,
+        monkeypatch=monkeypatch,
+        temperature=0.8,
+        top_p=0.9,
+        top_k=40,
+        max_new=64,
+    )
+    assert 0 < len(out) <= 64
+    vocab = llm.cfg["vocab"]
+    assert all(0 <= t < vocab for t in out)
+    assert all(t not in llm._stop_ids for t in out)
+
+
+def test_speculation_default_on_for_greedy_only(llm, monkeypatch):
+    """Default (auto): greedy decode speculates, sampled decode does not —
+    sampled outputs for a pinned seed must not change under the default."""
+    monkeypatch.delenv("RAGLITE_TPU_SPECULATE", raising=False)
+    llm.spec_stats = None
+    list(llm._generate_tokens("x y. x y. x", max_new_tokens=40))
+    assert llm.spec_stats is not None  # greedy -> speculated
+    llm.spec_stats = None
+    list(llm._generate_tokens("x y. x y. x", max_new_tokens=24, temperature=0.7))
+    assert llm.spec_stats is None  # sampled -> plain device loop
+
+
+def test_chat_stop_tokens_respected(llm, monkeypatch):
+    """complete() goes through the speculative path at temperature 0 and
+    must still terminate at ChatML stops with a well-formed message."""
+    monkeypatch.setenv("RAGLITE_TPU_SPECULATE", "auto")
+    res = llm.complete(
+        [{"role": "user", "content": "echo echo echo echo"}],
+        temperature=0.0,
+        max_tokens=64,
+    )
+    assert isinstance(res.content, str)
+
+
+def test_ngram_draft_prefers_trigram_and_recency():
+    import jax.numpy as jnp
+
+    # History: ... 5 6 7 9 9 | 5 6 7 8 ... — suffix (6, 7) + t=7? Build
+    # explicitly: committed = [5,6,7,1,2,5,6,7,3,4], suffix tokens are
+    # (hist[-2], hist[-1], t) = (6, 7, ...) with t chosen below.
+    committed = [5, 6, 7, 1, 2, 5, 6, 7, 3, 4, 5, 6]
+    h = np.zeros(32, np.int32)
+    h[: len(committed)] = committed
+    # t = 7 -> trigram (5, 6, 7) matches at j=0 and j=5; most recent (j=5)
+    # wins; draft = tokens after position 5+3=8 -> [3, 4, 5].
+    drafts = np.asarray(
+        _ngram_draft(jnp.asarray(h), jnp.asarray(len(committed)), jnp.asarray(7), 3, 0)
+    )
+    assert drafts.tolist() == [3, 4, 5]
+    # t = 9 -> no (6, 9) bigram and no trigram: pad (0) drafts.
+    drafts = np.asarray(
+        _ngram_draft(jnp.asarray(h), jnp.asarray(len(committed)), jnp.asarray(9), 3, 0)
+    )
+    assert drafts.tolist() == [0, 0, 0]
+
+
+def test_ngram_draft_never_reads_uncommitted_history():
+    import jax.numpy as jnp
+
+    # A bigram match whose continuation would run past the committed
+    # length: the overhang must be pad, not stale buffer contents.
+    h = np.full(16, 99, np.int32)  # poison the uncommitted region
+    committed = [1, 2, 3, 1, 2]
+    h[: len(committed)] = committed
+    # suffix (1, 2) + t=3?  committed suffix is (1,2); t=3 gives trigram
+    # (1,2,3) matching j=0, draft starts at 3 -> [1, 2, pad].
+    drafts = np.asarray(
+        _ngram_draft(jnp.asarray(h), jnp.asarray(len(committed)), jnp.asarray(3), 3, 0)
+    )
+    assert drafts.tolist() == [1, 2, 0]
