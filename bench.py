@@ -141,11 +141,11 @@ def gen_bench(args, rpc_floor: float) -> dict:
                 model, params, ids, model.init_cache(B, S), lens
             )
             sync(last)
-            hist = jnp.ones((S,), jnp.int32)
+            hist = jnp.ones((1, S), jnp.int32)
             state = (
                 cache, lens, last, jnp.full((1,), -1, jnp.int32),
                 jnp.zeros((1,), bool), jax.random.PRNGKey(0), hist,
-                jnp.asarray(T, jnp.int32),
+                jnp.full((1,), T, jnp.int32),
             )
 
             def spec_chunk(state):

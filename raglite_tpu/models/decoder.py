@@ -807,8 +807,8 @@ class JaxChatLLM:
         if speculate and hist is not None:
             from raglite_tpu.models.speculative import speculate_chunk_device
 
-            hist_dev = jnp.asarray(hist, jnp.int32)
-            hl = jnp.asarray(hist_len, jnp.int32)
+            hist_dev = jnp.asarray(hist, jnp.int32)[None, :]
+            hl = jnp.asarray([hist_len], jnp.int32)
             reject = jnp.full((1,), -1, jnp.int32)
             tot_iters = 0
             while emitted < max_new_tokens:
@@ -836,7 +836,7 @@ class JaxChatLLM:
                     top_k=int(top_k),
                     min_p=float(min_p),
                 )
-                tokens = np.asarray(out)
+                tokens = np.asarray(out[0])
                 tot_iters += int(n_iters)
                 for token in tokens:
                     if token == _NO_TOKEN or emitted >= max_new_tokens:
@@ -1060,7 +1060,18 @@ class JaxChatLLM:
         if all(a is None for a in automatons):
             # Unconstrained batch: run the whole decode on device in
             # DECODE_CHUNK-step dispatches (one fetch per chunk for the
-            # entire batch instead of one per token).
+            # entire batch instead of one per token).  Prompt-lookup
+            # speculation batches too (per-row drafts/accepts/offsets) under
+            # the same gating as the stream path: greedy by default,
+            # RAGLITE_TPU_SPECULATE=always for sampled, =0 off.
+            spec_mode = os.environ.get("RAGLITE_TPU_SPECULATE", "auto")
+            speculate = spec_mode != "0" and (
+                temperature == 0.0 or spec_mode in ("1", "always")
+            )
+            hist0 = None
+            if speculate:
+                hist0 = np.full((bpad, max_total), tok.PAD, dtype=np.int32)
+                hist0[:, :pad] = batch_ids
             return self._generate_batch_device(
                 cache,
                 cache_lens,
@@ -1074,6 +1085,9 @@ class JaxChatLLM:
                 top_k=top_k,
                 min_p=min_p,
                 seed=seed,
+                hist=hist0,
+                hist_lens=lens if speculate else None,
+                speculate=speculate,
             )
         last_logits = np.asarray(last_dev)
 
@@ -1143,15 +1157,76 @@ class JaxChatLLM:
         top_k: int,
         min_p: float,
         seed: int,
+        hist: np.ndarray | None = None,
+        hist_lens: np.ndarray | None = None,
+        speculate: bool = False,
     ) -> list[list[int]]:
         """Batched on-device decode: chunked while_loop dispatches shared by
-        the whole batch; dummy padding rows start done."""
+        the whole batch; dummy padding rows start done.  With ``speculate``,
+        each chunk runs batched prompt-lookup speculation — rows accept
+        drafts at their own rates and emit variable token counts per chunk,
+        so per-row budgets are tracked host-side."""
         stops = self._stop_ids_device()
         key = jax.random.PRNGKey(seed)
         done = jnp.asarray(np.arange(bpad) >= n)
         outputs: list[list[int]] = [[] for _ in range(n)]
         finished = np.zeros(n, dtype=bool)
         last = first_logits
+        if speculate and hist is not None:
+            from raglite_tpu.models.speculative import speculate_chunk_device
+
+            hist_dev = jnp.asarray(hist, jnp.int32)
+            hl = jnp.asarray(hist_lens, jnp.int32)
+            reject = jnp.full((bpad,), -1, jnp.int32)
+            while not finished.all():
+                (
+                    out, cache, cache_lens, last, reject, done, key,
+                    hist_dev, hl, _,
+                ) = speculate_chunk_device(
+                    self.model,
+                    cache,
+                    self.params,
+                    cache_lens,
+                    last,
+                    reject,
+                    logits_mask,
+                    done,
+                    stops,
+                    key,
+                    hist_dev,
+                    hl,
+                    num_tokens=DECODE_CHUNK,
+                    draft_len=SPEC_DRAFT_LEN,
+                    pad_id=int(self.tokenizer.PAD),
+                    temperature=float(temperature),
+                    top_p=float(top_p),
+                    top_k=int(top_k),
+                    min_p=float(min_p),
+                )
+                tokens = np.asarray(out[:n])
+                done_np = np.asarray(done[:n])
+                progressed = False
+                for i in range(n):
+                    if finished[i]:
+                        continue
+                    room = max_new_tokens - len(outputs[i])
+                    for token in tokens[i][:room]:
+                        if token == _NO_TOKEN:
+                            break
+                        outputs[i].append(int(token))
+                        progressed = True
+                    if done_np[i] or len(outputs[i]) >= max_new_tokens:
+                        finished[i] = True
+                if not progressed:  # every live row emitted nothing: stuck
+                    break
+                # Rows at their budget stop consuming; mark them done on
+                # device so they stop burning verify work too.
+                if finished.all():
+                    break
+                done = done | jnp.asarray(
+                    np.concatenate([finished, np.ones(bpad - n, bool)])
+                )
+            return outputs
         emitted = 0
         while emitted < max_new_tokens and not finished.all():
             out, cache, cache_lens, last, done, key = _decode_chunk_device(

@@ -133,17 +133,17 @@ def speculate_chunk_device(  # noqa: PLR0913
     model,
     cache,
     params,
-    cache_lens,  # [1] int32 — committed tokens whose KV is valid
-    last_logits,  # [1, V] fp32 — logits the next token is sampled from
-    reject,  # [1] int32 — draft token rejected at this position (-1: none)
+    cache_lens,  # [B] int32 — committed tokens whose KV is valid, per row
+    last_logits,  # [B, V] fp32 — logits the next token is sampled from
+    reject,  # [B] int32 — draft token rejected at this position (-1: none)
     logits_mask,  # [V] fp32 additive mask
-    done,  # [1] bool
+    done,  # [B] bool
     stop_ids,  # [Ks] int32 (padded with -7)
     key,
-    hist,  # [H] int32 — committed token history (prompt + generated)
-    hist_len,  # scalar int32
+    hist,  # [B, H] int32 — committed token history (prompt + generated)
+    hist_len,  # [B] int32
     *,
-    num_tokens: int,  # emit up to this many tokens, then return to host
+    num_tokens: int,  # emit up to this many tokens per row, then return
     draft_len: int,
     pad_id: int,
     temperature: float,
@@ -151,13 +151,19 @@ def speculate_chunk_device(  # noqa: PLR0913
     top_k: int,
     min_p: float,
 ):
-    """Emit up to ``num_tokens`` tokens in one dispatch via prompt-lookup
-    speculation.  Returns (out [num_tokens+1] — committed tokens then
-    _NO_TOKEN padding, cache, cache_lens, last_logits, reject, done, key,
-    hist, hist_len, n_verify_iters) — the carry feeds the next chunk."""
+    """Emit up to ``num_tokens`` tokens PER ROW in one dispatch via
+    prompt-lookup speculation.  Rows accept drafts (and finish) at
+    different rates: a row whose chunk budget can no longer fit a full
+    window freezes — its sampling state (logits/reject) carries unchanged
+    into the next chunk — while the rest keep verifying.  Returns
+    (out [B, num_tokens] — committed tokens then _NO_TOKEN padding, cache,
+    cache_lens, last_logits, reject, done, key, hist, hist_len,
+    n_verify_iters)."""
     k = draft_len
     greedy = temperature == 0.0
     cap = num_tokens
+    b = last_logits.shape[0]
+    rows = jnp.arange(b)
 
     def probs_of(logits):
         masked = logits + logits_mask
@@ -168,67 +174,88 @@ def speculate_chunk_device(  # noqa: PLR0913
             masked, temperature=temperature, top_p=top_p, top_k=top_k, min_p=min_p
         )
 
+    def active_rows(out_len, done):
+        return ~done & (out_len + k + 1 <= cap)
+
     def cond(carry):
         it, _, _, _, _, _, out_len, done, _, _, _ = carry
-        return (it < cap) & (out_len + k + 1 <= cap) & ~done[0]
+        return (it < cap) & jnp.any(active_rows(out_len, done))
 
     def body(carry):
         it, cache, cache_lens, logits, reject, out, out_len, done, key, hist, hl = carry
-        key, sub_t, sub_acc, sub_next = jax.random.split(key, 4)
-        # 1. Commit one token the plain way (with the residual exclusion).
-        t = _draw(probs_of(logits[0]), reject[0], sub_t, greedy=greedy)
-        # 2. Draft K continuation tokens from the history.
-        drafts = _ngram_draft(hist, hl, t, k, pad_id)
-        window = jnp.concatenate([t[None], drafts])[None, :]  # [1, K+1]
-        # 3. Verify: one forward over the window at the current offset.
-        wlogits, cache = model.forward(params, window, cache, cache_lens)
-        probs = probs_of(wlogits[0])  # [K+1, V]
-        # 4. Longest accepted prefix: draft i is kept iff drawn under the
-        #    target distribution at its position (greedy: equals argmax).
-        p_draft = probs[jnp.arange(k), drafts]  # [K]
+        active = active_rows(out_len, done)
+        key, sub_t, sub_acc = jax.random.split(key, 3)
+        # 1. Commit one token per row (with the residual exclusion).
+        t = jax.vmap(lambda p, r, s: _draw(p, r, s, greedy=greedy))(
+            probs_of(logits), reject, jax.random.split(sub_t, b)
+        )
+        # 2. Draft K continuation tokens per row from its history.
+        drafts = jax.vmap(
+            lambda h, l, tt: _ngram_draft(h, l, tt, k, pad_id)
+        )(hist, hl, t)
+        window = jnp.concatenate([t[:, None], drafts], axis=1)  # [B, K+1]
+        # 3. Verify: one forward over every row's window at its offset.
+        #    Frozen/done rows still flow through (same program shape); their
+        #    KV writes land at their unadvanced offsets and are overwritten
+        #    when they resume — the same convention as the plain chunk loop.
+        wlogits, cache = model.forward(
+            params, jnp.where(active[:, None], window, 0), cache, cache_lens
+        )
+        probs = probs_of(wlogits)  # [B, K+1, V]
+        # 4. Longest accepted prefix per row.
+        p_draft = jnp.take_along_axis(probs[:, :k, :], drafts[:, :, None], 2)[..., 0]
         if greedy:
             acc = p_draft > 0.5  # one-hot: draft == argmax
         else:
-            acc = jax.random.uniform(sub_acc, (k,)) < p_draft
-        acc_cum = jnp.cumprod(acc.astype(jnp.int32)).astype(bool)
-        a = jnp.sum(acc_cum, dtype=jnp.int32)  # accepted drafts
+            acc = jax.random.uniform(sub_acc, (b, k)) < p_draft
+        acc_cum = jnp.cumprod(acc.astype(jnp.int32), axis=1).astype(bool)
+        a = jnp.sum(acc_cum, axis=1, dtype=jnp.int32)  # [B] accepted drafts
         # 5. Emission: t plus accepted drafts, truncated at the first stop.
-        em = window[0]  # [K+1]
-        ok = jnp.concatenate([jnp.ones((1,), bool), acc_cum])
-        is_stop = jnp.any(em[:, None] == stop_ids[None, :], axis=1) & ok
-        stopped = jnp.cumsum(is_stop.astype(jnp.int32)) > 0  # inclusive
-        emit = ok & ~stopped
-        done_next = done | jnp.any(is_stop)[None]
-        n_emit = jnp.sum(emit, dtype=jnp.int32)
-        slot = jnp.cumsum(emit.astype(jnp.int32)) - 1
+        em = window  # [B, K+1]
+        ok = jnp.concatenate([jnp.ones((b, 1), bool), acc_cum], axis=1)
+        is_stop = jnp.any(em[:, :, None] == stop_ids[None, None, :], axis=2) & ok
+        stopped = jnp.cumsum(is_stop.astype(jnp.int32), axis=1) > 0  # inclusive
+        emit = ok & ~stopped & active[:, None]
+        done_next = done | (jnp.any(is_stop, axis=1) & active)
+        n_emit = jnp.sum(emit, axis=1, dtype=jnp.int32)
+        slot = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
         # Non-emitted window tokens dump into the scratch slot at index
-        # `cap` (out is cap+1 long; the host reads out[:cap]).
-        pos = jnp.where(emit, out_len + slot, cap)
-        out = out.at[pos].set(jnp.where(emit, em, _NO_TOKEN))
-        hist_pos = jnp.where(emit, hl + slot, hist.shape[0] - 1)
-        hist = hist.at[hist_pos].set(jnp.where(emit, em, hist[-1]))
+        # `cap` (out is [B, cap+1]; the host reads out[:, :cap]).
+        pos = jnp.where(emit, out_len[:, None] + slot, cap)
+        out = out.at[rows[:, None], pos].set(jnp.where(emit, em, _NO_TOKEN))
+        hist_pos = jnp.where(emit, hl[:, None] + slot, hist.shape[1] - 1)
+        hist = hist.at[rows[:, None], hist_pos].set(
+            jnp.where(emit, em, hist[:, -1:])
+        )
         # 6. Carry: KV is now valid for t and the accepted drafts; the next
         #    iteration samples after the last committed token — row `a` of
         #    the window logits — excluding the rejected draft's mass.
-        cache_lens = cache_lens + jnp.where(done_next, 0, 1 + a)
-        next_logits = wlogits[:, a, :]
+        advance = jnp.where(done_next | ~active, 0, 1 + a)
+        cache_lens = cache_lens + advance.astype(cache_lens.dtype)
+        next_logits = jnp.where(active[:, None], wlogits[rows, a, :], logits)
         next_reject = jnp.where(
-            a < k, drafts[jnp.minimum(a, k - 1)], jnp.asarray(-1, jnp.int32)
-        )[None]
+            active,
+            jnp.where(
+                a < k,
+                drafts[rows, jnp.minimum(a, k - 1)],
+                jnp.asarray(-1, jnp.int32),
+            ),
+            reject,
+        )
         return (
             it + 1, cache, cache_lens, next_logits, next_reject,
             out, out_len + n_emit, done_next, key, hist, hl + n_emit,
         )
 
-    out0 = jnp.full((cap + 1,), _NO_TOKEN, jnp.int32)
+    out0 = jnp.full((b, cap + 1), _NO_TOKEN, jnp.int32)
     carry = (
         jnp.asarray(0, jnp.int32), cache, cache_lens, last_logits, reject,
-        out0, jnp.asarray(0, jnp.int32), done, key, hist, hist_len,
+        out0, jnp.zeros((b,), jnp.int32), done, key, hist, hist_len,
     )
     it, cache, cache_lens, last_logits, reject, out, _, done, key, hist, hist_len = (
         jax.lax.while_loop(cond, body, carry)
     )
     return (
-        out[:cap], cache, cache_lens, last_logits, reject, done, key,
+        out[:, :cap], cache, cache_lens, last_logits, reject, done, key,
         hist, hist_len, it,
     )

@@ -109,6 +109,36 @@ def test_chat_stop_tokens_respected(llm, monkeypatch):
     assert isinstance(res.content, str)
 
 
+def test_batched_greedy_speculation_is_exact(llm, monkeypatch):
+    """The batched speculative loop (per-row drafts/accepts/offsets) must
+    emit exactly what the plain batched device loop emits, row by row —
+    including rows that finish early and rows with divergent accept rates."""
+    prompts = [
+        "the cat sat on the mat. the cat sat on the mat. the cat",
+        "unique q9 zp! nothing repeats in here at all",
+        "alpha beta gamma. alpha beta gamma. alpha beta",
+    ]
+    monkeypatch.setenv("RAGLITE_TPU_SPECULATE", "0")
+    plain = llm._generate_batch(prompts, max_new_tokens=90)
+    monkeypatch.setenv("RAGLITE_TPU_SPECULATE", "always")
+    spec = llm._generate_batch(prompts, max_new_tokens=90)
+    assert spec == plain
+
+
+def test_batched_sampled_speculation_runs(llm, monkeypatch):
+    monkeypatch.setenv("RAGLITE_TPU_SPECULATE", "always")
+    outs = llm._generate_batch(
+        ["one two. one two. one", "three four. three four. three"],
+        max_new_tokens=48,
+        temperature=0.9,
+        top_k=50,
+    )
+    vocab = llm.cfg["vocab"]
+    for toks in outs:
+        assert 0 < len(toks) <= 48
+        assert all(0 <= t < vocab for t in toks)
+
+
 def test_ngram_draft_prefers_trigram_and_recency():
     import jax.numpy as jnp
 
