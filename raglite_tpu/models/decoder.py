@@ -905,7 +905,15 @@ class JaxChatLLM:
         pad = _bucket(len(ids))
         batch_ids = np.full((1, pad), tok.PAD, dtype=np.int32)
         batch_ids[0, : len(ids)] = ids
-        max_total = pad + _bucket(max_new_tokens)
+        # DECODE_CHUNK headroom: a speculative chunk commits up to
+        # num_tokens (=DECODE_CHUNK) tokens to KV before the host sees the
+        # budget is spent, so without headroom a bucket-boundary prompt
+        # (pad == len(ids)) with _bucket(max_new) == max_new lets the verify
+        # window's dynamic_update_slice clamp and corrupt the newest valid
+        # KV entries.  Plain decode never exceeds _bucket(max_new) (it emits
+        # exactly DECODE_CHUNK per dispatch and DECODE_CHUNK | bucket), but
+        # the headroom is one chunk of KV slots — cheap insurance either way.
+        max_total = pad + _bucket(max_new_tokens) + DECODE_CHUNK
         cache = self.model.init_cache(1, max_total)
         last_dev, cache = _prefill_last(
             self.model, self.params, jnp.asarray(batch_ids), cache,
@@ -1041,7 +1049,9 @@ class JaxChatLLM:
         for i, ids in enumerate(encoded):
             batch_ids[i, : len(ids)] = ids
             lens[i] = len(ids)
-        max_total = pad + _bucket(max_new_tokens)
+        # DECODE_CHUNK headroom for speculative over-commit (see the stream
+        # path above for the overflow scenario this prevents).
+        max_total = pad + _bucket(max_new_tokens) + DECODE_CHUNK
         cache = self.model.init_cache(bpad, max_total)
         last_dev, cache = _prefill_last(
             self.model, self.params, jnp.asarray(batch_ids), cache, jnp.asarray(lens)
@@ -1564,6 +1574,17 @@ _NO_TOKEN = -1
 #: the same HBM traffic as one token; larger windows raise the ceiling on
 #: copy-heavy text but waste nothing on misses either way.
 SPEC_DRAFT_LEN = int(os.environ.get("RAGLITE_TPU_SPEC_K", "7"))
+if not 1 <= SPEC_DRAFT_LEN <= DECODE_CHUNK - 1:
+    # A draft length >= DECODE_CHUNK would make every speculative row
+    # freeze immediately (no window fits the chunk budget), so generation
+    # would silently return empty via the no-progress guard — fail loudly
+    # at import instead.
+    msg = (
+        f"RAGLITE_TPU_SPEC_K={SPEC_DRAFT_LEN} is invalid: speculative draft "
+        f"length must be in [1, {DECODE_CHUNK - 1}] (window of draft+1 "
+        f"tokens must fit a {DECODE_CHUNK}-token decode chunk)"
+    )
+    raise ValueError(msg)
 
 
 @partial(

@@ -27,9 +27,14 @@ one-host-fetch-per-chunk dispatch model of `_decode_chunk_device`
   (they sit at positions >= the committed length) are never attended to,
   and the next window simply overwrites them.
 - **Exactness**: with ``temperature == 0`` the emitted sequence is
-  bit-identical to plain greedy decode — a draft is accepted iff it equals
-  the argmax, and on rejection the next iteration's argmax is unchanged by
-  excluding the rejected token.  With ``temperature > 0`` the standard
+  bit-identical to plain greedy decode *under the same numerics path* — a
+  draft is accepted iff it equals the argmax, and on rejection the next
+  iteration's argmax is unchanged by excluding the rejected token.  Caveat:
+  when the plain T=1 loop uses the Pallas decode-attention kernel while the
+  T=K+1 verify forward takes the XLA einsum path, different reduction
+  orders can flip near-tie argmaxes; ``bench.py`` A/Bs the two paths on
+  real TPU (``spec_bitexact_vs_plain``) so the claim is measured, not
+  assumed, per hardware.  With ``temperature > 0`` the standard
   speculative-sampling rule applies: draft d is accepted with probability
   p̃(d) under the filtered (temperature/top-k/top-p/min-p) target
   distribution, and on rejection the next token is drawn from the residual
@@ -113,11 +118,18 @@ def _ngram_draft(hist, hist_len, t, draft_len: int, pad_id: int):
     best2 = jnp.argmax(jnp.where(m2, j + 1, 0))
     best3 = jnp.argmax(jnp.where(m3, j3 + 1, 0))
     start = jnp.where(has3, best3 + 3, best2 + 2).astype(jnp.int32)
-    drafts = jax.lax.dynamic_slice(hist, (start,), (draft_len,))
+    # dynamic_slice clamps start to h - draft_len when the slice would run
+    # off the buffer; mask with the CLAMPED start so the validity indices
+    # line up with the tokens actually returned (an unclamped mask could
+    # pass shifted tokens as valid near the end of the buffer — outputs
+    # stay correct via verification, but accept rate degrades exactly
+    # where hist is fullest).
+    start_c = jnp.minimum(start, jnp.asarray(h - draft_len, jnp.int32))
+    drafts = jax.lax.dynamic_slice(hist, (start_c,), (draft_len,))
     # Draft slots past the committed history are uncommitted garbage: blank
     # them (and the no-match case) to pad, which the verify step rejects.
-    idx = start + jnp.arange(draft_len, dtype=jnp.int32)
-    valid = (has2 | has3) & (idx < hist_len)
+    idx = start_c + jnp.arange(draft_len, dtype=jnp.int32)
+    valid = (has2 | has3) & (idx < hist_len) & (idx >= start)
     return jnp.where(valid, drafts, jnp.asarray(pad_id, jnp.int32))
 
 
@@ -174,16 +186,23 @@ def speculate_chunk_device(  # noqa: PLR0913
             masked, temperature=temperature, top_p=top_p, top_k=top_k, min_p=min_p
         )
 
-    def active_rows(out_len, done):
-        return ~done & (out_len + k + 1 <= cap)
+    # KV capacity (== hist capacity, both sized max_total by the caller): a
+    # row whose next verify window could run past the cache buffer freezes
+    # exactly like a budget-capped row, so the window's KV writes can never
+    # clamp onto valid recent entries.  The caller allocates DECODE_CHUNK
+    # headroom, so this guard only fires on misconfigured capacities.
+    kv_cap = hist.shape[1]
+
+    def active_rows(out_len, cache_lens, done):
+        return ~done & (out_len + k + 1 <= cap) & (cache_lens + k + 1 <= kv_cap)
 
     def cond(carry):
-        it, _, _, _, _, _, out_len, done, _, _, _ = carry
-        return (it < cap) & jnp.any(active_rows(out_len, done))
+        it, _, cache_lens, _, _, _, out_len, done, _, _, _ = carry
+        return (it < cap) & jnp.any(active_rows(out_len, cache_lens, done))
 
     def body(carry):
         it, cache, cache_lens, logits, reject, out, out_len, done, key, hist, hl = carry
-        active = active_rows(out_len, done)
+        active = active_rows(out_len, cache_lens, done)
         key, sub_t, sub_acc = jax.random.split(key, 3)
         # 1. Commit one token per row (with the residual exclusion).
         t = jax.vmap(lambda p, r, s: _draw(p, r, s, greedy=greedy))(

@@ -161,6 +161,110 @@ def test_ngram_draft_prefers_trigram_and_recency():
     assert drafts.tolist() == [0, 0, 0]
 
 
+def test_greedy_speculation_exact_at_bucket_boundary(llm, monkeypatch):
+    """Regression (round-4 advisor, high): a prompt that exactly fills its
+    pad bucket combined with max_new == _bucket(max_new) leaves ZERO slack
+    in the KV cache, and a speculative chunk can commit up to DECODE_CHUNK
+    tokens past max_new before the host stops it — without DECODE_CHUNK
+    headroom the verify window's dynamic_update_slice clamps and corrupts
+    the newest valid KV, breaking the greedy exactness contract."""
+    from raglite_tpu.models.decoder import _bucket
+
+    # Byte tokenizer: 1 token per byte + BOS.  63 bytes -> 64 ids == bucket.
+    prompt = ("ab cd. " * 9 + "ab cd.")[:63]
+    ids_len = len(llm.tokenizer.encode(prompt)) + 1  # + BOS
+    assert _bucket(ids_len) == ids_len, "prompt must exactly fill its bucket"
+    for max_new in (64, 128):
+        assert _bucket(max_new) == max_new
+        plain = _tokens(
+            llm, prompt, speculate=False, monkeypatch=monkeypatch, max_new=max_new
+        )
+        spec = _tokens(
+            llm, prompt, speculate=True, monkeypatch=monkeypatch, max_new=max_new
+        )
+        assert spec == plain
+
+
+def test_speculate_chunk_freezes_at_kv_capacity(llm, monkeypatch):
+    """Defense-in-depth: even with an undersized cache (no headroom), the
+    device loop must freeze rows before their verify window could overflow
+    the KV buffer — generation truncates, it never corrupts."""
+    import jax
+    import jax.numpy as jnp
+
+    from raglite_tpu.models.decoder import SPEC_DRAFT_LEN
+    from raglite_tpu.models.speculative import speculate_chunk_device
+
+    tok = llm.tokenizer
+    ids = [tok.BOS, *tok.encode("xy. xy. xy. xy.")]
+    kv_cap = len(ids) + SPEC_DRAFT_LEN  # < one full window of free space
+    cache = llm.model.init_cache(1, kv_cap)
+    import numpy as _np
+
+    batch = _np.full((1, len(ids)), tok.PAD, _np.int32)
+    batch[0] = ids
+    from raglite_tpu.models.decoder import _prefill_last
+
+    last, cache = _prefill_last(
+        llm.model, llm.params, jnp.asarray(batch), cache,
+        jnp.asarray([len(ids)], jnp.int32),
+    )
+    hist = _np.full((1, kv_cap), tok.PAD, _np.int32)
+    hist[0, : len(ids)] = ids
+    out, _, cache_lens, *_ = speculate_chunk_device(
+        llm.model, cache, llm.params,
+        jnp.asarray([len(ids)], jnp.int32), last,
+        jnp.full((1,), -1, jnp.int32),
+        jnp.zeros((llm.cfg["vocab"],), jnp.float32),
+        jnp.zeros((1,), bool), llm._stop_ids_device(),
+        jax.random.PRNGKey(0), jnp.asarray(hist),
+        jnp.asarray([len(ids)], jnp.int32),
+        num_tokens=32, draft_len=SPEC_DRAFT_LEN, pad_id=int(tok.PAD),
+        temperature=0.0, top_p=1.0, top_k=0, min_p=0.0,
+    )
+    # The row was frozen immediately: no KV writes past capacity, no tokens.
+    assert int(cache_lens[0]) == len(ids)
+    assert (_np.asarray(out) == -1).all()
+
+
+def test_spec_draft_len_validation():
+    """RAGLITE_TPU_SPEC_K >= DECODE_CHUNK must fail loudly at import, not
+    silently produce empty generations (round-4 advisor, low)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "import raglite_tpu.models.decoder"],
+        env={"RAGLITE_TPU_SPEC_K": "32", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu"},
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "RAGLITE_TPU_SPEC_K" in proc.stderr
+
+
+def test_ngram_draft_clamped_slice_is_masked():
+    """Regression (round-4 advisor, low): when the match continuation runs
+    off the END of the history buffer, dynamic_slice clamps the start — the
+    validity mask must follow the clamped start so shifted tokens can't
+    pass as aligned drafts."""
+    import jax.numpy as jnp
+
+    # h=10 full buffer; bigram (7, 8) matches at j=6 -> start=8, but
+    # draft_len=4 forces the slice to clamp to start_c=6.
+    h = np.asarray([0, 1, 2, 3, 4, 5, 7, 8, 6, 7], np.int32)
+    drafts = np.asarray(
+        _ngram_draft(jnp.asarray(h), jnp.asarray(10), jnp.asarray(8), 4, 0)
+    )
+    # Slot 0 must be pad: the aligned continuation token is hist[8]=6, and
+    # the clamped slice puts hist[6]=7 there — a misaligned token that the
+    # pre-fix mask marked valid.
+    assert drafts[0] == 0
+    assert drafts[1] == 0
+
+
 def test_ngram_draft_never_reads_uncommitted_history():
     import jax.numpy as jnp
 
