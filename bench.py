@@ -178,6 +178,27 @@ def gen_bench(args, rpc_floor: float) -> dict:
                 out["spec_decode_speedup_b1"] = round(
                     out["spec_decode_tok_s_b1"] / base, 2
                 )
+            # Cross-numerics bit-exactness A/B (ADVICE r3): on TPU the plain
+            # loop's T=1 attention runs the Pallas kernel while speculative
+            # verify forwards (T=K+1) take the XLA einsum path; CPU tests
+            # can't see a numerics split between those two lowerings, so the
+            # greedy token-for-token guarantee is validated HERE on the real
+            # chip through the production generate path.
+            import os as _os
+
+            _prev_spec = _os.environ.get("RAGLITE_TPU_SPECULATE")
+            try:
+                prompt = [{"role": "user", "content": "List the laws of motion."}]
+                _os.environ["RAGLITE_TPU_SPECULATE"] = "always"
+                spec_text = llm.complete(prompt, temperature=0.0, max_tokens=160).content
+                _os.environ["RAGLITE_TPU_SPECULATE"] = "0"
+                plain_text = llm.complete(prompt, temperature=0.0, max_tokens=160).content
+                out["spec_bitexact_vs_plain_greedy"] = spec_text == plain_text
+            finally:
+                if _prev_spec is None:
+                    _os.environ.pop("RAGLITE_TPU_SPECULATE", None)
+                else:
+                    _os.environ["RAGLITE_TPU_SPECULATE"] = _prev_spec
         except Exception as e:  # noqa: BLE001 — plain numbers must still report
             out["spec_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -230,19 +251,24 @@ def gen_bench(args, rpc_floor: float) -> dict:
     return out
 
 
-def hybrid_bench(args, index, adapter, queries, rpc_floor: float) -> dict:
-    """Hybrid + filtered search at the shard scale (VERDICT r3 task #3).
+def hybrid_bench(  # noqa: PLR0915
+    args, index, adapter, queries, rpc_floor: float, warm_only: bool = False
+) -> dict:
+    """Hybrid + filtered search at the shard scale (VERDICT r4 tasks #1/#3).
 
-    Drives the SAME production components hybrid_search_batch composes
-    (search.py:296-328): the fused dense device scan, the batched BM25
-    device program over a real KeywordIndex built from a synthetic zipf
-    corpus at n_chunks = rows/2, and the production reciprocal_rank_fusion
-    on host.  The filtered number is the dense scan with a ~5%-selectivity
-    metadata row mask (the postings-driven mask path of vector_search).
+    Drives the production FUSED hybrid pipeline (search._hybrid_fused_batch's
+    device chain): fused dense scan -> resident BM25 -> device weighted RRF
+    (ops/rrf.py), ONE packed [2, B, k] fetch per batch.  The keyword side is
+    a real KeywordIndex over a synthetic zipf corpus at n_chunks = rows/2.
+    Latency is measured with serialized on-device chains of the B=1 fused
+    hybrid program (same method as the dense path — the r3 host-RRF bench
+    could only report a clamped `max(x - 2*rpc, 0) = 0.0`).  The filtered
+    number is the dense scan with a ~5%-selectivity metadata row mask.
     """
     import jax
 
     from raglite_tpu.index.keyword import KeywordIndex
+    from raglite_tpu.ops.rrf import rrf_fuse_topk
     from raglite_tpu.search import reciprocal_rank_fusion
 
     n_chunks = args.rows // 2
@@ -282,55 +308,99 @@ def hybrid_bench(args, index, adapter, queries, rpc_floor: float) -> dict:
     import jax.numpy as jnp
 
     dense_q = jnp.asarray(np.asarray(queries[:bq]), dtype=jnp.float32)
-    num_hits = 2 * args.num_results  # hybrid oversample=2 (search.py:300)
+    k_side = 2 * args.num_results  # per-side depth: hybrid oversample=2
+    term_ids = kw.resident_prepare(query_texts)
+    assert term_ids is not None, "resident postings must serve the bench queries"
+    kw_mask, masked = kw.resident_device_mask(None)
 
-    def hybrid_batch():
-        packed = index.search_chunks_device(
-            dense_q, num_hits=args.num_hits, num_results=num_hits, adapter=adapter
+    def hybrid_fused(q, tids):
+        """The production fused chain: three device programs, zero fetches."""
+        dense_packed = index.search_chunks_device(
+            q, num_hits=args.num_hits, num_results=k_side, adapter=adapter
         )
-        kw_results = kw.search_batch(query_texts, num_hits=num_hits)
-        dense_np = np.asarray(packed)
-        fused = []
-        for i, (k_ids, _) in enumerate(kw_results):
-            v_ids = [f"c{int(o)}" for o in dense_np[1][i] if o >= 0]
-            ids, scores = reciprocal_rank_fusion(
-                [v_ids, k_ids], weights=[0.75, 0.25]
-            )
-            fused.append(ids[: args.num_results])
+        kw_packed = kw.resident_block_device(
+            tids, num_hits=k_side, mask=kw_mask, masked=masked
+        )
+        return rrf_fuse_topk(
+            dense_packed, kw_packed, num_chunks=n_chunks,
+            num_results=args.num_results,
+        )
+
+    fused_dev = hybrid_fused(dense_q, term_ids)  # warm/compile
+    sync(fused_dev)
+
+    # Correctness: the device fusion must equal the host RRF oracle over the
+    # production per-side results (same check tests/test_hybrid_fused.py pins
+    # on CPU, here on the real chip at shard scale).
+    fused_np = np.asarray(hybrid_fused(dense_q, term_ids))
+    fused_ords = np.ascontiguousarray(fused_np[1]).view(np.int32)
+    dense_np = np.asarray(
+        index.search_chunks_device(
+            dense_q, num_hits=args.num_hits, num_results=k_side, adapter=adapter
+        )
+    )
+    kw_results = kw.search_batch(query_texts, num_hits=k_side)
+    rrf_mismatch = 0
+    for i in range(min(32, bq)):
+        v_ids = [f"c{int(o)}" for o in dense_np[1][i] if o >= 0]
+        want, _ = reciprocal_rank_fusion(
+            [v_ids, kw_results[i][0]], weights=[0.75, 0.25]
+        )
+        got = [f"c{int(o)}" for o in fused_ords[i] if o >= 0]
+        if got != want[: args.num_results]:
+            rrf_mismatch += 1
+    out["device_rrf_mismatches_of_32"] = rrf_mismatch
+
+    # B=1 fused-hybrid latency: serialized on-device chains (the dense
+    # latency method, bench.py header) — call k+1's dense query is derived
+    # from call k's fused output, so the three-program hybrid pipeline
+    # serializes on device and one sync times CHAIN_K full hybrid queries.
+    CHAIN_K, CHAIN_M = 16, 8
+    perturb = jax.jit(lambda q, p: q + p[0, 0, 0] * 1e-30)
+    q1 = dense_q[:1]
+    tid1 = term_ids[:1]
+
+    def hybrid_chain(q):
+        fused = None
+        for _ in range(CHAIN_K):
+            fused = hybrid_fused(q, tid1)
+            q = perturb(q1, fused)
         return fused
 
-    hybrid_batch()  # warm/compile
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        fused = hybrid_batch()
-    hybrid_s = (time.perf_counter() - t0) / reps
-    assert len(fused) == bq and fused[0]
-    out["hybrid_qps"] = round(bq / hybrid_s, 1)
-    # Each hybrid batch blocks on TWO device fetches (dense packed + BM25
-    # packed); through the dev tunnel each fetch pays ~rpc_floor of pure
-    # RPC that a production host does not (~0.1 ms there).
-    out["hybrid_qps_tunnel_corrected"] = round(
-        bq / max(hybrid_s - 2 * rpc_floor, 1e-6), 1
-    )
-    out["hybrid_batch"] = bq
-    # Per-call hybrid latency at B=1: two device programs (fused dense scan
-    # + resident BM25), each one packed fetch = one RPC through the dev
-    # tunnel.  Raw per-call is an upper bound needing no correction; the
-    # floor-subtracted value clamps at 0 (the device work is sub-ms, below
-    # the subtraction's run-to-run noise).
-    lat = []
-    for i in range(12):
+    sync(hybrid_chain(q1))  # warm/compile the B=1 shapes
+    if warm_only:
+        return out
+    chain_ms, rpc_inter = [], []
+    for _ in range(CHAIN_M):
         t0 = time.perf_counter()
-        index.search_chunks(
-            dense_q[:1], num_hits=args.num_hits, num_results=num_hits, adapter=adapter
-        )
-        kw.search(query_texts[i % bq], num_hits=num_hits)
-        lat.append((time.perf_counter() - t0) * 1e3)
-    out["hybrid_p50_percall_raw_ms"] = round(float(np.percentile(lat, 50)), 3)
-    out["hybrid_p50_percall_ms"] = round(
-        max(float(np.percentile(lat, 50)) - 2 * rpc_floor * 1e3, 0.0), 3
+        sync(jnp.zeros((1,), jnp.float32))
+        rpc_inter.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync(hybrid_chain(q1))
+        chain_ms.append((time.perf_counter() - t0) * 1e3)
+    rpc_ms = float(np.median(rpc_inter)) * 1e3
+    per_call = (np.asarray(chain_ms) - rpc_ms) / CHAIN_K
+    out["hybrid_p50_ms"] = round(float(np.percentile(per_call, 50)), 3)
+    out["hybrid_p95_ms"] = round(float(np.percentile(per_call, 95)), 3)
+    out["hybrid_p50_raw_ms"] = round(
+        float(np.percentile(np.asarray(chain_ms) / CHAIN_K, 50)), 3
     )
+    out["hybrid_latency_method"] = (
+        "serialized on-device chains of the B=1 fused hybrid program "
+        f"({CHAIN_K} data-dependent dispatches per sample, one sync each, "
+        "interleaved RPC baseline subtracted; raw = no subtraction)"
+    )
+
+    # Throughput: pipelined fused batches, ONE host fetch per batch (we sync
+    # only the last — the per-batch fetch is overlapped in serving).
+    reps = max(args.iters // 2, 4)
+    t0 = time.perf_counter()
+    outs = [hybrid_fused(dense_q, term_ids) for _ in range(reps)]
+    sync(outs[-1])
+    hybrid_s = time.perf_counter() - t0 - rpc_floor
+    out["hybrid_qps"] = round(reps * bq / hybrid_s, 1)
+    out["hybrid_fetches_per_batch"] = 1
+    out["hybrid_batch"] = bq
     # Filtered dense scan: ~5%-selectivity chunk mask -> row mask.  The
     # mask is uploaded ONCE via the index's digest-cached device_row_mask
     # (the production path for a repeated session filter); re-uploading the
@@ -517,6 +587,8 @@ def main() -> None:
         sync(run_device(queries, exact=True))
         sync(run_device(queries[:32]))
         sync(latency_chain(q1))
+        if not args.no_hybrid:
+            hybrid_bench(args, index, adapter, queries, 0.0, warm_only=True)
         if not args.no_gen:
             gen_bench(args, 0.0)
         print("warm ok")  # noqa: T201
@@ -544,6 +616,7 @@ def main() -> None:
             *(["--no-gen"] if args.no_gen else []),
             *(["--no-int8-gen"] if args.no_int8_gen else []),
             *(["--no-spec"] if args.no_spec else []),
+            *(["--no-hybrid"] if args.no_hybrid else []),
             *(["--cpu"] if args.cpu else []),
             *extra,
         ]

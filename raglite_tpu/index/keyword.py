@@ -354,6 +354,62 @@ class KeywordIndex:
             out[i, : len(r)] = r
         return out
 
+    def resident_prepare(self, queries: list[str]) -> np.ndarray | None:
+        """Build the resident arrays if needed and return the [B, T] term-id
+        matrix for ``queries``, or None when the resident path can't serve
+        them (disabled, empty index, or a query over RESIDENT_MAX_TERMS)."""
+        if self._ensure_resident() is None:
+            return None
+        return self._resident_term_ids(queries)
+
+    def resident_device_mask(self, chunk_mask: np.ndarray | None) -> tuple[jnp.ndarray, bool]:
+        """(device mask, masked flag) for the resident kernel's metadata
+        filter route.  Weights already encode alive/dead; a metadata filter
+        adds a per-posting mask gather inside the kernel."""
+        res = self._res
+        if chunk_mask is None:
+            return res["dummy_mask"], False
+        n = len(self.chunk_ids)
+        m = np.zeros(res["n_pad"], bool)
+        m[:n] = chunk_mask[:n]
+        return jnp.asarray(m), True
+
+    def resident_block_device(
+        self,
+        block: np.ndarray,  # [b, T] int32 term ids (pad -1), b <= 256
+        *,
+        num_hits: int,
+        mask: jnp.ndarray,
+        masked: bool,
+    ) -> "jnp.ndarray":
+        """One <=256-query block through the resident BM25 device program,
+        returning the packed [2, b_pad, k] DEVICE array (no host fetch) —
+        the building block the fused hybrid path chains into device RRF.
+        Winners are approx_max_k output: UNORDERED; consumers sort by
+        (score desc, ordinal asc)."""
+        res = self._res
+        b_pad = 1
+        while b_pad < len(block):
+            b_pad *= 2
+        if b_pad != len(block):
+            block = np.pad(
+                block, ((0, b_pad - len(block)), (0, 0)), constant_values=-1
+            )
+        # Adaptive postings width: pad the per-term slice fetch to the
+        # max (truncated) df among THIS block's terms, pow2 bucket —
+        # tail queries fetch/sort 4-64x fewer slots than the global cap.
+        valid = block[block >= 0]
+        max_df = int(res["df_host"][valid].max()) if valid.size else 1
+        lcap_b = 128
+        while lcap_b < max_df:
+            lcap_b *= 2
+        return bm25_topk_resident(
+            res["offsets"], res["chunk"], res["w"], mask,
+            jnp.asarray(block),
+            num_chunks=res["n_pad"], lcap=lcap_b, num_hits=num_hits,
+            masked=masked,
+        )
+
     def _resident_search(
         self,
         queries: list[str],
@@ -370,40 +426,14 @@ class KeywordIndex:
         if term_ids is None:
             return None
         n = len(self.chunk_ids)
-        # Weights already encode alive/dead; a metadata filter adds a
-        # per-posting mask gather inside the kernel (masked=True route).
-        masked = chunk_mask is not None
-        if masked:
-            m = np.zeros(res["n_pad"], bool)
-            m[:n] = chunk_mask[:n]
-            mask = jnp.asarray(m)
-        else:
-            mask = res["dummy_mask"]
+        mask, masked = self.resident_device_mask(chunk_mask)
         k = min(num_hits, n)
         results: list[tuple[list[str], list[float]]] = []
         for start in range(0, len(queries), 256):
-            block = term_ids[start : start + 256]
-            b_pad = 1
-            while b_pad < len(block):
-                b_pad *= 2
-            if b_pad != len(block):
-                block = np.pad(
-                    block, ((0, b_pad - len(block)), (0, 0)), constant_values=-1
-                )
-            # Adaptive postings width: pad the per-term slice fetch to the
-            # max (truncated) df among THIS block's terms, pow2 bucket —
-            # tail queries fetch/sort 4-64x fewer slots than the global cap.
-            valid = block[block >= 0]
-            max_df = int(res["df_host"][valid].max()) if valid.size else 1
-            lcap_b = 128
-            while lcap_b < max_df:
-                lcap_b *= 2
             packed = np.asarray(  # ONE device fetch: [2, B, k]
-                bm25_topk_resident(
-                    res["offsets"], res["chunk"], res["w"], mask,
-                    jnp.asarray(block),
-                    num_chunks=res["n_pad"], lcap=lcap_b, num_hits=k,
-                    masked=masked,
+                self.resident_block_device(
+                    term_ids[start : start + 256],
+                    num_hits=k, mask=mask, masked=masked,
                 )
             )
             scores_b = packed[0]

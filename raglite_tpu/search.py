@@ -11,8 +11,8 @@ become device programs:
   100k-row pre-vs-post-filter crossover (_search.py:96-141) collapses on
   TPU: a mask in the fused scan is always at least as fast, so filtering is
   always "filter-then-rank".
-- ``rerank_chunks``: late-interaction MaxSim on device (ops/maxsim.py)
-  selected per language, instead of ONNX cross-encoders.
+- ``rerank_chunks``: token-level late-interaction MaxSim on device
+  (ops/maxsim.py) selected per language, instead of ONNX cross-encoders.
 """
 
 from __future__ import annotations
@@ -270,6 +270,111 @@ def reciprocal_rank_fusion(
     return [cid for cid, _ in ranked], [s for _, s in ranked]
 
 
+def _hybrid_fused_batch(  # noqa: PLR0913
+    queries: list[str],
+    *,
+    num_results: int,
+    oversample: int,
+    vector_search_weight: float,
+    keyword_search_weight: float,
+    metadata_filter: MetadataFilter | None,
+    config: RAGLiteConfig,
+) -> list[tuple[list[ChunkId], list[float]]] | None:
+    """Device-fused hybrid search: dense scan + resident BM25 + weighted RRF
+    chained into device programs with ONE host fetch per <=256-query block
+    (the reference fuses on the host with a Python dict loop,
+    /root/reference/src/raglite/_search.py:233-280; round 3 kept that loop
+    and it was the measured hybrid latency floor).
+
+    Returns None when the fused path cannot serve the batch (resident
+    postings disabled, a query over RESIDENT_MAX_TERMS unique terms) — the
+    caller falls back to the two-fetch host-RRF path, which handles every
+    input.  Output matches the host oracle exactly (ops/rrf.py documents the
+    rank/tie parity argument).
+    """
+    from raglite_tpu.index.dense import ORDINAL_BITCAST_THRESHOLD
+    from raglite_tpu.ops.rrf import rrf_fuse_topk
+
+    store = store_from_config(config)
+    dense = dense_index_from_config(config)
+    kw = keyword_index_from_config(config)
+    n = len(kw.chunk_ids)
+    if dense.num_rows == 0 or n == 0:
+        return [([], []) for _ in queries]
+    # Both indexes sync from the same store immediately above, so their
+    # ordinal spaces are both prefix-aligned copies of store.chunk_order;
+    # equal lengths imply identical id lists (an O(n) list compare per call
+    # would cost more than the search).
+    if len(dense.chunk_ids) != n:
+        return None
+    term_ids = kw.resident_prepare(queries)
+    if term_ids is None:
+        return None
+    embeddings = embed_queries(queries, config=config).astype(np.float32)
+    adapter = (
+        store.index_metadata.get("query_adapter")
+        if config.vector_search_query_adapter
+        else None
+    )
+    cmask = None
+    if metadata_filter:
+        cmask = _chunk_mask(store, metadata_filter)
+        if not cmask.any():
+            return [([], []) for _ in queries]
+    kw_mask, masked = kw.resident_device_mask(cmask)
+    row_mask = cmask[dense.row_chunk] if cmask is not None else None
+    # Per-side candidate depth and the dense sub-vector oversample match the
+    # host path (hybrid_search -> vector_search with its default oversample).
+    k_each = oversample * num_results
+    num_hits = corrected_num_hits(4, k_each, config)
+    bitcast = dense.num_rows > ORDINAL_BITCAST_THRESHOLD
+    results: list[tuple[list[ChunkId], list[float]]] = []
+    for start in range(0, len(queries), 256):
+        b = min(256, len(queries) - start)
+        # Both sides pad the block to the same pow2 so their [2, B, k]
+        # results align and every shape bucket compiles once.
+        b_pad = 1
+        while b_pad < b:
+            b_pad *= 2
+        q_block = embeddings[start : start + b]
+        if b_pad != b:
+            q_block = np.pad(q_block, ((0, b_pad - b), (0, 0)))
+        dense_packed = dense.search_chunks_device(
+            q_block,
+            num_hits=min(num_hits, dense.num_rows),
+            num_results=min(k_each, n),
+            row_mask=row_mask,
+            adapter=adapter,
+        )
+        kw_packed = kw.resident_block_device(
+            term_ids[start : start + b],
+            num_hits=min(k_each, n),
+            mask=kw_mask,
+            masked=masked,
+        )
+        fused = rrf_fuse_topk(
+            dense_packed,
+            kw_packed,
+            num_chunks=n,
+            num_results=num_results,
+            w_dense=vector_search_weight,
+            w_kw=keyword_search_weight,
+            dense_bitcast=bitcast,
+        )
+        packed = np.asarray(fused)  # ONE fetch for the whole block
+        scores_b = packed[0]
+        ords_b = np.ascontiguousarray(packed[1]).view(np.int32)
+        for i in range(b):
+            keep = ords_b[i] >= 0
+            results.append(
+                (
+                    [kw.chunk_ids[int(o)] for o in ords_b[i][keep]],
+                    [float(s) for s in scores_b[i][keep]],
+                )
+            )
+    return results
+
+
 def hybrid_search(  # noqa: PLR0913
     query: str,
     *,
@@ -280,7 +385,37 @@ def hybrid_search(  # noqa: PLR0913
     metadata_filter: MetadataFilter | None = None,
     config: RAGLiteConfig | None = None,
 ) -> tuple[list[ChunkId], list[float]]:
-    """Vector + keyword search fused with RRF (reference: _search.py:257-280)."""
+    """Vector + keyword search fused with RRF (reference: _search.py:257-280).
+
+    The common path runs entirely on device — dense scan, resident BM25,
+    and weighted RRF chained into device programs with one host fetch
+    (:func:`_hybrid_fused_batch`); the host-RRF fallback covers inputs the
+    resident postings can't serve.
+    """
+    config = config or RAGLiteConfig()
+    metadata_filter = adapt_metadata(metadata_filter)
+    fused_config = config
+    if config.self_query:
+        from dataclasses import replace
+
+        from raglite_tpu.extract import self_query_filter
+
+        # Merge the LLM-extracted filter up front so the fused path (and the
+        # fallback searches below) see it exactly once.
+        metadata_filter = {**self_query_filter(query, config=config), **(metadata_filter or {})}
+        fused_config = replace(config, self_query=False)
+        config = fused_config
+    fused = _hybrid_fused_batch(
+        [query],
+        num_results=num_results,
+        oversample=oversample,
+        vector_search_weight=vector_search_weight,
+        keyword_search_weight=keyword_search_weight,
+        metadata_filter=metadata_filter,
+        config=fused_config,
+    )
+    if fused is not None:
+        return fused[0]
     vs_ids, _ = vector_search(
         query, num_results=oversample * num_results, metadata_filter=metadata_filter, config=config
     )
@@ -303,10 +438,24 @@ def hybrid_search_batch(  # noqa: PLR0913
     metadata_filter: MetadataFilter | None = None,
     config: RAGLiteConfig | None = None,
 ) -> list[tuple[list[ChunkId], list[float]]]:
-    """Batched :func:`hybrid_search`: the dense half runs as one fused
-    device scan for all queries (vector_search_batch), the keyword half as
-    one batched BM25 program (keyword_search_batch); only the tiny RRF fuse
-    stays on the host."""
+    """Batched :func:`hybrid_search`: dense scan + resident BM25 + device
+    RRF chained per 256-query block with one host fetch each (fused path);
+    the fallback runs the two batched halves and fuses on the host."""
+    config = config or RAGLiteConfig()
+    if not queries:
+        return []
+    if not config.self_query:
+        fused = _hybrid_fused_batch(
+            queries,
+            num_results=num_results,
+            oversample=oversample,
+            vector_search_weight=vector_search_weight,
+            keyword_search_weight=keyword_search_weight,
+            metadata_filter=adapt_metadata(metadata_filter),
+            config=config,
+        )
+        if fused is not None:
+            return fused
     vector_results = vector_search_batch(
         queries,
         num_results=oversample * num_results,
@@ -379,8 +528,16 @@ def retrieve_chunk_spans(
     return spans
 
 
-def _rank_with_maxsim(query: str, chunks: list[Chunk], config: RAGLiteConfig) -> list[Chunk]:
-    """Device late-interaction rerank over the chunks' multi-vector matrices."""
+def _rank_with_chunklet_maxsim(
+    query: str, chunks: list[Chunk], config: RAGLiteConfig
+) -> list[Chunk]:
+    """Device late-interaction rerank over the chunks' multi-vector matrices.
+
+    These are the SAME chunklet sub-vectors the dense scan's group-max
+    already ranked, so this ranker cannot add information beyond re-scoring
+    a fused/reversed candidate list against the dense signal — it is the
+    cheap fallback for encoders without token-level outputs (and the r3
+    default, measured quality-NEUTRAL in IRBENCH_r03)."""
     query_matrix = embed_strings([query], config=config).astype(np.float32)
     matrices = []
     for chunk in chunks:
@@ -392,15 +549,83 @@ def _rank_with_maxsim(query: str, chunks: list[Chunk], config: RAGLiteConfig) ->
     return [chunks[int(i)] for i in order]
 
 
+def _l2_rows(matrix: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+    return (matrix / np.maximum(norms, 1e-12)).astype(np.float32)
+
+
+# Token matrices are recomputed at rerank time (the candidate set is tiny —
+# oversample*num_results), then cached by content-hash chunk id so repeated
+# queries over a warm corpus skip the encode entirely.  ~32 chunks x ~512
+# tokens x 512 dims x 4 B = 32 MB at the cap.
+_TOKEN_MATRIX_CACHE: "dict[tuple[str, str], np.ndarray]" = {}
+_TOKEN_MATRIX_CACHE_CAP = 1024
+
+
+def _rank_with_token_maxsim(
+    query: str, chunks: list[Chunk], config: RAGLiteConfig
+) -> list[Chunk]:
+    """True ColBERT-style late-interaction rerank: query-token x
+    candidate-token MaxSim over the candidates' raw text.
+
+    Unlike the chunklet ranker above, the token matrices are a genuinely NEW
+    signal at rerank time — per-token similarities the pooled chunklet
+    vectors destroyed — which is what lets rerank improve on the dense
+    ranking (the role of the reference's cross-encoders,
+    /root/reference/src/raglite/_search.py:364-397, whose test asserts rank
+    improvement, tests/test_rerank.py:43-70).  Candidate token embeddings
+    are recomputed in one batched encode (models/encoder.py:
+    embed_token_level_batch) and cached by content-hash chunk id; scoring is
+    one fused device program (ops/maxsim.py)."""
+    from raglite_tpu.models.encoder import encoder_from_config
+
+    encoder = encoder_from_config(config)
+    if not getattr(encoder, "supports_token_embeddings", False):
+        return _rank_with_chunklet_maxsim(query, chunks, config)
+    missing = [
+        chunk
+        for chunk in chunks
+        if (config.embedder, chunk.id) not in _TOKEN_MATRIX_CACHE
+    ]
+    if missing:
+        texts = [str(chunk) for chunk in missing]
+        if hasattr(encoder, "embed_token_level_batch"):
+            mats = encoder.embed_token_level_batch(texts)
+        else:
+            mats = [encoder.embed_token_level(t) for t in texts]
+        for chunk, matrix in zip(missing, mats):
+            if matrix.shape[0] == 0:
+                matrix = np.zeros((1, encoder.dim), dtype=np.float32)
+            _TOKEN_MATRIX_CACHE[(config.embedder, chunk.id)] = _l2_rows(matrix)
+        while len(_TOKEN_MATRIX_CACHE) > _TOKEN_MATRIX_CACHE_CAP:
+            _TOKEN_MATRIX_CACHE.pop(next(iter(_TOKEN_MATRIX_CACHE)))
+    query_matrix = encoder.embed_token_level(query)
+    if query_matrix.shape[0] == 0:
+        return chunks
+    candidate_matrices = [
+        _TOKEN_MATRIX_CACHE[(config.embedder, chunk.id)] for chunk in chunks
+    ]
+    order, _ = maxsim_rank(_l2_rows(query_matrix), candidate_matrices)
+    return [chunks[int(i)] for i in order]
+
+
 def rerank_chunks(
     query: str, chunk_ids: list[ChunkId] | list[Chunk], *, config: RAGLiteConfig | None = None
 ) -> list[Chunk]:
     """Rerank chunks by relevance (reference: _search.py:364-397).
 
-    The reranker is selected per language from ``config.reranker``; the
-    built-in "maxsim" reranker runs on device, while callables with a
-    ``rank(query=..., docs=...)`` method (the ``rerankers`` package
-    interface) are also supported.
+    The reranker is selected per language from ``config.reranker``.
+    Built-ins (both fused device programs, ops/maxsim.py):
+
+    - ``"maxsim"`` — token-level ColBERT-style late interaction over the
+      candidates' raw text (the default; adds a genuinely new per-token
+      signal, like the reference's cross-encoders);
+    - ``"maxsim_chunklet"`` — MaxSim over the stored chunklet sub-vector
+      matrices (cheaper; no re-encode; also the automatic fallback when the
+      encoder has no token-level outputs).
+
+    Callables with a ``rank(query=..., docs=...)`` method (the
+    ``rerankers`` package interface) are also supported.
     """
     config = config or RAGLiteConfig()
     chunks: list[Chunk] = (
@@ -419,7 +644,9 @@ def rerank_chunks(
     if not reranker:
         return chunks
     if reranker == "maxsim":
-        return _rank_with_maxsim(query, chunks, config)
+        return _rank_with_token_maxsim(query, chunks, config)
+    if reranker == "maxsim_chunklet":
+        return _rank_with_chunklet_maxsim(query, chunks, config)
     if hasattr(reranker, "rank"):
         results = reranker.rank(query=query, docs=[str(chunk) for chunk in chunks])
         return [chunks[result.doc_id] for result in results.results]
