@@ -51,8 +51,10 @@ def _default_search_method() -> "SearchMethod":
 
 def _default_reranker() -> RerankerLike:
     """Per-language reranker mapping (reference: _config.py:73-79 defaults to
-    FlashRank cross-encoders).  The TPU-native default is the late-interaction
-    MaxSim reranker running as a fused device kernel for every language."""
+    FlashRank cross-encoders).  The TPU-native default is token-level
+    ColBERT-style MaxSim over the candidates' raw text, running as a fused
+    device kernel for every language ("maxsim_chunklet" selects the cheaper
+    stored-sub-vector variant; see search.rerank_chunks)."""
     return {"en": "maxsim", "other": "maxsim"}
 
 

@@ -61,6 +61,73 @@ def test_rerank_disabled_passthrough(raglite_test_config: RAGLiteConfig) -> None
     assert [c.id for c in chunks] == ids
 
 
+def _make_chunk(body: str, index: int = 0):
+    from raglite_tpu.documents import Chunk
+
+    return Chunk(
+        id=f"synthetic-{index}-{hash(body) & 0xFFFF:04x}",
+        document_id="doc-synthetic",
+        index=index,
+        headings="",
+        body=body,
+    )
+
+
+def test_token_maxsim_recovers_diluted_exact_match() -> None:
+    """Token-level MaxSim is a NEW signal vs pooled vectors: a long chunk
+    containing the exact query terms among heavy noise beats a short
+    near-miss chunk under token MaxSim, while pooled cosine (what the dense
+    scan and the chunklet ranker consume) prefers the near-miss — the
+    information the VERDICT r3 review found the chunklet ranker cannot add."""
+    import numpy as np
+
+    from raglite_tpu.config import RAGLiteConfig
+    from raglite_tpu.models.encoder import encoder_from_config
+    from raglite_tpu.search import _rank_with_token_maxsim
+
+    config = RAGLiteConfig(embedder="hash:256", llm="echo")
+    query = "simultaneity definition"
+    noise = " ".join(f"filler{i} lorem ipsum dolor" for i in range(40))
+    diluted_exact = _make_chunk(f"{noise} simultaneity definition {noise}", 0)
+    near_miss = _make_chunk("simultaneous defined", 1)
+    # Pooled cosine prefers the short near-miss (the premise of the test).
+    encoder = encoder_from_config(config)
+    pooled = encoder.embed([query, diluted_exact.body, near_miss.body])
+    pooled /= np.linalg.norm(pooled, axis=1, keepdims=True)
+    assert pooled[0] @ pooled[2] > pooled[0] @ pooled[1]
+    reranked = _rank_with_token_maxsim(query, [near_miss, diluted_exact], config)
+    assert reranked[0].id == diluted_exact.id
+
+
+def test_token_maxsim_cache_hit_stable() -> None:
+    """A second rerank over cached token matrices returns the same order."""
+    from raglite_tpu.config import RAGLiteConfig
+    from raglite_tpu.search import _rank_with_token_maxsim
+
+    config = RAGLiteConfig(embedder="hash:256", llm="echo")
+    chunks = [
+        _make_chunk("the velocity of light in empty space", 0),
+        _make_chunk("a completely unrelated paragraph about cooking pasta", 1),
+        _make_chunk("", 2),  # empty body exercises the zero-token guard
+    ]
+    first = _rank_with_token_maxsim("speed of light", list(chunks), config)
+    second = _rank_with_token_maxsim("speed of light", list(chunks), config)
+    assert [c.id for c in first] == [c.id for c in second]
+    assert first[0].index == 0
+
+
+def test_chunklet_reranker_selectable(raglite_test_config: "RAGLiteConfig") -> None:
+    """reranker="maxsim_chunklet" routes to the stored-sub-vector ranker."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        raglite_test_config, reranker={"en": "maxsim_chunklet", "other": "maxsim_chunklet"}
+    )
+    ids, _ = hybrid_search("simultaneity", num_results=5, config=config)
+    chunks = rerank_chunks("simultaneity", ids, config=config)
+    assert sorted(c.id for c in chunks) == sorted(ids)
+
+
 def test_language_detection() -> None:
     from raglite_tpu.utils.lang import detect_language
 
