@@ -28,6 +28,7 @@ import numpy as np
 from raglite_tpu.models.json_automaton import JsonAutomaton
 from raglite_tpu.models.tokenizer import ByteTokenizer
 from raglite_tpu.ops.decode_attention import gqa_decode_attention
+from raglite_tpu.ops.prefill_attention import gqa_prefill_attention, prefill_kernel_viable
 from raglite_tpu.ops.quant_matmul import (
     QuantLinear,
     QuantLinearFused,
@@ -383,6 +384,15 @@ class DecoderModel:
             os.environ.get("RAGLITE_TPU_PALLAS_DECODE", "auto") != "0"
             and jax.default_backend() == "tpu"
         )
+        # Prefill (T > 1) attention likewise runs as a Pallas kernel on TPU
+        # (ops/prefill_attention.py): the XLA path materializes the
+        # [B, G, R, T, S] fp32 logits tensor in HBM, the measured prefill
+        # ceiling (MFU 0.33, BENCH_r03).  RAGLITE_TPU_PALLAS_PREFILL=0
+        # forces the XLA path.
+        self.use_pallas_prefill = (
+            os.environ.get("RAGLITE_TPU_PALLAS_PREFILL", "auto") != "0"
+            and jax.default_backend() == "tpu"
+        )
         #: Optional NamedSharding for KV cache buffers — set by
         #: parallel/tp_decoder.py so tensor-parallel caches are born on
         #: their KV-head shards instead of being replicated then resharded.
@@ -513,6 +523,13 @@ class DecoderModel:
                 and self.use_pallas_decode
                 and 4 * hd * S * k_cache.dtype.itemsize <= _DECODE_KERNEL_VMEM_BYTES
             )
+            use_prefill_kernel = (
+                T > 1
+                and self.use_pallas_prefill
+                and prefill_kernel_viable(
+                    rep, T, S, hd, k_cache.dtype.itemsize, _DECODE_KERNEL_VMEM_BYTES
+                )
+            )
             if use_kernel:
                 # One Pallas program per (row, kv group) streams that group's
                 # [hd, S] K/V slices through VMEM once and computes the whole
@@ -527,6 +544,20 @@ class DecoderModel:
                     window=int(self.sliding_window if sliding else 0),
                 )  # [B, KVH, REP, hd] fp32
                 ctx = ctx[:, :, :, None, :]  # [B, KVH, REP, T=1, hd]
+            elif use_prefill_kernel:
+                # One program per (row, kv group, query tile): the fp32
+                # logits tile lives entirely in VMEM instead of HBM — the
+                # [B,G,R,T,S] materialization the XLA path pays is the
+                # measured prefill ceiling (ops/prefill_attention.py).
+                ctx = gqa_prefill_attention(
+                    qg.astype(k_cache.dtype),
+                    k_cache,
+                    v_cache,
+                    row_offsets,
+                    scale=float(self.attn_scale),
+                    softcap=float(self.attn_softcap or 0.0),
+                    window=int(self.sliding_window if sliding else 0),
+                )  # [B, KVH, REP, T, hd] fp32
             else:
                 logits = (
                     jnp.einsum(
