@@ -35,6 +35,8 @@ __all__ = [
     "evaluate",
     "answer_faithfulness",
     "context_precision",
+    "answer_relevancy",
+    "context_recall",
 ]
 
 
@@ -378,6 +380,98 @@ def context_precision(df: pd.DataFrame, config: RAGLiteConfig | None = None) -> 
     return out
 
 
+def answer_relevancy(df: pd.DataFrame, config: RAGLiteConfig | None = None) -> np.ndarray:
+    """LLM-bridged answer relevancy: mean cosine similarity between the
+    original question and questions the LLM generates FROM the answer
+    (Ragas's answer_relevancy formula — the reference gets it from
+    ragas_evaluate, /root/reference/src/raglite/_eval.py:232-303).
+
+    An evasive/noncommittal answer yields no reverse questions; the
+    deterministic fallback then scores cosine(question, answer) directly, so
+    the metric stays defined for every row (Ragas instead multiplies by a
+    judged noncommittal flag).
+    """
+    config = config or RAGLiteConfig()
+
+    class ReverseQuestions(BaseModel):
+        """Questions that a given answer directly and completely answers."""
+
+        model_config = ConfigDict(extra="forbid")
+        questions: list[str] = Field(
+            ...,
+            description=(
+                "Up to 3 distinct questions the given answer directly and completely "
+                "answers. Empty if the answer is evasive, vague, or declines to answer."
+            ),
+        )
+        system_prompt: ClassVar[str] = (
+            "You are given an answer. Generate up to 3 distinct questions that this "
+            "answer directly and completely answers. If the answer is evasive, vague, "
+            "or declines to answer, return an empty list."
+        )
+
+    reverse: list[list[str]] = []
+    for answer in df["answer"]:
+        questions: list[str] = []
+        with contextlib.suppress(ValueError):
+            questions = extract_with_llm(
+                ReverseQuestions, str(answer), strict=True, config=config
+            ).questions
+        reverse.append([q.strip() for q in questions if q and q.strip()][:3])
+    # ONE batched embed: every original question + every generated question +
+    # every fallback answer.
+    from raglite_tpu.embed import embed_queries
+
+    questions = [str(q) for q in df["question"]]
+    fallbacks = [str(a) for a in df["answer"]]
+    flat = [q for qs in reverse for q in qs]
+    emb = embed_queries([*questions, *fallbacks, *flat], config=config).astype(np.float32)
+    q_emb = emb[: len(questions)]
+    a_emb = emb[len(questions) : 2 * len(questions)]
+    r_emb = emb[2 * len(questions) :]
+    out = np.zeros(len(df))
+    offset = 0
+    for i, qs in enumerate(reverse):
+        if qs:
+            block = r_emb[offset : offset + len(qs)]
+            offset += len(qs)
+            out[i] = float(np.mean(block @ q_emb[i]))
+        else:
+            out[i] = float(a_emb[i] @ q_emb[i])
+    return out
+
+
+def context_recall(df: pd.DataFrame, config: RAGLiteConfig | None = None) -> np.ndarray:
+    """LLM-judged context recall: fraction of the ground-truth answer's
+    claims attributable to the retrieved contexts (Ragas semantics —
+    reference: _eval.py:232-303).  NaN where no claim could be judged."""
+    config = config or RAGLiteConfig()
+    pairs: list[tuple[str, str]] = []
+    owners: list[int] = []
+    for i, (question, ground_truth, contexts) in enumerate(
+        zip(df["question"], df["ground_truth"], df["contexts"])
+    ):
+        context_block = "\n\n".join(contexts)[:_JUDGE_CONTEXT_CHARS]
+        if not context_block.strip():
+            continue
+        for claim in _decompose_claims(question, str(ground_truth), config):
+            system = (
+                "You are given context passages retrieved from documents. Determine "
+                f'whether this claim can be attributed to them: "{claim}"'
+            )
+            pairs.append((system, context_block))
+            owners.append(i)
+    verdicts = _judge_bool_batch(pairs, "attributed", config)
+    attributed = np.zeros(len(df))
+    total = np.zeros(len(df))
+    for owner, verdict in zip(owners, verdicts):
+        if verdict is not None:
+            total[owner] += 1
+            attributed[owner] += bool(verdict)
+    with np.errstate(invalid="ignore"):
+        return np.where(total > 0, attributed / np.maximum(total, 1), np.nan)
+
+
 def evaluate(
     answered_evals: pd.DataFrame | int = 100,
     config: RAGLiteConfig | None = None,
@@ -391,8 +485,14 @@ def evaluate(
       the contexts (per-claim verdicts via one batched decode)
     - context_precision: LLM-judged rank-weighted context usefulness
       (Ragas's sum(precision@k * v_k) / sum(v_k))
+    - answer_relevancy: mean cosine(question, LLM-generated questions from
+      the answer) — Ragas's formula (cosine(question, answer) fallback when
+      the answer yields no reverse questions)
+    - context_recall: LLM-judged fraction of the ground-truth answer's
+      claims attributable to the retrieved contexts
 
-    plus cheap embedding-based companions:
+    — the full default Ragas quartet the reference computes
+    (_eval.py:232-303) — plus cheap embedding-based companions:
 
     - answer_similarity: cosine(answer, ground_truth)
     - context_relevancy: mean cosine(question, context)
@@ -413,6 +513,7 @@ def evaluate(
             columns=[
                 "question", "answer_similarity", "context_relevancy",
                 "faithfulness_proxy", "faithfulness", "context_precision",
+                "answer_relevancy", "context_recall",
             ]
         )
     answer_similarity = _similarity(list(df["answer"]), list(df["ground_truth"]), config)
@@ -445,4 +546,6 @@ def evaluate(
     if judge:
         out["faithfulness"] = answer_faithfulness(df, config)
         out["context_precision"] = context_precision(df, config)
+        out["answer_relevancy"] = answer_relevancy(df, config)
+        out["context_recall"] = context_recall(df, config)
     return pd.DataFrame(out)

@@ -30,13 +30,14 @@ def test_insert_answer_evaluate(raglite_test_config: RAGLiteConfig) -> None:
     metrics = evaluate(answered, config=raglite_test_config)
     assert {
         "answer_similarity", "context_relevancy", "faithfulness_proxy",
-        "faithfulness", "context_precision",
+        "faithfulness", "context_precision", "answer_relevancy", "context_recall",
     } <= set(metrics.columns)
     assert len(metrics) == len(answered)
     assert metrics["answer_similarity"].between(-1.01, 1.01).all()
-    for column in ("faithfulness", "context_precision"):
+    for column in ("faithfulness", "context_precision", "context_recall"):
         judged = metrics[column].dropna()
         assert judged.between(0.0, 1.0).all(), column
+    assert metrics["answer_relevancy"].between(-1.01, 1.01).all()
 
 
 def test_judged_faithfulness_discriminates(tmp_path) -> None:
@@ -94,6 +95,60 @@ def test_judged_context_precision_rank_weighted(tmp_path) -> None:
     assert scores[0] > scores[1], scores  # useful-first beats useful-last
     assert scores[0] == pytest.approx(1.0)  # precision@1 with the one hit first
     assert scores[1] == pytest.approx(0.5)  # hit at rank 2 -> precision 1/2
+
+
+def test_judged_context_recall_discriminates(tmp_path) -> None:
+    """Context recall scores contexts that support the ground truth above
+    contexts that support none of its claims (Ragas context_recall — the
+    VERDICT r3 missing half of the default quartet, _eval.py:232-303)."""
+    from raglite_tpu.evals import context_recall
+
+    config = RAGLiteConfig(store_path=":memory:", embedder="hash:256", llm="echo")
+    supporting = [
+        "A glass prism separates white light into component colors through "
+        "refraction, bending each wavelength by a different amount."
+    ]
+    unrelated = [
+        "Sourdough bread rises because wild yeast ferments the dough overnight."
+    ]
+    ground_truth = (
+        "The prism separates white light into component colors. Refraction "
+        "bends each wavelength differently."
+    )
+    df = pd.DataFrame(
+        {
+            "question": ["How does a prism separate light?"] * 2,
+            "answer": ["It refracts light."] * 2,
+            "contexts": [supporting, unrelated],
+            "ground_truth": [ground_truth] * 2,
+        }
+    )
+    scores = context_recall(df, config)
+    assert scores[0] > scores[1], scores
+    assert 0.0 <= scores[1] <= 1.0 and 0.0 <= scores[0] <= 1.0
+
+
+def test_answer_relevancy_discriminates(tmp_path) -> None:
+    """Answer relevancy scores an on-topic answer above an off-topic one
+    (Ragas answer_relevancy: cosine(question, questions-from-answer), with
+    a cosine(question, answer) fallback under the echo LLM)."""
+    from raglite_tpu.evals import answer_relevancy
+
+    config = RAGLiteConfig(store_path=":memory:", embedder="hash:256", llm="echo")
+    question = "How does a glass prism separate white light into colors?"
+    df = pd.DataFrame(
+        {
+            "question": [question] * 2,
+            "answer": [
+                "A glass prism separates white light into colors by refraction.",
+                "Honey never spoils when stored in sealed amphorae.",
+            ],
+            "contexts": [[""], [""]],
+            "ground_truth": ["Refraction separates the colors."] * 2,
+        }
+    )
+    scores = answer_relevancy(df, config)
+    assert scores[0] > scores[1], scores
 
 
 def test_generate_eval_requires_documents(tmp_path) -> None:
