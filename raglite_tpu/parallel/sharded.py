@@ -22,7 +22,87 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["sharded_int4_two_stage", "sharded_topk_search"]
+__all__ = ["sharded_bm25_topk", "sharded_int4_two_stage", "sharded_topk_search"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "chunks_per_shard", "lcap", "num_hits", "mesh", "masked", "exact_topk"
+    ),
+)
+def sharded_bm25_topk(
+    offsets: jax.Array,  # [S, V+1] int32 per-shard CSR offsets, sharded "data"
+    post_chunk: jax.Array,  # [S, Pp] int32 LOCAL chunk ordinals, sharded
+    post_w: jax.Array,  # [S, Pp] fp32 precomputed Okapi weights, sharded
+    mask: jax.Array,  # [S, Cp] bool per-shard chunk mask (or [S, 1] dummy)
+    term_ids: jax.Array,  # [B, T] int32 query term ids (pad -1), replicated
+    *,
+    chunks_per_shard: int,
+    lcap: int,
+    num_hits: int,
+    mesh: Mesh,
+    masked: bool = False,
+    exact_topk: bool = True,
+) -> jax.Array:
+    """Sharded keyword/BM25 search: postings partition by chunk ordinal
+    range across the mesh's ``data`` axis, each shard scores its local
+    postings with the resident BM25 program (ops/bm25.py), and only the
+    [B, k] winners cross the ICI — the same merge shape as
+    :func:`sharded_topk_search`.  Per-posting weights are computed from
+    GLOBAL idf/avg_len at build, so the merged result equals the
+    single-device program exactly.
+
+    At the 10M-chunk north star this is what keeps postings HBM per chip
+    flat: each of 8 shards holds ~1/8 of the postings (see PARITY.md).
+    Replaces the reference's scale-out story of pointing keyword search at
+    a Postgres server (/root/reference/src/raglite/_database.py:527-603).
+
+    Returns packed [2, B, k]: fused scores; GLOBAL ordinals (bitcast int32,
+    empty slots = S * chunks_per_shard) — one fetch, same contract as
+    ``bm25_topk_resident``.
+    """
+    from raglite_tpu.ops.bm25 import bm25_topk_resident
+
+    n_shards = mesh.shape["data"]
+    total_pad = n_shards * chunks_per_shard
+
+    def local(off_blk, pc_blk, pw_blk, m_blk, tids):
+        packed = bm25_topk_resident(
+            off_blk[0], pc_blk[0], pw_blk[0], m_blk[0], tids,
+            num_chunks=chunks_per_shard, lcap=lcap, num_hits=num_hits,
+            masked=masked, exact_topk=exact_topk,
+        )
+        scores = packed[0]  # [B, k]
+        ords = jax.lax.bitcast_convert_type(packed[1], jnp.int32)
+        shard = jax.lax.axis_index("data")
+        valid = (ords < chunks_per_shard) & (scores > 0.0)
+        g_ords = jnp.where(valid, ords + shard * chunks_per_shard, total_pad)
+        scores = jnp.where(valid, scores, -1.0)
+        # Cross-chip merge: only the [B, k] winners ride the ICI.
+        s_all = jax.lax.all_gather(scores, "data", axis=0)  # [S, B, k]
+        i_all = jax.lax.all_gather(g_ords, "data", axis=0)
+        b = tids.shape[0]
+        s_flat = jnp.swapaxes(s_all, 0, 1).reshape(b, -1)
+        i_flat = jnp.swapaxes(i_all, 0, 1).reshape(b, -1)
+        k_final = min(num_hits, s_flat.shape[1])
+        s_best, pos = jax.lax.top_k(s_flat, k_final)
+        i_best = jnp.take_along_axis(i_flat, pos, axis=1)
+        i_best = jnp.where(s_best > 0.0, i_best, total_pad)
+        return jnp.stack(
+            [s_best, jax.lax.bitcast_convert_type(i_best, jnp.float32)]
+        )
+
+    specs = (P("data"), P("data"), P("data"), P("data"), P())
+    try:
+        mapped = shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=P(), check_vma=False
+        )
+    except TypeError:  # older jax: the flag was called check_rep
+        mapped = shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=P(), check_rep=False
+        )
+    return mapped(offsets, post_chunk, post_w, mask, term_ids)
 
 
 @partial(

@@ -189,3 +189,67 @@ def test_sharded_int4_two_stage_matches_exact() -> None:
         assert t in ids[b], f"query {b}: planted neighbor missing from sharded merge"
     finite = np.isfinite(scores)
     assert valid[ids[finite]].all(), "a masked row surfaced"
+
+
+def _synthetic_keyword_index(n_chunks: int = 500, seed: int = 5):
+    """A KeywordIndex over a zipf-ish synthetic corpus (no store needed)."""
+    from raglite_tpu.index.keyword import KeywordIndex
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"term{i}" for i in range(300)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    kw = KeywordIndex()
+    kw._native = None  # the pure-Python build keeps the test hermetic
+    for i in range(n_chunks):
+        words = rng.choice(vocab, size=rng.integers(8, 40), p=weights)
+        kw._add_chunk(f"c{i}", " ".join(words))
+    return kw, vocab, rng
+
+
+def test_sharded_bm25_matches_single_device() -> None:
+    """Postings sharded by chunk ordinal range + ICI merge must equal the
+    single-device resident BM25 program, ids and scores (VERDICT r3 #7:
+    the keyword half of the index now shards like the dense half)."""
+    from raglite_tpu.parallel.mesh import index_mesh
+
+    kw, vocab, rng = _synthetic_keyword_index()
+    mesh = index_mesh(8)
+    queries = [
+        " ".join(rng.choice(vocab[:50], size=4)),
+        "term0 term3 term7",
+        "term250 term251",  # rare terms
+        "absent-word term1",
+    ]
+    single = kw.search_batch(queries, num_hits=12)
+    sharded = kw.sharded_search_batch(queries, num_hits=12, mesh=mesh)
+    assert sharded is not None
+    for q, (ids1, sc1), (ids8, sc8) in zip(queries, single, sharded):
+        assert ids8 == ids1, q
+        np.testing.assert_allclose(sc8, sc1, rtol=1e-5)
+
+
+def test_sharded_bm25_metadata_filter_and_deletes() -> None:
+    from raglite_tpu.parallel.mesh import index_mesh
+
+    kw, vocab, rng = _synthetic_keyword_index(seed=6)
+    mesh = index_mesh(8)
+    # Tombstone a slice of ordinals (weights re-zero on refresh).
+    kw._dead = set(range(10, 60))
+    kw._stale_dead = set(kw._dead)
+    kw._alive_mask = None
+    for o in kw._dead:
+        kw.doc_len[o] = 0
+    kw._res = None  # rebuild resident arrays from the updated state
+    mask = np.zeros(len(kw.chunk_ids), bool)
+    mask[::3] = True
+    queries = ["term1 term4 term9", "term20 term30"]
+    single = kw.search_batch(queries, num_hits=10, chunk_mask=mask)
+    sharded = kw.sharded_search_batch(queries, num_hits=10, mesh=mesh, chunk_mask=mask)
+    assert sharded is not None
+    for (ids1, sc1), (ids8, sc8) in zip(single, sharded):
+        assert ids8 == ids1
+        np.testing.assert_allclose(sc8, sc1, rtol=1e-5)
+        for cid in ids8:
+            o = int(cid[1:])
+            assert mask[o] and o not in kw._dead
