@@ -251,6 +251,164 @@ def gen_bench(args, rpc_floor: float) -> dict:
     return out
 
 
+def large_gen_bench(args, rpc_floor: float, warm_only: bool = False) -> dict:
+    """4B-class generation (VERDICT r4 task #5): the decode stack at the
+    reference's default-LLM scale (Qwen3-4B-class GGUF, _config.py:50-64),
+    where model weights and the search index must CO-RESIDE in one v5e
+    chip's 16 GB HBM.  Runs int8 (W8A8) decode, the Pallas GQA decode
+    kernel, and prompt-lookup speculative decode at B=1 with a 2048-token
+    prompt, while the 1.25M x 1024 int8 index built by main() is still
+    live.  Weights are random-init streamed straight into the int8 layout
+    (init_decoder_params_quantized) — a full bf16 init would not fit
+    alongside the index.  HBM accounting comes from device memory_stats
+    when the runtime exposes them, plus static byte counts either way.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from raglite_tpu.models.decoder import (
+        _DECODE_KERNEL_VMEM_BYTES,
+        DECODE_CHUNK,
+        JaxChatLLM,
+        _decode_chunk_device,
+        _prefill_last,
+    )
+
+    def sync(x):
+        return np.asarray(x.ravel()[0])
+
+    def mem_stats():
+        try:
+            s = jax.local_devices()[0].memory_stats() or {}
+            return {k: int(s[k]) for k in ("bytes_in_use", "peak_bytes_in_use")
+                    if k in s}
+        except Exception:  # noqa: BLE001 — axon tunnel may not expose stats
+            return {}
+
+    out: dict = {"preset": args.large_preset, "hbm_before": mem_stats()}
+    llm = JaxChatLLM(args.large_preset + "@int8")
+    model, params, cfg = llm.model, llm.params, llm.cfg
+    leaves = jax.tree.leaves(params)
+    p_total = sum(int(np.prod(x.shape)) for x in leaves)
+    weight_bytes = sum(int(x.size) * x.dtype.itemsize for x in leaves)
+    out["params_b"] = round(p_total / 1e9, 2)
+    out["weight_gb_int8"] = round(weight_bytes / 2**30, 2)
+    T = min(args.gen_prompt, cfg["max_len"] - 512)
+    S = T + 512
+    B = 1
+    hd = cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
+    kv_bytes = 2 * cfg["layers"] * B * cfg["kv_heads"] * hd * S * 2
+    out["prompt_tokens"] = T
+    out["kv_cache_gb_b1"] = round(kv_bytes / 2**30, 3)
+    # The Pallas decode kernel streams one KV group's [hd, S] slices through
+    # VMEM; its residency gate is what routes this cache size to the kernel.
+    out["pallas_decode_kernel"] = bool(
+        model.use_pallas_decode
+        and 4 * hd * S * 2 <= _DECODE_KERNEL_VMEM_BYTES
+    )
+
+    stops = jnp.full((8,), -7, jnp.int32)
+    mask = jnp.zeros((cfg["vocab"],), jnp.float32)
+    ids = jnp.ones((B, T), jnp.int32)
+    lens = jnp.full((B,), T, jnp.int32)
+    cache0 = model.init_cache(B, S)
+    last, cache = _prefill_last(model, params, ids, cache0, lens)  # compile
+    sync(last)
+    key = jax.random.PRNGKey(0)
+    done = jnp.zeros((B,), bool)
+    state = (cache, lens, last, done, key)
+
+    def chunk(state):
+        cache, lens, last, done, key = state
+        toks, cache, lens, last, done, key = _decode_chunk_device(
+            model, cache, params, lens, last, mask, done, stops, key,
+            num_steps=DECODE_CHUNK, temperature=0.0, top_p=1.0, top_k=0,
+            min_p=0.0,
+        )
+        return toks, (cache, lens, last, done, key)
+
+    toks, state = chunk(state)  # compile
+    sync(toks)
+    if warm_only:
+        return out
+    # Prefill (int8 weights, Pallas prefill attention): timed over reps.
+    reps = 3
+    t0 = time.perf_counter()
+    outs = [_prefill_last(model, params, ids, cache0, lens)[0] for _ in range(reps)]
+    sync(outs[-1])
+    prefill_s = time.perf_counter() - t0 - rpc_floor
+    out["prefill_tok_s_b1"] = round(reps * T / prefill_s, 1)
+    # Decode: chained chunks, one sync (the tunnel-honest method).
+    n_chunks = args.gen_chunks
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        toks, state = chunk(state)
+    sync(toks)
+    decode_s = time.perf_counter() - t0 - rpc_floor
+    n_tok = n_chunks * DECODE_CHUNK
+    out["int8_decode_tok_s_b1"] = round(n_tok / decode_s, 1)
+    # Weight-streaming roofline: every decoded token reads the int8 weights
+    # plus the live KV prefix once; v5e HBM peak is 819 GB/s.
+    step_bytes = weight_bytes + 2 * cfg["layers"] * cfg["kv_heads"] * hd * T * 2
+    out["int8_decode_roofline_frac"] = round(
+        (n_tok / decode_s) * step_bytes / 819e9, 3
+    )
+    del state, cache, cache0, last, toks, outs
+
+    # Prompt-lookup speculative decode on the same model (greedy).
+    if not getattr(args, "no_spec", False):
+        try:
+            from raglite_tpu.models.decoder import SPEC_DRAFT_LEN, _NO_TOKEN
+            from raglite_tpu.models.speculative import speculate_chunk_device
+
+            last, cache = _prefill_last(
+                model, params, ids, model.init_cache(B, S), lens
+            )
+            sync(last)
+            hist = jnp.ones((1, S), jnp.int32)
+            state = (
+                cache, lens, last, jnp.full((1,), -1, jnp.int32),
+                jnp.zeros((1,), bool), jax.random.PRNGKey(0), hist,
+                jnp.full((1,), T, jnp.int32),
+            )
+
+            def spec_chunk(state):
+                cache, lens, last, rej, done, key, hist, hl = state
+                toks, cache, lens, last, rej, done, key, hist, hl, it = (
+                    speculate_chunk_device(
+                        model, cache, params, lens, last, rej, mask, done,
+                        stops, key, hist, hl, num_tokens=DECODE_CHUNK,
+                        draft_len=SPEC_DRAFT_LEN, pad_id=0, temperature=0.0,
+                        top_p=1.0, top_k=0, min_p=0.0,
+                    )
+                )
+                return toks, it, (cache, lens, last, rej, done, key, hist, hl)
+
+            toks, it, state = spec_chunk(state)  # compile
+            sync(toks)
+            outs = []
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                toks, it, state = spec_chunk(state)
+                outs.append((toks, it))
+            sync(toks)
+            spec_s = time.perf_counter() - t0 - rpc_floor
+            n_tok = sum(int(np.sum(np.asarray(t) != _NO_TOKEN)) for t, _ in outs)
+            n_iter = sum(int(i) for _, i in outs)
+            out["spec_decode_tok_s_b1"] = round(n_tok / spec_s, 1)
+            out["spec_tokens_per_forward"] = round(n_tok / max(n_iter, 1), 2)
+            if out.get("int8_decode_tok_s_b1"):
+                out["spec_speedup_vs_int8"] = round(
+                    out["spec_decode_tok_s_b1"] / out["int8_decode_tok_s_b1"], 2
+                )
+            del state, cache, last, toks, outs
+        except Exception as e:  # noqa: BLE001
+            out["spec_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    out["hbm_after"] = mem_stats()
+    return out
+
+
 def hybrid_bench(  # noqa: PLR0915
     args, index, adapter, queries, rpc_floor: float, warm_only: bool = False
 ) -> dict:
@@ -472,6 +630,11 @@ def main() -> None:
                         "the generation section")
     parser.add_argument("--gen-preset", default="auto",
                         help="decoder preset: auto = base on TPU, tiny on CPU")
+    parser.add_argument("--large-preset", default="auto",
+                        help="4B-class section preset: auto = large on TPU, "
+                        "skipped on CPU (pass a preset name to force)")
+    parser.add_argument("--no-large-gen", action="store_true",
+                        help="skip the 4B-class generation section")
     parser.add_argument("--gen-prompt", type=int, default=2048)
     parser.add_argument("--gen-chunks", type=int, default=6)
     parser.add_argument("--no-hybrid", action="store_true",
@@ -514,6 +677,11 @@ def main() -> None:
         use_pallas = args.pallas == "on"
     if args.gen_preset == "auto":
         args.gen_preset = "base" if jax.default_backend() == "tpu" else "tiny"
+    if args.large_preset == "auto":
+        if jax.default_backend() == "tpu":
+            args.large_preset = "large"
+        else:
+            args.no_large_gen = True  # an 8 GB random init has no CPU smoke
     if jax.default_backend() != "tpu":
         args.gen_prompt = min(args.gen_prompt, 256)  # CPU smoke stays fast
 
@@ -591,6 +759,8 @@ def main() -> None:
             hybrid_bench(args, index, adapter, queries, 0.0, warm_only=True)
         if not args.no_gen:
             gen_bench(args, 0.0)
+        if not args.no_large_gen:
+            large_gen_bench(args, 0.0, warm_only=True)
         print("warm ok")  # noqa: T201
         return
 
@@ -617,6 +787,8 @@ def main() -> None:
             *(["--no-int8-gen"] if args.no_int8_gen else []),
             *(["--no-spec"] if args.no_spec else []),
             *(["--no-hybrid"] if args.no_hybrid else []),
+            "--large-preset", args.large_preset,
+            *(["--no-large-gen"] if args.no_large_gen else []),
             *(["--cpu"] if args.cpu else []),
             *extra,
         ]
@@ -752,6 +924,18 @@ def main() -> None:
 
             hybrid = {"error": f"{type(e).__name__}: {e}"[:200],
                       "trace": traceback.format_exc()[-400:]}
+    large_generation = None
+    if not args.no_large_gen:
+        # Runs LAST and with the int8 index still live: the section's point
+        # is the measured co-residency of a 4B-class int8 model with the
+        # 10M-chunk/8 shard on one 16 GB chip.
+        try:
+            large_generation = large_gen_bench(args, rpc_floor)
+        except Exception as e:  # noqa: BLE001
+            import traceback
+
+            large_generation = {"error": f"{type(e).__name__}: {e}"[:200],
+                                "trace": traceback.format_exc()[-400:]}
 
     print(
         json.dumps(
@@ -780,6 +964,7 @@ def main() -> None:
                 ),
                 "generation": generation,
                 "hybrid": hybrid,
+                "large_generation": large_generation,
                 "device": str(jax.devices()[0]),
             }
         )

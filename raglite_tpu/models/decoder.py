@@ -176,6 +176,57 @@ def init_decoder_params(cfg: dict, *, seed: int = 0, dtype=jnp.bfloat16) -> Para
     return params
 
 
+def init_decoder_params_quantized(cfg: dict, *, seed: int = 0,
+                                  dtype=jnp.bfloat16) -> Params:
+    """Random-init straight into the int8 decode layout, one layer at a
+    time: each layer's bf16 weights are quantized and DROPPED before the
+    next layer is initialized, so peak HBM is (int8 total + one bf16
+    layer), not (bf16 total + int8 total).  At the 4B-class ``large``
+    preset that is the difference between ~4.6 GB and ~12.7 GB of
+    transient weights — the latter cannot co-reside with a 10M-chunk/8
+    shard search index on a 16 GB v5e chip.  Output is bit-identical to
+    ``quantize_decoder_params(init_decoder_params(cfg, seed=seed))``
+    (same PRNG key schedule, same per-output-channel scales)."""
+    d, ff, vocab = cfg["d_model"], cfg["d_ff"], cfg["vocab"]
+    heads, kv_heads = cfg["heads"], cfg["kv_heads"]
+    head_dim = d // heads
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 3 + 7 * cfg["layers"]))
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) / np.sqrt(shape[0])).astype(dtype)
+
+    out: Params = {
+        "tok_emb": (jax.random.normal(next(keys), (vocab, d)) * 0.02).astype(dtype),
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "lm_head": QuantLinear.from_dense(dense(next(keys), (d, vocab))),
+        "layers": [],
+    }
+    for _ in range(cfg["layers"]):
+        wq = dense(next(keys), (d, heads * head_dim))
+        wk = dense(next(keys), (d, kv_heads * head_dim))
+        wv = dense(next(keys), (d, kv_heads * head_dim))
+        wo = dense(next(keys), (heads * head_dim, d))
+        w_gate = dense(next(keys), (d, ff))
+        w_up = dense(next(keys), (d, ff))
+        w_down = dense(next(keys), (ff, d))
+        ql = {
+            "attn_norm": jnp.ones((d,), jnp.float32),
+            "wqkv": QuantLinearFused.from_dense([wq, wk, wv]),
+            "wo": QuantLinear.from_dense(wo),
+            "mlp_norm": jnp.ones((d,), jnp.float32),
+            "w_gate_up": QuantLinearFused.from_dense([w_gate, w_up]),
+            "w_down": QuantLinear.from_dense(w_down),
+        }
+        del wq, wk, wv, wo, w_gate, w_up, w_down
+        out["layers"].append(ql)
+        if len(out["layers"]) % 4 == 0:
+            # Let the device drain so dropped bf16 buffers actually free
+            # before more layers are enqueued (async dispatch can otherwise
+            # run the host arbitrarily far ahead of the allocator).
+            jax.block_until_ready(out["layers"][-1]["w_down"].q8)
+    return out
+
+
 def load_safetensors_decoder(path: str, *, dtype=jnp.bfloat16):
     """Load a Qwen2/Qwen3/Llama/Mistral/Gemma(1-3)/Phi-3-family HF
     checkpoint directory into our layout (HF-gold parity tested for all
@@ -666,6 +717,13 @@ class JaxChatLLM:
         "tiny": dict(layers=2, d_model=128, heads=4, kv_heads=2, d_ff=256, vocab=512, max_len=1024),
         "small": dict(layers=8, d_model=512, heads=8, kv_heads=4, d_ff=1408, vocab=32768, max_len=4096),
         "base": dict(layers=24, d_model=1024, heads=16, kv_heads=8, d_ff=2816, vocab=151936, max_len=8192),
+        # 4B-class (the reference's default local LLM is a Qwen3-4B-class
+        # GGUF, _config.py:50-64): 36 layers x d2560, GQA 20q/4kv
+        # (head_dim 128), SwiGLU ff 9728, untied 151936 lm_head = 4.03B
+        # params.  bf16 weights are 8.1 GB; @int8 they are 4.0 GB and
+        # co-reside with the 10M-chunk/8 int8 index shard on a 16 GB v5e
+        # (bench.py large_generation section measures the fit).
+        "large": dict(layers=36, d_model=2560, heads=20, kv_heads=4, d_ff=9728, vocab=151936, max_len=8192),
     }
 
     def __init__(self, spec: str = "tiny", *, seed: int = 0, dtype=jnp.bfloat16) -> None:
@@ -692,10 +750,20 @@ class JaxChatLLM:
             )
         else:
             cfg = dict(self._PRESETS.get(spec, self._PRESETS["tiny"]))
-            self.params = init_decoder_params(cfg, seed=seed, dtype=dtype)
+            if self.quantized:
+                # Layer-streaming init: peak HBM = int8 total + one bf16
+                # layer (a full bf16 init of the 4B `large` preset cannot
+                # co-reside with a search index shard on a 16 GB chip).
+                self.params = init_decoder_params_quantized(
+                    cfg, seed=seed, dtype=dtype
+                )
+            else:
+                self.params = init_decoder_params(cfg, seed=seed, dtype=dtype)
             self.tokenizer = ByteTokenizer(vocab_size=cfg["vocab"])
         self.cfg = cfg
-        if self.quantized:
+        if self.quantized and not isinstance(
+            self.params.get("lm_head"), QuantLinear
+        ):
             self.params = quantize_decoder_params(self.params)
         self.model = DecoderModel(cfg)
         self._byte_level = isinstance(self.tokenizer, ByteTokenizer)

@@ -54,10 +54,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 CORPUS = REPO / "data" / "corpus"
-WORKDIR = REPO / "data" / "encoder_train"
 EXPORT = REPO / "raglite_tpu" / "models" / "data" / "encoder"
 
-CFG = dict(layers=4, d_model=512, heads=8, d_ff=2048, vocab=8192, max_len=512)
+# Model sizes.  r3 shipped `small` (17M); r4 scales one notch (VERDICT r4
+# task #8): 8 layers x d768 (dim % 256 == 0 keeps the int4 scan routing),
+# 16k BPE vocab = 69.6M params.
+SIZES = {
+    "small": dict(layers=4, d_model=512, heads=8, d_ff=2048, vocab=8192, max_len=512),
+    "base": dict(layers=8, d_model=768, heads=12, d_ff=3072, vocab=16384, max_len=512),
+}
+CFG = SIZES["base"]
+WORKDIR = REPO / "data" / "encoder_train_base"
 PAD, BOS, EOS, MASK = 0, 1, 2, 3
 SEQ = 128  # training sequence length (inference runs up to max_len)
 
@@ -335,6 +342,181 @@ def run_contrastive(steps: int, batch: int) -> None:
     print(f"contrastive done: final loss {float(np.mean([float(l) for l in losses])):.3f}")
 
 
+# --- Phase 3: hard-negative contrastive finetuning -----------------------------
+
+
+def _mine_hard_negatives(params, flat, offsets, k: int = 8):
+    """Embed one representative crop per train document with the CURRENT
+    model and return each document's top-k nearest OTHER documents.
+
+    These are the "hard" negatives: documents the model currently confuses
+    with the anchor.  In-batch negatives (phase 2) are random and mostly
+    easy; appending mined negatives to the InfoNCE denominator is the
+    standard lift step (e.g. DPR/ANCE-style training) and is what VERDICT
+    r4 task #8 asks for.  All compute is on-device: batched encoder
+    forwards, then a tiled [N, N] similarity matmul + top-k.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from raglite_tpu.models.transformer import EncoderModel
+
+    model = EncoderModel(CFG)
+    lengths = np.diff(offsets)
+    ok = np.flatnonzero(lengths >= 48)
+    n = ok.size
+
+    p16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
+    )
+
+    @jax.jit
+    def embed_batch(ids):
+        mask = ids != PAD
+        hidden = model.apply_tokens(p16, ids, mask)
+        pooled = jnp.sum(hidden * mask[:, :, None], axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1, keepdims=True), 1
+        )
+        return (
+            pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=1, keepdims=True), 1e-6)
+        ).astype(jnp.bfloat16)
+
+    B = 512
+    embs = []
+    t0 = time.time()
+    for i in range(0, n, B):
+        batch_idx = ok[i : i + B]
+        ids = np.full((len(batch_idx), SEQ), PAD, np.int32)
+        for r, di in enumerate(batch_idx):
+            take = min(int(lengths[di]), SEQ)
+            ids[r, :take] = flat[offsets[di] : offsets[di] + take].astype(np.int32)
+        pad = B - len(batch_idx)
+        if pad:
+            ids = np.concatenate([ids, np.full((pad, SEQ), PAD, np.int32)])
+            ids[len(batch_idx):, 0] = BOS  # avoid all-PAD rows
+        embs.append(embed_batch(jnp.asarray(ids))[: len(batch_idx)])
+    embs = jnp.concatenate(embs)  # [n, d] bf16, device-resident
+    print(f"hardneg: embedded {n} docs in {time.time()-t0:.0f}s", flush=True)
+
+    @jax.jit
+    def topk_tile(tile, tile_idx):
+        sims = (tile @ embs.T).astype(jnp.float32)  # [B, n]
+        cols = jnp.arange(embs.shape[0])[None, :]
+        sims = jnp.where(cols == tile_idx[:, None], -jnp.inf, sims)  # drop self
+        _, idx = jax.lax.top_k(sims, k)
+        return idx
+
+    t0 = time.time()
+    neigh = np.empty((n, k), np.int64)
+    for i in range(0, n, B):
+        tile = embs[i : i + B]
+        tile_idx = jnp.arange(i, i + tile.shape[0])
+        neigh[i : i + tile.shape[0]] = np.asarray(topk_tile(tile, tile_idx))
+    print(f"hardneg: mined top-{k} neighbors in {time.time()-t0:.0f}s", flush=True)
+    # Map row positions back to document indices.
+    return ok, ok[neigh]
+
+
+def run_hardneg(steps: int, batch: int) -> None:
+    """InfoNCE with mined hard negatives: logits are [B, 2B] — the B
+    in-batch positives plus each anchor's mined hard-negative passage."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from raglite_tpu.models.transformer import (
+        EncoderModel,
+        load_npz_encoder,
+        save_npz_encoder,
+    )
+
+    flat, offsets = _load_tokens()
+    _, params, _ = load_npz_encoder(str(WORKDIR / "contrastive.npz"), dtype=jnp.float32)
+    ok_docs, neighbors = _mine_hard_negatives(params, flat, offsets)
+    doc_row = {int(d): i for i, d in enumerate(ok_docs)}
+    model = EncoderModel(CFG)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, peak_value=5e-5, warmup_steps=min(300, steps // 10),
+        decay_steps=steps, end_value=5e-6,
+    )
+    optimizer = _adamw(schedule)
+    opt_state = optimizer.init(params)
+    temp = 0.05
+
+    def embed(p, ids):
+        mask = ids != PAD
+        hidden = model.apply_tokens(p, ids, mask)
+        pooled = jnp.sum(hidden * mask[:, :, None], axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1, keepdims=True), 1
+        )
+        return pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=1, keepdims=True), 1e-6)
+
+    def loss_fn(p, q_ids, pos_ids, neg_ids):
+        p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, p)
+        zq = embed(p16, q_ids)            # [B, d]
+        zp = embed(p16, pos_ids)          # [B, d]
+        zn = embed(p16, neg_ids)          # [B, d] mined hard negatives
+        logits = zq @ jnp.concatenate([zp, zn]).T / temp  # [B, 2B]
+        labels = jnp.arange(zq.shape[0])
+        loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        # Reverse direction over the positive block keeps the phase-2
+        # symmetric objective.
+        loss_pq = optax.softmax_cross_entropy_with_integer_labels(
+            (zp @ zq.T) / temp, labels
+        )
+        return 0.5 * (jnp.mean(loss_qp) + jnp.mean(loss_pq))
+
+    @jax.jit
+    def train_step(p, o, q_ids, pos_ids, neg_ids):
+        loss, grads = jax.value_and_grad(loss_fn)(p, q_ids, pos_ids, neg_ids)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(2)
+    lengths = np.diff(offsets)
+
+    def crop(doc_idx, lo, hi):
+        start, length = int(offsets[doc_idx]), int(lengths[doc_idx])
+        size = int(rng.integers(lo, min(hi, length) + 1))
+        off = int(rng.integers(0, length - size + 1))
+        return flat[start + off : start + off + size].astype(np.int32)
+
+    def make_batch():
+        q = np.full((batch, SEQ), PAD, np.int32)
+        p_ = np.full((batch, SEQ), PAD, np.int32)
+        n_ = np.full((batch, SEQ), PAD, np.int32)
+        for i in range(batch):
+            di = int(ok_docs[rng.integers(0, ok_docs.size)])
+            cq = crop(di, 8, 48)
+            cp = crop(di, 32, SEQ)
+            # A random one of the anchor's mined neighbors, passage crop.
+            ni = int(neighbors[doc_row[di], rng.integers(0, neighbors.shape[1])])
+            cn = crop(ni, 32, SEQ)
+            q[i, : cq.size] = cq
+            p_[i, : cp.size] = cp
+            n_[i, : cn.size] = cn
+        return q, p_, n_
+
+    from collections import deque
+
+    t0 = time.time()
+    losses = deque(maxlen=50)
+    for step in range(steps):
+        q, p_, n_ = make_batch()
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(q), jnp.asarray(p_), jnp.asarray(n_)
+        )
+        losses.append(loss)
+        if (step + 1) % 100 == 0:
+            recent = float(np.mean([float(l) for l in losses]))
+            rate = (step + 1) / (time.time() - t0)
+            print(f"hardneg step {step+1}/{steps} loss {recent:.3f} ({rate:.1f} steps/s)", flush=True)
+        if (step + 1) % 1000 == 0:
+            save_npz_encoder(str(WORKDIR / "hardneg.npz"), params, CFG)
+    save_npz_encoder(str(WORKDIR / "hardneg.npz"), params, CFG)
+    print(f"hardneg done: final loss {float(np.mean([float(l) for l in losses])):.3f}")
+
+
 # --- Export -------------------------------------------------------------------
 
 
@@ -344,7 +526,11 @@ def run_export() -> None:
     from raglite_tpu.models.transformer import load_npz_encoder, save_npz_encoder
 
     EXPORT.mkdir(parents=True, exist_ok=True)
-    src = WORKDIR / ("contrastive.npz" if (WORKDIR / "contrastive.npz").exists() else "mlm.npz")
+    src = next(
+        WORKDIR / name
+        for name in ("hardneg.npz", "contrastive.npz", "mlm.npz")
+        if (WORKDIR / name).exists()
+    )
     cfg, params, _ = load_npz_encoder(str(src), dtype=jnp.float16)
     save_npz_encoder(str(EXPORT / "encoder.npz"), params, cfg, dtype=np.float16)
     (EXPORT / "tokenizer.json").write_text((WORKDIR / "tokenizer.json").read_text())
@@ -358,11 +544,16 @@ def run_export() -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--phase", default="all",
-                        choices=["tokenizer", "tokens", "mlm", "contrastive", "export", "all"])
+                        choices=["tokenizer", "tokens", "mlm", "contrastive",
+                                 "hardneg", "export", "all"])
+    parser.add_argument("--size", default="base", choices=sorted(SIZES))
     parser.add_argument("--steps", type=int, default=0)
     parser.add_argument("--batch", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args()
+    global CFG, WORKDIR
+    CFG = SIZES[args.size]
+    WORKDIR = REPO / "data" / f"encoder_train_{args.size}"
     if args.phase == "export":
         # Export is pure array juggling; pin to CPU so the weights do not
         # round-trip the dev tunnel's ~15 MB/s device link.
@@ -378,6 +569,8 @@ def main() -> None:
         run_mlm(args.steps or 20000, args.batch or 256, args.resume)
     if args.phase in ("contrastive", "all"):
         run_contrastive(args.steps or 4000, args.batch or 512)
+    if args.phase in ("hardneg", "all"):
+        run_hardneg(args.steps or 2000, args.batch or 256)
     if args.phase in ("export", "all"):
         run_export()
 

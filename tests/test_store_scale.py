@@ -106,6 +106,61 @@ def test_million_chunk_save_reload_bounded(tmp_path):
     assert t_mask < 0.1, f"filter mask took {t_mask * 1e3:.1f} ms"
 
 
+@pytest.mark.slow
+def test_shard_scale_open_bounded_at_10m_over_8(tmp_path):
+    """One v5e-8 shard of the 10M-chunk north star is 1.25M chunks
+    (BASELINE.md).  A host that owns a shard must (re)open its store
+    lazily — no chunk-record decodes, time O(segments), and the filtered
+    mask must answer from sidecar postings at per-query speed.  This pins
+    the per-shard host-side bound of the 10M design point end-to-end
+    (VERDICT r4 task #9; the 10M x 8 aggregate run is
+    scripts/store_scale_run.py --chunks 10000000, numbers in PARITY.md)."""
+    from raglite_tpu.store import _LazyChunks, _Segment
+
+    store = Store(str(tmp_path / "shard"))
+    n, batch, dim = 1_250_000, 250_000, 32
+    for start in range(0, n, batch):
+        chunks = [
+            Chunk(
+                id=f"c{i:08d}", document_id=f"d{i // 1000}", index=i,
+                headings="", body="", metadata_={"shard": i % 13},
+            )
+            for i in range(start, start + batch)
+        ]
+        embeddings = np.zeros((batch, 1, dim), dtype=np.float16)
+        embeddings[:, 0, 0] = 1.0
+        store.add_chunks(chunks, list(embeddings))
+        store.save()
+
+    decoded = []
+    original_record = _Segment.record
+
+    def counting_record(self, local):
+        decoded.append(local)
+        return original_record(self, local)
+
+    _Segment.record = counting_record
+    try:
+        t0 = time.perf_counter()
+        shard = Store(str(tmp_path / "shard"))
+        t_open = time.perf_counter() - t0
+        assert isinstance(shard.chunks, _LazyChunks)
+        assert decoded == [], "shard open decoded chunk records"
+        assert len(shard.chunk_order) == n
+        # 5M opened in 10.5 s (r3, PARITY.md); a 1.25M shard gets 2 s of
+        # budget plus generous CI headroom.
+        assert t_open < 8, f"shard open took {t_open:.1f}s"
+        shard.chunk_mask_for_filter({"shard": 3})  # warm the postings map
+        t0 = time.perf_counter()
+        mask = shard.chunk_mask_for_filter({"shard": 3})
+        t_mask = time.perf_counter() - t0
+        assert mask.sum() == sum(1 for i in range(n) if i % 13 == 3)
+        assert t_mask < 0.1, f"filter mask took {t_mask * 1e3:.1f} ms"
+        assert decoded == [], "filtered mask decoded chunk records"
+    finally:
+        _Segment.record = original_record
+
+
 def test_metadata_postings_match_scan(tmp_path):
     store = Store(":memory:")
     store.add_chunks(*_mk_chunks(0, 200, doc="d1", dim=8, topic="alpha"))
