@@ -52,12 +52,20 @@ _TARGET_ROWS = 256
 
 
 def _pick_bq(rep: int, t: int) -> int:
-    """Largest query-tile length BQ dividing t with REP*BQ <= _TARGET_ROWS
-    (>= 8 sublanes when possible)."""
-    bq = max(_TARGET_ROWS // max(rep, 1), 1)
-    while bq > 1 and t % bq:
-        bq //= 2
-    return min(bq, t)
+    """Largest query-tile length BQ dividing t with REP*BQ <= _TARGET_ROWS.
+
+    BQ is the block's second-minor dim, so Mosaic requires it divisible by
+    8 sublanes unless it spans the whole axis (bq == t).  The old
+    halve-until-divides search broke at REP=5 (the 4B `large` preset's
+    20q/4kv grouping): 2048 has no odd divisor near 256//5, so it walked
+    down to bq=1 and the lowering rejected the (1, hd) block."""
+    target = min(max(_TARGET_ROWS // max(rep, 1), 1), t)
+    for bq in range(8 * (target // 8), 0, -8):
+        if t % bq == 0:
+            return bq
+    # No multiple-of-8 divisor <= target: take the whole axis (block dim ==
+    # array dim is always legal; rows = rep*t only arises for tiny t).
+    return t
 
 
 def _prefill_attn_kernel(

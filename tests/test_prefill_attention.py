@@ -143,4 +143,27 @@ def test_pick_bq() -> None:
     assert _pick_bq(2, 2048) == 128
     assert _pick_bq(1, 2048) == 256
     assert _pick_bq(4, 8) == 8  # T smaller than the target tile
-    assert _pick_bq(4, 12) == 4  # must divide T
+    assert _pick_bq(4, 12) == 12  # no multiple-of-8 divisor: whole axis
+    # REP=5 (the 4B `large` preset's 20q/4kv grouping): BQ must stay a
+    # multiple of 8 sublanes — the old search walked 51 -> 1 and Mosaic
+    # rejected the (1, hd) block (BENCH r4 smoke).
+    assert _pick_bq(5, 2048) == 32
+    for rep in (1, 2, 3, 5, 7, 16):
+        for t in (8, 12, 24, 100, 256, 2048):
+            bq = _pick_bq(rep, t)
+            assert bq == t or (t % bq == 0 and bq % 8 == 0), (rep, t, bq)
+
+
+def test_kernel_rep5_matches_oracle() -> None:
+    """Odd GQA grouping (REP=5, the `large` preset shape) through the
+    kernel in interpret mode."""
+    rng = np.random.default_rng(5)
+    B, G, R, T, hd, S = 1, 2, 5, 16, 32, 48
+    q = jnp.asarray(rng.normal(size=(B, G, R, T, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, G, hd, S)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, G, hd, S)), jnp.float32)
+    offsets = jnp.asarray([3], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+    got = gqa_prefill_attention(q, k, v, offsets, scale=scale, interpret=True)
+    want = _oracle(q, k, v, np.asarray([3]), scale)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
