@@ -314,6 +314,31 @@ def main() -> None:
     results.append(evaluate_variant("sem-mv+rerank", rerank_fn, queries, store_mv))
     print(results[-1], flush=True)
 
+    # rerank-32 latency (VERDICT r4 task #2 "Done" criterion): cost of the
+    # token-level MaxSim rerank alone over a fixed 32-candidate set —
+    # candidate token re-encode (content-hash cached after first touch) +
+    # device MaxSim, excluding the dense search that produced them.
+    from raglite_tpu.search import rerank_chunks, retrieve_chunks
+
+    lat_ms: list[float] = []
+    sample = queries[: min(50, len(queries))]
+    for qi, (query, _gold) in enumerate(sample):
+        ids, _scores = vector_search(query, num_results=32, config=config_mv)
+        cands = retrieve_chunks(ids, config=config_mv)
+        t0 = time.time()
+        rerank_chunks(query, cands, config=config_mv)
+        if qi:  # first call pays compiles/cache warm
+            lat_ms.append((time.time() - t0) * 1e3)
+    rerank_latency = {
+        "variant": "rerank-32-latency",
+        "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+        "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+        "queries": len(lat_ms),
+        "note": "token-level MaxSim over 32 candidates, cold token cache "
+                "except repeats; excludes the producing dense search",
+    }
+    print(rerank_latency, flush=True)
+
     def hybrid_fn(query):
         ids, scores = hybrid_search(query, num_results=40, config=config_mv)
         return doc_ranking(ids, scores, store_mv)
@@ -322,7 +347,7 @@ def main() -> None:
     print(results[-1], flush=True)
 
     out_path = workdir / "results.json"
-    out_path.write_text(json.dumps(results, indent=1))
+    out_path.write_text(json.dumps({"variants": results, "rerank_latency": rerank_latency}, indent=1))
     print("\n| variant | MRR@10 | nDCG@10 | recall@10 |")
     print("|---|---|---|---|")
     for r in results:

@@ -276,7 +276,9 @@ def run_contrastive(steps: int, batch: int) -> None:
     opt_state = optimizer.init(params)
     temp = 0.05
 
-    def embed(p, ids):
+    @jax.checkpoint  # remat each tower: keep only [B, d] outputs between
+    def embed(p, ids):  # towers, recompute activations in backward — the
+        # base-size model's two un-remat'd towers at batch 512 OOM'd 16 GB.
         mask = ids != PAD
         hidden = model.apply_tokens(p, ids, mask)
         pooled = jnp.sum(hidden * mask[:, :, None], axis=1) / jnp.maximum(
@@ -443,6 +445,7 @@ def run_hardneg(steps: int, batch: int) -> None:
     opt_state = optimizer.init(params)
     temp = 0.05
 
+    @jax.checkpoint  # three towers per step: remat keeps peak at one tower
     def embed(p, ids):
         mask = ids != PAD
         hidden = model.apply_tokens(p, ids, mask)
