@@ -582,6 +582,14 @@ def _rank_with_token_maxsim(
     encoder = encoder_from_config(config)
     if not getattr(encoder, "supports_token_embeddings", False):
         return _rank_with_chunklet_maxsim(query, chunks, config)
+    # Touch hits (re-insert to refresh recency) BEFORE eviction runs below:
+    # the cache is insertion-ordered, so without the touch a chunk cached by
+    # an earlier query keeps its old position and can be evicted by this
+    # call's own inserts right before the lookup at the bottom.
+    for chunk in chunks:
+        key = (config.embedder, chunk.id)
+        if key in _TOKEN_MATRIX_CACHE:
+            _TOKEN_MATRIX_CACHE[key] = _TOKEN_MATRIX_CACHE.pop(key)
     missing = [
         chunk
         for chunk in chunks
@@ -597,14 +605,16 @@ def _rank_with_token_maxsim(
             if matrix.shape[0] == 0:
                 matrix = np.zeros((1, encoder.dim), dtype=np.float32)
             _TOKEN_MATRIX_CACHE[(config.embedder, chunk.id)] = _l2_rows(matrix)
-        while len(_TOKEN_MATRIX_CACHE) > _TOKEN_MATRIX_CACHE_CAP:
-            _TOKEN_MATRIX_CACHE.pop(next(iter(_TOKEN_MATRIX_CACHE)))
-    query_matrix = encoder.embed_token_level(query)
-    if query_matrix.shape[0] == 0:
-        return chunks
+    # Gather BEFORE eviction so a candidate list larger than the cap can
+    # never evict its own entries out from under the lookup.
     candidate_matrices = [
         _TOKEN_MATRIX_CACHE[(config.embedder, chunk.id)] for chunk in chunks
     ]
+    while len(_TOKEN_MATRIX_CACHE) > _TOKEN_MATRIX_CACHE_CAP:
+        _TOKEN_MATRIX_CACHE.pop(next(iter(_TOKEN_MATRIX_CACHE)))
+    query_matrix = encoder.embed_token_level(query)
+    if query_matrix.shape[0] == 0:
+        return chunks
     order, _ = maxsim_rank(_l2_rows(query_matrix), candidate_matrices)
     return [chunks[int(i)] for i in order]
 

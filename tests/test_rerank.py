@@ -134,3 +134,24 @@ def test_language_detection() -> None:
     assert detect_language("The quick brown fox jumps over the lazy dog and the cat") == "en"
     assert detect_language("Der schnelle braune Fuchs springt über den faulen Hund und die Katze") == "de"
     assert detect_language("12345 67890") == "other"
+
+
+def test_token_maxsim_cache_eviction_keeps_current_candidates(monkeypatch) -> None:
+    """Regression: a chunk cached by an EARLIER query must not be evicted by
+    the current call's own inserts (insertion-ordered cache without a touch
+    dropped old-position hits right before the lookup -> KeyError)."""
+    import raglite_tpu.search as search_mod
+    from raglite_tpu.config import RAGLiteConfig
+    from raglite_tpu.search import _rank_with_token_maxsim
+
+    config = RAGLiteConfig(embedder="hash:256", llm="echo")
+    monkeypatch.setattr(search_mod, "_TOKEN_MATRIX_CACHE_CAP", 4)
+    monkeypatch.setattr(search_mod, "_TOKEN_MATRIX_CACHE", {})
+    old = [_make_chunk(f"an old paragraph about topic {i}", i) for i in range(4)]
+    _rank_with_token_maxsim("topic", list(old), config)  # caches all four
+    fresh = [_make_chunk(f"a brand new paragraph number {i}", 10 + i) for i in range(4)]
+    # old[0] is a HIT at the oldest cache position; the four misses push the
+    # cache past the cap, which (pre-fix) evicted old[0] before the lookup.
+    reranked = _rank_with_token_maxsim("old paragraph", [old[0], *fresh], config)
+    assert sorted(c.id for c in reranked) == sorted(c.id for c in [old[0], *fresh])
+    assert reranked[0].id == old[0].id
