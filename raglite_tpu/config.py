@@ -74,12 +74,12 @@ class RAGLiteConfig:
 
     # Models (reference: llm/embedder strings, _config.py:50-64).  The
     # default embedder is the in-package TPU-trained semantic encoder
-    # (models/data/encoder/, 17M params, d=512 — trained by
+    # (models/data/encoder/, 64M params, d=768 — trained by
     # scripts/train_encoder.py), mirroring the reference's real-semantic
     # default (bge-m3, _config.py:50-64) without downloads.  "hash:<dim>"
     # remains the fully-hermetic lexical featurizer for tests/benchmarks.
     # The default LLM stays "echo" (deterministic, offline): unlike the
-    # 31 MB encoder, a useful decoder checkpoint cannot ship in-package;
+    # 123 MB encoder, a useful decoder checkpoint cannot ship in-package;
     # point ``llm`` at a local HF checkpoint ("jax:<path>") or an
     # OpenAI-compatible endpoint for real generation.
     llm: str = "echo"

@@ -322,6 +322,71 @@ class TransformerEncoder:
                     out[i] = hidden[row, : encoded[i].size]
         return out
 
+    def rerank_maxsim(self, query: str, texts: list[str]) -> np.ndarray:
+        """Token-level MaxSim scores [len(texts)] computed ENTIRELY on
+        device: encode the query and a candidate tile, L2-normalize the
+        token states, MaxSim, and fetch only the per-candidate scalars.
+
+        The host-matrix path (embed_token_level_batch + ops/maxsim.py)
+        moves the full [C, T, d] hidden states across the host<->device
+        boundary TWICE (fetch after encode, upload before scoring) — ~50 MB
+        per 32 long candidates, which through the dev tunnel costs seconds.
+        This fused program moves C floats.  Numerically identical to the
+        host path (same forward, same L2, same masked MaxSim; fp32 scoring
+        matmul) — asserted by tests/test_rerank.py.
+        """
+        q_ids_np = np.asarray(self._tokenizer.encode(query)[: self.max_tokens], np.int32)
+        if q_ids_np.size == 0 or not texts:
+            return np.zeros(len(texts), np.float32)
+        encoded = [
+            np.asarray(self._tokenizer.encode(t)[: self.max_tokens], np.int32) for t in texts
+        ]
+        if not hasattr(self, "_maxsim_tile"):
+
+            def _tile(params, q_ids, q_mask, c_ids, c_mask):
+                qh = self._model.apply_tokens(params, q_ids, q_mask)[0]  # [Tq, d]
+                ch = self._model.apply_tokens(params, c_ids, c_mask)  # [C, Tc, d]
+                qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
+                ch = ch / jnp.maximum(jnp.linalg.norm(ch, axis=-1, keepdims=True), 1e-12)
+                sims = jnp.einsum(
+                    "qd,ctd->cqt", qh, ch,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                sims = jnp.where(c_mask[:, None, :], sims, -jnp.inf)
+                best = jnp.max(sims, axis=-1)  # [C, Tq]
+                best = jnp.where(jnp.isfinite(best), best, 0.0)
+                return jnp.sum(best * q_mask[0][None, :], axis=-1)  # [C]
+
+            self._maxsim_tile = jax.jit(_tile)
+        qt = _round_up(max(q_ids_np.size, 8), 128)
+        q_ids = np.zeros((1, qt), np.int32)
+        q_mask = np.zeros((1, qt), np.bool_)
+        q_ids[0, : q_ids_np.size] = q_ids_np
+        q_mask[0, : q_ids_np.size] = True
+        q_ids_j, q_mask_j = jnp.asarray(q_ids), jnp.asarray(q_mask)
+        scores = np.zeros(len(texts), np.float32)
+        # One (Tc, tile) bucket per dispatch; tile of 32 bounds the encode's
+        # [32, heads, T, T] attention ephemeral to a few hundred MB.
+        tile = 32
+        tc = _round_up(max([ids.size for ids in encoded] + [8]), 128)
+        for start in range(0, len(encoded), tile):
+            group = encoded[start : start + tile]
+            bpad = _round_up(len(group), 8)
+            c_ids = np.zeros((bpad, tc), np.int32)
+            c_mask = np.zeros((bpad, tc), np.bool_)
+            for row, ids in enumerate(group):
+                c_ids[row, : ids.size] = ids
+                c_mask[row, : ids.size] = True
+            out = np.asarray(
+                self._maxsim_tile(
+                    self._params, q_ids_j, q_mask_j, jnp.asarray(c_ids), jnp.asarray(c_mask)
+                ),
+                np.float32,
+            )
+            scores[start : start + len(group)] = out[: len(group)]
+        return scores
+
     def embed(self, texts: list[str]) -> np.ndarray:
         """Batched mean-pooled embeddings: texts bucket by padded length and
         run as [B, T] forwards (compiles once per (B, T) bucket) — the

@@ -582,6 +582,15 @@ def _rank_with_token_maxsim(
     encoder = encoder_from_config(config)
     if not getattr(encoder, "supports_token_embeddings", False):
         return _rank_with_chunklet_maxsim(query, chunks, config)
+    if hasattr(encoder, "rerank_maxsim"):
+        # Fused on-device path: encode + L2 + MaxSim in one program per
+        # candidate tile, fetching only [C] scores — the host-matrix path
+        # below moves the full [C, T, d] hidden states host<->device twice
+        # (measured 2.6 s per 32 long candidates through the dev tunnel vs
+        # ~tens of ms fused).
+        scores = encoder.rerank_maxsim(query, [str(chunk) for chunk in chunks])
+        order = np.argsort(-scores, kind="stable")
+        return [chunks[int(i)] for i in order]
     # Touch hits (re-insert to refresh recency) BEFORE eviction runs below:
     # the cache is insertion-ordered, so without the touch a chunk cached by
     # an earlier query keeps its old position and can be evicted by this

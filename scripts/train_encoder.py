@@ -15,10 +15,12 @@ embeddings, and the image ships no pretrained weights.  So we train our own:
            pair, in-batch negatives, InfoNCE with symmetric cross-entropy) —
            this aligns the mean-pooled sentence space for retrieval.
 
-The model is the framework's own `EncoderModel` (models/transformer.py):
-4 layers, d_model=512 (dim % 256 == 0 keeps the int4 scan routing), 8 heads,
-d_ff=2048, vocab 8192 byte-level BPE trained on the same corpus.  ~17M
-params.  Training runs in bf16 on the MXU with an fp32 Adam state; steps are
+The model is the framework's own `EncoderModel` (models/transformer.py);
+sizes in SIZES below — r3 shipped `small` (4L/d512/8k vocab, 17M params),
+r4 ships `base` (8L/d768/16k vocab, ~64M params; d % 256 == 0 keeps the
+int4 scan routing), plus a hard-negative contrastive phase (--phase hardneg)
+that mines in-corpus near-misses after the Contriever phase.
+Training runs in bf16 on the MXU with an fp32 Adam state; steps are
 async-dispatched so the dev-tunnel RPC floor does not serialize the loop.
 
 The final checkpoint is exported to raglite_tpu/models/data/encoder/

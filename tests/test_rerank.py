@@ -155,3 +155,34 @@ def test_token_maxsim_cache_eviction_keeps_current_candidates(monkeypatch) -> No
     reranked = _rank_with_token_maxsim("old paragraph", [old[0], *fresh], config)
     assert sorted(c.id for c in reranked) == sorted(c.id for c in [old[0], *fresh])
     assert reranked[0].id == old[0].id
+
+
+def test_fused_device_maxsim_matches_host_path() -> None:
+    """TransformerEncoder.rerank_maxsim (on-device fused encode+MaxSim,
+    scores-only fetch) is numerically equivalent to the host-matrix path
+    (embed_token_level_batch + ops/maxsim.maxsim_rank)."""
+    import numpy as np
+
+    from raglite_tpu.models.encoder import TransformerEncoder
+    from raglite_tpu.ops.maxsim import maxsim_rank
+    from raglite_tpu.search import _l2_rows
+
+    enc = TransformerEncoder("tiny", seed=3)
+    query = "the speed of light in vacuum"
+    texts = [
+        "light propagates with a definite velocity in empty space",
+        "a recipe for sourdough bread with a long fermentation",
+        "velocity of light",
+        "",  # empty candidate exercises the all-pad row
+        "clocks synchronised by exchanging light signals " * 20,  # long
+    ]
+    fused = enc.rerank_maxsim(query, texts)
+    mats = enc.embed_token_level_batch(texts)
+    mats = [
+        _l2_rows(m) if m.shape[0] else np.zeros((1, enc.dim), np.float32) for m in mats
+    ]
+    order, host_scores = maxsim_rank(_l2_rows(enc.embed_token_level(query)), mats)
+    host_by_idx = np.empty(len(texts), np.float32)
+    host_by_idx[order] = host_scores
+    np.testing.assert_allclose(fused, host_by_idx, rtol=2e-3, atol=2e-3)
+    assert list(np.argsort(-fused, kind="stable")) == list(order)
