@@ -10,6 +10,7 @@ host-side columnar store (store.py) and chunk embeddings live in device HBM
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from hashlib import sha256
 from pathlib import Path
@@ -17,9 +18,18 @@ from typing import Any
 from xml.sax.saxutils import escape
 
 import numpy as np
-from raglite_tpu.utils.mdparse import parse_markdown
 
 from raglite_tpu.types import ChunkId, DocumentId, EvalId, FloatMatrix
+
+# Line-level Markdown heading syntax. Headings are tracked with a direct
+# line scanner (rather than a full Markdown token parse): the heading trail
+# only needs ATX (`## Title`, optional closing hashes), setext (`Title`
+# followed by a ===/--- underline), and enough fence awareness to not read
+# `# comment` inside a code block as a heading.
+_ATX = re.compile(r"^ {0,3}(#{1,6})(?:[ \t]+(.*?))?[ \t]*$")
+_ATX_CLOSE = re.compile(r"[ \t]+#+[ \t]*$")
+_SETEXT_UNDERLINE = re.compile(r"^ {0,3}(=+|-+)[ \t]*$")
+_FENCE = re.compile(r"^ {0,3}(`{3,}|~{3,})")
 
 
 def hash_bytes(data: bytes, max_len: int = 16) -> str:
@@ -171,33 +181,94 @@ class Chunk:
         )
 
     @staticmethod
-    def extract_heading_lines(doc: str, leading_only: bool = False) -> list[str]:  # noqa: FBT001, FBT002
-        """Rolling Markdown heading state h1..h6 (reference: _database.py:251-268)."""
-        heading_lines = [""] * 6
-        level = None
-        for token in parse_markdown(doc):
-            if token.type == "heading_open":
-                level = int(token.tag[1]) if 1 <= int(token.tag[1]) <= 6 else None
-            elif token.type == "heading_close":
-                level = None
-            elif level is not None:
-                heading_content = token.content.strip().replace("\n", " ")
-                heading_lines[level - 1] = ("#" * level) + " " + heading_content
-                heading_lines[level:] = [""] * len(heading_lines[level:])
-            elif leading_only and level is None and token.content and not token.content.isspace():
+    def extract_heading_lines(doc: str, *, leading_only: bool = False) -> list[str]:
+        """Rolling Markdown heading trail, one slot per level h1..h6.
+
+        Behavioral parity with the reference's heading tracking
+        (/root/reference/src/raglite/_database.py:251-268), built as a
+        single-pass line scanner: each heading writes its slot and clears
+        all deeper slots; with ``leading_only`` the scan stops at the first
+        non-heading content so only the document's *leading* headings count.
+        """
+        trail = [""] * 6
+
+        def note(level: int, text: str) -> None:
+            trail[level - 1] = "#" * level + " " + text
+            for deeper in range(level, 6):
+                trail[deeper] = ""
+
+        lines = doc.split("\n")
+        total = len(lines)
+        fence_char: str | None = None
+        i = 0
+        while i < total:
+            line = lines[i]
+            fence = _FENCE.match(line)
+            if fence_char is not None:
+                # Inside a code fence: content is opaque until the closer.
+                if fence and fence.group(1)[0] == fence_char:
+                    fence_char = None
+                elif leading_only and line.strip():
+                    break
+                i += 1
+                continue
+            if fence:
+                if leading_only:
+                    break
+                fence_char = fence.group(1)[0]
+                i += 1
+                continue
+            if not line.strip():
+                i += 1
+                continue
+            atx = _ATX.match(line)
+            if atx:
+                note(len(atx.group(1)), _ATX_CLOSE.sub("", atx.group(2) or "").strip())
+                i += 1
+                continue
+            # Possible setext heading: a paragraph run directly followed by
+            # a ===/--- underline. Collect the run, then look for the rule.
+            underline_level = 0
+            run_end = i
+            paragraph: list[str] = []
+            if not line.startswith(("    ", "\t")):
+                while run_end < total:
+                    candidate = lines[run_end]
+                    rule = _SETEXT_UNDERLINE.match(candidate)
+                    if rule and paragraph:
+                        underline_level = 1 if rule.group(1)[0] == "=" else 2
+                        break
+                    if (
+                        not candidate.strip()
+                        or _ATX.match(candidate)
+                        or _FENCE.match(candidate)
+                    ):
+                        break
+                    paragraph.append(candidate.strip())
+                    run_end += 1
+            if underline_level:
+                note(underline_level, " ".join(paragraph))
+                i = run_end + 1
+                continue
+            if leading_only:
                 break
-        return heading_lines
+            i += 1
+        return trail
 
     @staticmethod
     def truncate_headings(headings: str, body: str) -> str:
-        """Drop contextual headings at or below the chunk's own leading heading
-        level (reference: _database.py:270-277)."""
-        heading_lines = Chunk.extract_heading_lines(headings)
-        leading_body_heading_lines = Chunk.extract_heading_lines(body, leading_only=True)
-        level = next((i + 1 for i, line in enumerate(leading_body_heading_lines) if line), None)
-        if level:
-            heading_lines[level - 1 :] = [""] * len(heading_lines[level - 1 :])
-        return "\n".join(heading for heading in heading_lines if heading)
+        """Contextual headings strictly above the body's own leading heading.
+
+        If the body opens at level L, inherited headings at level >= L are
+        stale siblings/children and are dropped; a body with no leading
+        heading keeps the whole trail (parity: _database.py:270-277).
+        """
+        body_lead = Chunk.extract_heading_lines(body, leading_only=True)
+        cutoff = next((lvl for lvl, line in enumerate(body_lead, start=1) if line), 7)
+        trail = Chunk.extract_heading_lines(headings)
+        return "\n".join(
+            line for lvl, line in enumerate(trail, start=1) if line and lvl < cutoff
+        )
 
     def extract_headings(self) -> str:
         """Final heading state after this chunk (reference: _database.py:279-283)."""
@@ -270,41 +341,52 @@ class ChunkSpan:
             assert self.chunks[0].document is not None
             self.document = self.chunks[0].document
 
+    def _span_fields(self) -> dict[str, str]:
+        """The span payload shared by both renderings: where the span came
+        from (document id + source), its chunk-id range, and its text."""
+        first, last = self.chunks[0], self.chunks[-1]
+        return {
+            "id": self.document.id,
+            "source": self.document.url or self.document.filename,
+            "from_chunk_id": first.id,
+            "to_chunk_id": last.id,
+            "headings": first.headings.strip(),
+            "content": "".join(chunk.body for chunk in self.chunks).strip(),
+        }
+
     def to_xml(self, index: int | None = None) -> str:
-        """Anthropic long-context XML format (reference: _database.py:349-368)."""
+        """Render as an Anthropic long-context `<document>` element.
+
+        Wire-format compatible with the reference (_database.py:349-368) so
+        prompts built against reference output keep working; the rendering
+        itself is assembled from the shared span payload.
+        """
         if not self.chunks:
             return ""
-        index_attribute = f' index="{index}"' if index is not None else ""
-        return "\n".join(
-            [
-                f'<document{index_attribute} id="{self.document.id}">',
-                f"<source>{self.document.url if self.document.url else self.document.filename}</source>",
-                f'<span from_chunk_id="{self.chunks[0].id}" to_chunk_id="{self.chunks[-1].id}">',
-                f"<headings>\n{escape(self.chunks[0].headings.strip())}\n</headings>",
-                f"<content>\n{escape(''.join(chunk.body for chunk in self.chunks).strip())}\n</content>",
-                "</span>",
-                "</document>",
-            ]
-        )
+        f = self._span_fields()
+        open_attrs = ("" if index is None else f' index="{index}"') + f' id="{f["id"]}"'
+        span_attrs = f'from_chunk_id="{f["from_chunk_id"]}" to_chunk_id="{f["to_chunk_id"]}"'
+        parts = [f"<document{open_attrs}>"]
+        parts.append(f"<source>{f['source']}</source>")
+        parts.append(f"<span {span_attrs}>")
+        for tag in ("headings", "content"):
+            parts.append(f"<{tag}>\n{escape(f[tag])}\n</{tag}>")
+        parts.append("</span>")
+        parts.append("</document>")
+        return "\n".join(parts)
 
     def to_json(self, index: int | None = None) -> str:
-        """JSON representation (reference: _database.py:370-389)."""
+        """Render as a JSON document object (wire format: _database.py:370-389)."""
         if not self.chunks:
             return "{}"
-        index_attribute = {"index": index} if index is not None else {}
-        return json.dumps(
-            {
-                **index_attribute,
-                "id": self.document.id,
-                "source": self.document.url if self.document.url else self.document.filename,
-                "span": {
-                    "from_chunk_id": self.chunks[0].id,
-                    "to_chunk_id": self.chunks[-1].id,
-                    "headings": self.chunks[0].headings.strip(),
-                    "content": "".join(chunk.body for chunk in self.chunks).strip(),
-                },
-            }
-        )
+        f = self._span_fields()
+        payload: dict[str, Any] = {} if index is None else {"index": index}
+        payload["id"] = f["id"]
+        payload["source"] = f["source"]
+        payload["span"] = {
+            key: f[key] for key in ("from_chunk_id", "to_chunk_id", "headings", "content")
+        }
+        return json.dumps(payload)
 
     @property
     def content(self) -> str:
