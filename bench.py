@@ -87,7 +87,7 @@ def gen_bench(args, rpc_floor: float) -> dict:
         t0 = time.perf_counter()
         outs = [_prefill_last(model, params, ids, cache0, lens)[0] for _ in range(reps)]
         sync(outs[-1])
-        prefill_s = time.perf_counter() - t0 - rpc_floor
+        prefill_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
         out[f"prefill_tok_s_b{B}"] = round(reps * B * T / prefill_s, 1)
         # Prefill FLOPs: matmuls + causal attention (T^2/2 useful positions).
         attn_prefill = 4 * cfg["layers"] * (T * T / 2) * cfg["heads"] * (
@@ -115,7 +115,7 @@ def gen_bench(args, rpc_floor: float) -> dict:
         for _ in range(n_decode_chunks):
             toks, state = chunk(state)
         sync(toks)
-        decode_s = time.perf_counter() - t0 - rpc_floor
+        decode_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
         n_tok = n_decode_chunks * DECODE_CHUNK
         out[f"decode_tok_s_b{B}"] = round(n_tok * B / decode_s, 1)
         hd = cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
@@ -168,7 +168,7 @@ def gen_bench(args, rpc_floor: float) -> dict:
                 toks, it, state = spec_chunk(state)
                 outs.append((toks, it))
             sync(toks)
-            spec_s = time.perf_counter() - t0 - rpc_floor
+            spec_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
             n_tok = sum(int(np.sum(np.asarray(t) != _NO_TOKEN)) for t, _ in outs)
             n_iter = sum(int(i) for _, i in outs)
             out["spec_decode_tok_s_b1"] = round(n_tok / spec_s, 1)
@@ -238,7 +238,7 @@ def gen_bench(args, rpc_floor: float) -> dict:
                 for _ in range(n_decode_chunks):
                     toks, state = qchunk(state)
                 sync(toks)
-                decode_s = time.perf_counter() - t0 - rpc_floor
+                decode_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
                 n_tok = n_decode_chunks * DECODE_CHUNK
                 out[f"int8_decode_tok_s_b{B}"] = round(n_tok * B / decode_s, 1)
                 base = out.get(f"decode_tok_s_b{B}")
@@ -336,7 +336,7 @@ def large_gen_bench(args, rpc_floor: float, warm_only: bool = False) -> dict:
     t0 = time.perf_counter()
     outs = [_prefill_last(model, params, ids, cache0, lens)[0] for _ in range(reps)]
     sync(outs[-1])
-    prefill_s = time.perf_counter() - t0 - rpc_floor
+    prefill_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
     out["prefill_tok_s_b1"] = round(reps * T / prefill_s, 1)
     # Decode: chained chunks, one sync (the tunnel-honest method).
     n_chunks = args.gen_chunks
@@ -344,7 +344,7 @@ def large_gen_bench(args, rpc_floor: float, warm_only: bool = False) -> dict:
     for _ in range(n_chunks):
         toks, state = chunk(state)
     sync(toks)
-    decode_s = time.perf_counter() - t0 - rpc_floor
+    decode_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
     n_tok = n_chunks * DECODE_CHUNK
     out["int8_decode_tok_s_b1"] = round(n_tok / decode_s, 1)
     # Weight-streaming roofline: every decoded token reads the int8 weights
@@ -392,7 +392,7 @@ def large_gen_bench(args, rpc_floor: float, warm_only: bool = False) -> dict:
                 toks, it, state = spec_chunk(state)
                 outs.append((toks, it))
             sync(toks)
-            spec_s = time.perf_counter() - t0 - rpc_floor
+            spec_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
             n_tok = sum(int(np.sum(np.asarray(t) != _NO_TOKEN)) for t, _ in outs)
             n_iter = sum(int(i) for _, i in outs)
             out["spec_decode_tok_s_b1"] = round(n_tok / spec_s, 1)
@@ -555,7 +555,7 @@ def hybrid_bench(  # noqa: PLR0915
     t0 = time.perf_counter()
     outs = [hybrid_fused(dense_q, term_ids) for _ in range(reps)]
     sync(outs[-1])
-    hybrid_s = time.perf_counter() - t0 - rpc_floor
+    hybrid_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
     out["hybrid_qps"] = round(reps * bq / hybrid_s, 1)
     out["hybrid_fetches_per_batch"] = 1
     out["hybrid_batch"] = bq
@@ -581,7 +581,7 @@ def hybrid_bench(  # noqa: PLR0915
         for _ in range(max(args.iters // 2, 2))
     ]
     sync(outs[-1])
-    filtered_s = time.perf_counter() - t0 - rpc_floor
+    filtered_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
     out["filtered_qps"] = round(len(outs) * len(queries) / filtered_s, 1)
     out["filter_selectivity"] = 0.05
     # Correctness spot check: every filtered hit satisfies the mask.
@@ -878,7 +878,7 @@ def main() -> None:
     t0 = time.perf_counter()
     outs = [run_device(queries) for _ in range(args.iters)]
     sync(outs[-1])
-    elapsed = time.perf_counter() - t0 - rpc_floor
+    elapsed = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
     qps = args.iters * b / elapsed
 
     latency_method = (

@@ -41,6 +41,19 @@ sys.path.insert(0, str(REPO / "scripts"))
 from semantic_ir_bench import load_protocol  # noqa: E402
 
 
+def _export_matches(out: Path, n_docs: int, n_queries: int) -> bool:
+    """True when an existing export's corpus/query counts match the CLI
+    args — a stale export from a different-sized run must not be silently
+    benchmarked while the printed parameters claim otherwise."""
+    if not (out / "qrels.tsv").exists():
+        return False
+    try:
+        meta = json.loads((out / "export_meta.json").read_text())
+    except (OSError, ValueError):
+        return False
+    return meta.get("docs") == n_docs and meta.get("queries") == n_queries
+
+
 def export_beir(out: Path, n_docs: int, n_queries: int) -> None:
     """Write corpus.jsonl / queries.jsonl / qrels.tsv in BEIR layout."""
     texts, queries, _ = load_protocol(n_docs, n_queries, 0)
@@ -55,6 +68,7 @@ def export_beir(out: Path, n_docs: int, n_queries: int) -> None:
         f.write("query-id\tcorpus-id\tscore\n")
         for i, (_query, gold) in enumerate(queries):
             f.write(f"q{i:04d}\t{gold}\t1\n")
+    (out / "export_meta.json").write_text(json.dumps({"docs": n_docs, "queries": n_queries}))
     print(f"exported BEIR dir: {len(texts)} docs, {len(queries)} queries -> {out}")
 
 
@@ -75,7 +89,9 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     out = Path(args.dir)
-    if not (out / "qrels.tsv").exists():
+    if _export_matches(out, args.docs, args.queries):
+        print(f"reusing existing export: {out}")
+    else:
         export_beir(out, args.docs, args.queries)
 
     from raglite_tpu import RAGLiteConfig

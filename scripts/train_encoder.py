@@ -64,11 +64,28 @@ EXPORT = REPO / "raglite_tpu" / "models" / "data" / "encoder"
 SIZES = {
     "small": dict(layers=4, d_model=512, heads=8, d_ff=2048, vocab=8192, max_len=512),
     "base": dict(layers=8, d_model=768, heads=12, d_ff=3072, vocab=16384, max_len=512),
+    # r5 scales the next notch (VERDICT r4 "next round" #5: "12L/d1024"):
+    # ~168M params, d % 256 == 0 keeps the int4 scan routing.  The post-LN
+    # stack is unstable at this depth at the base recipe's 4e-4 peak (the
+    # first large MLM run spike-collapsed to the unigram solution at step
+    # ~4200), so `large` carries its own MLM optimizer knobs.
+    "large": dict(
+        layers=12, d_model=1024, heads=16, d_ff=4096, vocab=16384, max_len=512,
+        mlm_lr=1.5e-4, mlm_warmup=2500, clip=0.5,
+    ),
 }
 CFG = SIZES["base"]
 WORKDIR = REPO / "data" / "encoder_train_base"
 PAD, BOS, EOS, MASK = 0, 1, 2, 3
-SEQ = 128  # training sequence length (inference runs up to max_len)
+# Training sequence length (inference runs up to max_len).  Overridable per
+# phase with --seq: the late-chunking insert path encodes documents in
+# max_len-token segments, so a final MLM stage at --seq 512 gives the
+# position rows 128..511 real gradients instead of leaving them at init.
+SEQ = 128
+# Query towers (contrastive/hardneg/maxsim short crops, 8..48 tokens) pad to
+# this instead of SEQ — padding the short tower to SEQ wastes ~75% of its
+# tower FLOPs at SEQ >= 256.
+QSEQ = 64
 
 
 # --- Tokenizer + token cache --------------------------------------------------
@@ -155,7 +172,7 @@ def _adamw(lr_schedule):
     import optax
 
     return optax.chain(
-        optax.clip_by_global_norm(1.0),
+        optax.clip_by_global_norm(CFG.get("clip", 1.0)),
         optax.adamw(lr_schedule, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01),
     )
 
@@ -183,7 +200,8 @@ def run_mlm(steps: int, batch: int, resume: bool) -> None:
     params = _make_state(jnp.float32, resume="mlm.npz" if resume else None)
     model = EncoderModel(CFG)
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, peak_value=4e-4, warmup_steps=min(1000, steps // 10),
+        0.0, peak_value=CFG.get("mlm_lr", 4e-4),
+        warmup_steps=min(CFG.get("mlm_warmup", 1000), steps // 4),
         decay_steps=steps, end_value=2e-5,
     )
     optimizer = _adamw(schedule)
@@ -237,6 +255,7 @@ def run_mlm(steps: int, batch: int, resume: bool) -> None:
 
     t0 = time.time()
     losses = deque(maxlen=50)  # bounded: each entry is a live device scalar
+    best_saved = float("inf")
     for step in range(steps):
         ids, labels, weights = make_batch()
         params, opt_state, loss = train_step(
@@ -248,9 +267,24 @@ def run_mlm(steps: int, batch: int, resume: bool) -> None:
             rate = (step + 1) / (time.time() - t0)
             print(f"mlm step {step+1}/{steps} loss {recent:.3f} ({rate:.1f} steps/s)", flush=True)
         if (step + 1) % 2000 == 0:
-            save_npz_encoder(str(WORKDIR / "mlm.npz"), params, CFG)
-    save_npz_encoder(str(WORKDIR / "mlm.npz"), params, CFG)
-    print(f"mlm done: final loss {float(np.mean([float(l) for l in losses])):.3f}")
+            # Collapse guard: a post-LN spike-collapse (loss jumps and flattens
+            # at the unigram solution) must not clobber the last good
+            # checkpoint — only save when the recent loss is no worse than the
+            # best checkpointed loss plus slack.
+            recent = float(np.mean([float(l) for l in losses]))
+            if recent < best_saved + 0.05:
+                best_saved = min(best_saved, recent)
+                save_npz_encoder(str(WORKDIR / "mlm.npz"), params, CFG)
+            else:
+                print(
+                    f"mlm step {step+1}: loss {recent:.3f} regressed past best "
+                    f"saved {best_saved:.3f} — checkpoint NOT overwritten",
+                    flush=True,
+                )
+    final = float(np.mean([float(l) for l in losses]))
+    if final < best_saved + 0.05:
+        save_npz_encoder(str(WORKDIR / "mlm.npz"), params, CFG)
+    print(f"mlm done: final loss {final:.3f} (best saved {min(best_saved, final):.3f})")
 
 
 # --- Phase 2: contrastive (Contriever-style independent cropping) -------------
@@ -314,13 +348,13 @@ def run_contrastive(steps: int, batch: int) -> None:
 
     def make_batch():
         a = np.full((batch, SEQ), PAD, np.int32)
-        b = np.full((batch, SEQ), PAD, np.int32)
+        b = np.full((batch, QSEQ), PAD, np.int32)
         for i in range(batch):
             start, length = next(sampler)
             # Asymmetric crops: one passage-like, one short query-like span —
             # matching the retrieval workload (short questions vs chunks).
             ca = crop(start, length, 32, SEQ)
-            cb = crop(start, length, 8, 48)
+            cb = crop(start, length, 8, min(48, QSEQ))
             a[i, : ca.size] = ca
             b[i, : cb.size] = cb
         return a, b
@@ -487,12 +521,12 @@ def run_hardneg(steps: int, batch: int) -> None:
         return flat[start + off : start + off + size].astype(np.int32)
 
     def make_batch():
-        q = np.full((batch, SEQ), PAD, np.int32)
+        q = np.full((batch, QSEQ), PAD, np.int32)
         p_ = np.full((batch, SEQ), PAD, np.int32)
         n_ = np.full((batch, SEQ), PAD, np.int32)
         for i in range(batch):
             di = int(ok_docs[rng.integers(0, ok_docs.size)])
-            cq = crop(di, 8, 48)
+            cq = crop(di, 8, min(48, QSEQ))
             cp = crop(di, 32, SEQ)
             # A random one of the anchor's mined neighbors, passage crop.
             ni = int(neighbors[doc_row[di], rng.integers(0, neighbors.shape[1])])
@@ -522,6 +556,158 @@ def run_hardneg(steps: int, batch: int) -> None:
     print(f"hardneg done: final loss {float(np.mean([float(l) for l in losses])):.3f}")
 
 
+# --- Phase 4: joint mean-pool + token-level MaxSim finetuning ------------------
+
+
+def run_maxsim(steps: int, batch: int) -> None:
+    """Train the TOKEN geometry the reranker actually scores with.
+
+    The default reranker is ColBERT-style late interaction: per query token,
+    max cosine over candidate tokens, summed (search.py `_rank_with_token_
+    maxsim`, ops/maxsim.py — replacing the reference's FlashRank cross-
+    encoder, /root/reference/src/raglite/_config.py:73-79).  Through r4 those
+    token states were only ever trained as a *mean-pool* bag (MLM +
+    contrastive phases), so per-token similarities were noisy and rerank was
+    quality-negative (IRBENCH_r04).  This phase optimizes BOTH heads of the
+    same encoder jointly:
+
+      L = InfoNCE(mean-pool, hard negs)  +  InfoNCE(MaxSim, hard negs)
+
+    so dense retrieval quality is preserved while the token-level MaxSim
+    score becomes discriminative.  The MaxSim here is exactly the inference
+    scoring rule (L2-normalized token states, masked max over candidate
+    tokens, masked aggregation over query tokens).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from raglite_tpu.models.transformer import (
+        EncoderModel,
+        load_npz_encoder,
+        save_npz_encoder,
+    )
+
+    flat, offsets = _load_tokens()
+    _, params, _ = load_npz_encoder(str(WORKDIR / "hardneg.npz"), dtype=jnp.float32)
+    ok_docs, neighbors = _mine_hard_negatives(params, flat, offsets)
+    doc_row = {int(d): i for i, d in enumerate(ok_docs)}
+    model = EncoderModel(CFG)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, peak_value=3e-5, warmup_steps=min(200, steps // 10),
+        decay_steps=steps, end_value=3e-6,
+    )
+    optimizer = _adamw(schedule)
+    opt_state = optimizer.init(params)
+    temp = 0.05
+
+    @jax.checkpoint  # four tower applications per step: remat each
+    def tokens_and_pool(p, ids):
+        """L2-normalized token states [B, T, d] + L2 mean-pooled [B, d]."""
+        mask = ids != PAD
+        hidden = model.apply_tokens(p, ids, mask)
+        pooled = jnp.sum(hidden * mask[:, :, None], axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1, keepdims=True), 1
+        )
+        pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=1, keepdims=True), 1e-6)
+        tok = hidden / jnp.maximum(jnp.linalg.norm(hidden, axis=-1, keepdims=True), 1e-6)
+        tok = tok * mask[:, :, None]
+        return tok.astype(jnp.bfloat16), pooled
+
+    def maxsim_matrix(qt, q_mask, dt, d_mask):
+        """[B, C] mean-over-query-token MaxSim (the inference scoring rule up
+        to a per-query positive scale, which ranking is invariant to)."""
+        sims = jnp.einsum("bqd,ctd->bcqt", qt, dt, preferred_element_type=jnp.float32)
+        sims = jnp.where(d_mask[None, :, None, :], sims, -jnp.inf)
+        best = jnp.max(sims, axis=-1)  # [B, C, Tq]
+        best = jnp.where(jnp.isfinite(best), best, 0.0)
+        denom = jnp.maximum(jnp.sum(q_mask, axis=1), 1.0)  # [B]
+        return jnp.einsum("bcq,bq->bc", best, q_mask) / denom[:, None]
+
+    def loss_fn(p, q_ids, pos_ids, neg_ids):
+        p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, p)
+        qt, zq = tokens_and_pool(p16, q_ids)
+        pt, zp = tokens_and_pool(p16, pos_ids)
+        nt, zn = tokens_and_pool(p16, neg_ids)
+        labels = jnp.arange(zq.shape[0])
+        # Dense head: identical objective to phase 3 (keeps retrieval quality).
+        dense_logits = zq @ jnp.concatenate([zp, zn]).T / temp
+        loss_dense = 0.5 * (
+            jnp.mean(optax.softmax_cross_entropy_with_integer_labels(dense_logits, labels))
+            + jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels((zp @ zq.T) / temp, labels)
+            )
+        )
+        # Token head: InfoNCE over the MaxSim score against the same
+        # positives + mined hard negatives.
+        q_mask = (q_ids != PAD).astype(jnp.float32)
+        d_mask = jnp.concatenate([pos_ids, neg_ids]) != PAD
+        dt = jnp.concatenate([pt, nt])
+        ms_logits = maxsim_matrix(qt, q_mask, dt, d_mask) / temp
+        loss_tok = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(ms_logits, labels)
+        )
+        return loss_dense + loss_tok, (loss_dense, loss_tok)
+
+    @jax.jit
+    def train_step(p, o, q_ids, pos_ids, neg_ids):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, q_ids, pos_ids, neg_ids
+        )
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss, aux
+
+    rng = np.random.default_rng(3)
+    lengths = np.diff(offsets)
+
+    def crop(doc_idx, lo, hi):
+        start, length = int(offsets[doc_idx]), int(lengths[doc_idx])
+        size = int(rng.integers(lo, min(hi, length) + 1))
+        off = int(rng.integers(0, length - size + 1))
+        return flat[start + off : start + off + size].astype(np.int32)
+
+    def make_batch():
+        q = np.full((batch, QSEQ), PAD, np.int32)
+        p_ = np.full((batch, SEQ), PAD, np.int32)
+        n_ = np.full((batch, SEQ), PAD, np.int32)
+        for i in range(batch):
+            di = int(ok_docs[rng.integers(0, ok_docs.size)])
+            cq = crop(di, 8, min(48, QSEQ))
+            cp = crop(di, 32, SEQ)
+            ni = int(neighbors[doc_row[di], rng.integers(0, neighbors.shape[1])])
+            cn = crop(ni, 32, SEQ)
+            q[i, : cq.size] = cq
+            p_[i, : cp.size] = cp
+            n_[i, : cn.size] = cn
+        return q, p_, n_
+
+    from collections import deque
+
+    t0 = time.time()
+    losses = deque(maxlen=50)
+    for step in range(steps):
+        q, p_, n_ = make_batch()
+        params, opt_state, loss, aux = train_step(
+            params, opt_state, jnp.asarray(q), jnp.asarray(p_), jnp.asarray(n_)
+        )
+        losses.append((loss, *aux))
+        if (step + 1) % 100 == 0:
+            tot, dn, tk = (
+                float(np.mean([float(entry[j]) for entry in losses])) for j in range(3)
+            )
+            rate = (step + 1) / (time.time() - t0)
+            print(
+                f"maxsim step {step+1}/{steps} loss {tot:.3f}"
+                f" (dense {dn:.3f} tok {tk:.3f}) ({rate:.1f} steps/s)",
+                flush=True,
+            )
+        if (step + 1) % 500 == 0:
+            save_npz_encoder(str(WORKDIR / "maxsim.npz"), params, CFG)
+    save_npz_encoder(str(WORKDIR / "maxsim.npz"), params, CFG)
+    tot = float(np.mean([float(entry[0]) for entry in losses]))
+    print(f"maxsim done: final loss {tot:.3f}")
+
+
 # --- Export -------------------------------------------------------------------
 
 
@@ -533,7 +719,7 @@ def run_export() -> None:
     EXPORT.mkdir(parents=True, exist_ok=True)
     src = next(
         WORKDIR / name
-        for name in ("hardneg.npz", "contrastive.npz", "mlm.npz")
+        for name in ("maxsim.npz", "hardneg.npz", "contrastive.npz", "mlm.npz")
         if (WORKDIR / name).exists()
     )
     cfg, params, _ = load_npz_encoder(str(src), dtype=jnp.float16)
@@ -550,15 +736,20 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--phase", default="all",
                         choices=["tokenizer", "tokens", "mlm", "contrastive",
-                                 "hardneg", "export", "all"])
+                                 "hardneg", "maxsim", "export", "all"])
     parser.add_argument("--size", default="base", choices=sorted(SIZES))
     parser.add_argument("--steps", type=int, default=0)
     parser.add_argument("--batch", type=int, default=0)
+    parser.add_argument("--seq", type=int, default=0,
+                        help="training sequence length (default 128; a final "
+                             "MLM stage at 512 trains the full position table)")
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args()
-    global CFG, WORKDIR
+    global CFG, WORKDIR, SEQ
     CFG = SIZES[args.size]
     WORKDIR = REPO / "data" / f"encoder_train_{args.size}"
+    if args.seq:
+        SEQ = min(args.seq, CFG["max_len"])
     if args.phase == "export":
         # Export is pure array juggling; pin to CPU so the weights do not
         # round-trip the dev tunnel's ~15 MB/s device link.
@@ -576,6 +767,8 @@ def main() -> None:
         run_contrastive(args.steps or 4000, args.batch or 512)
     if args.phase in ("hardneg", "all"):
         run_hardneg(args.steps or 2000, args.batch or 256)
+    if args.phase in ("maxsim", "all"):
+        run_maxsim(args.steps or 1200, args.batch or 64)
     if args.phase in ("export", "all"):
         run_export()
 
