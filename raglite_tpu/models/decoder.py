@@ -27,7 +27,7 @@ import numpy as np
 
 from raglite_tpu.models.json_automaton import JsonAutomaton
 from raglite_tpu.models.tokenizer import ByteTokenizer
-from raglite_tpu.ops.decode_attention import gqa_decode_attention
+from raglite_tpu.ops.decode_attention import gqa_decode_attention, gqa_verify_attention
 from raglite_tpu.ops.prefill_attention import gqa_prefill_attention, prefill_kernel_viable
 from raglite_tpu.ops.quant_matmul import (
     QuantLinear,
@@ -42,6 +42,9 @@ from raglite_tpu.ops.quant_matmul import (
 # the ~16 MB/core VMEM for q/out/accumulators; longer caches fall back to
 # the XLA einsum path.
 _DECODE_KERNEL_VMEM_BYTES = 12 * 1024 * 1024
+# Widest window routed to the verify-attention kernel (spec drafts are
+# K+1 <= ~9; anything larger is real prefill and wants the tiled kernel).
+_VERIFY_KERNEL_MAX_T = 16
 
 Params = dict[str, Any]
 
@@ -574,8 +577,20 @@ class DecoderModel:
                 and self.use_pallas_decode
                 and 4 * hd * S * k_cache.dtype.itemsize <= _DECODE_KERNEL_VMEM_BYTES
             )
+            # Small-T windows (speculative verify forwards, T <= 16) run a
+            # kernel that reproduces the T=1 decode kernel's math per window
+            # position, so draft verification shares plain greedy decode's
+            # attention numerics (VERDICT r4 #3: the XLA einsum path's
+            # different reduction order measurably flipped near-tie argmaxes,
+            # BENCH_r04 spec_bitexact_vs_plain_greedy=false).
+            use_verify_kernel = (
+                1 < T <= _VERIFY_KERNEL_MAX_T
+                and self.use_pallas_decode
+                and 4 * hd * S * k_cache.dtype.itemsize <= _DECODE_KERNEL_VMEM_BYTES
+            )
             use_prefill_kernel = (
                 T > 1
+                and not use_verify_kernel
                 and self.use_pallas_prefill
                 and prefill_kernel_viable(
                     rep, T, S, hd, k_cache.dtype.itemsize, _DECODE_KERNEL_VMEM_BYTES
@@ -595,6 +610,19 @@ class DecoderModel:
                     window=int(self.sliding_window if sliding else 0),
                 )  # [B, KVH, REP, hd] fp32
                 ctx = ctx[:, :, :, None, :]  # [B, KVH, REP, T=1, hd]
+            elif use_verify_kernel:
+                # Per window position t: the T=1 kernel's exact contractions
+                # and full-S masked softmax at position row_offset + t
+                # (ops/decode_attention.py:gqa_verify_attention).
+                ctx = gqa_verify_attention(
+                    qg.astype(k_cache.dtype),
+                    k_cache,
+                    v_cache,
+                    row_offsets,
+                    scale=float(self.attn_scale),
+                    softcap=float(self.attn_softcap or 0.0),
+                    window=int(self.sliding_window if sliding else 0),
+                )  # [B, KVH, REP, T, hd] fp32
             elif use_prefill_kernel:
                 # One program per (row, kv group, query tile): the fp32
                 # logits tile lives entirely in VMEM instead of HBM — the
@@ -1037,11 +1065,17 @@ class JaxChatLLM:
             # Unconstrained: the whole decode loop runs on device in
             # DECODE_CHUNK-token dispatches (sampling + stop checks
             # included) — one host fetch per chunk, not per token.
-            # Prompt-lookup speculation is on by default for greedy decode
-            # (bit-exact there); RAGLITE_TPU_SPECULATE=always extends it to
-            # sampled decode (speculative-sampling acceptance — the target
-            # distribution is preserved but the PRNG stream differs from
-            # plain decode), =0 disables.
+            # Prompt-lookup speculation is on by default for greedy decode.
+            # Greedy equivalence holds only when the verify forward shares
+            # the plain T=1 loop's attention numerics — the small-T verify
+            # kernel (ops/decode_attention.py:gqa_verify_attention) provides
+            # that on TPU; bench.py A/Bs the full generate path per chip
+            # (spec_bitexact_vs_plain_greedy — r4, on the XLA einsum verify
+            # path, measured near-tie argmax flips; the verify kernel was
+            # added to close exactly that gap).  RAGLITE_TPU_SPECULATE=always
+            # extends it to sampled decode (speculative-sampling acceptance —
+            # the target distribution is preserved but the PRNG stream
+            # differs from plain decode), =0 disables.
             spec_mode = os.environ.get("RAGLITE_TPU_SPECULATE", "auto")
             speculate = spec_mode != "0" and (
                 temperature == 0.0 or spec_mode in ("1", "always")

@@ -29,12 +29,15 @@ one-host-fetch-per-chunk dispatch model of `_decode_chunk_device`
 - **Exactness**: with ``temperature == 0`` the emitted sequence is
   bit-identical to plain greedy decode *under the same numerics path* — a
   draft is accepted iff it equals the argmax, and on rejection the next
-  iteration's argmax is unchanged by excluding the rejected token.  Caveat:
-  when the plain T=1 loop uses the Pallas decode-attention kernel while the
-  T=K+1 verify forward takes the XLA einsum path, different reduction
-  orders can flip near-tie argmaxes; ``bench.py`` A/Bs the two paths on
-  real TPU (``spec_bitexact_vs_plain``) so the claim is measured, not
-  assumed, per hardware.  With ``temperature > 0`` the standard
+  iteration's argmax is unchanged by excluding the rejected token.  The
+  r4 A/B measured that claim FALSE on v5e when the plain T=1 loop ran the
+  Pallas decode-attention kernel while the T=K+1 verify forward took the
+  XLA einsum path (different reduction orders flip near-tie argmaxes);
+  the small-T verify kernel (ops/decode_attention.py:gqa_verify_attention)
+  was added so verify forwards compute the T=1 kernel's exact per-position
+  attention math.  ``bench.py`` still A/Bs the full generate path on the
+  real chip (``spec_bitexact_vs_plain_greedy``) so the claim stays
+  measured, not assumed, per hardware.  With ``temperature > 0`` the standard
   speculative-sampling rule applies: draft d is accepted with probability
   p̃(d) under the filtered (temperature/top-k/top-p/min-p) target
   distribution, and on rejection the next token is drawn from the residual

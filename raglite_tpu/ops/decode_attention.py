@@ -135,3 +135,119 @@ def gqa_decode_attention(
         ),
         interpret=interpret,
     )(positions.astype(jnp.int32), q, k_cache, v_cache)
+
+
+def _verify_attn_kernel(
+    pos_ref,  # SMEM [B] int32: FIRST window position per row (row cache offset)
+    q_ref,  # VMEM [1, 1, REP, T, hd]
+    k_ref,  # VMEM [1, 1, hd, S]
+    v_ref,  # VMEM [1, 1, hd, S]
+    o_ref,  # VMEM [1, 1, REP, T, hd] fp32
+    *,
+    scale: float,
+    softcap: float,
+    window: int,
+):
+    b = pl.program_id(0)
+    pos0 = pos_ref[b]
+    q = q_ref[0, 0]  # [REP, T, hd]
+    REP, T, hd = q.shape
+    q2 = q.reshape(REP * T, hd)  # row r = (rep r // T, window step r % T)
+    k = k_ref[0, 0]  # [hd, S]
+    logits = jax.lax.dot_general(
+        q2,
+        k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [REP*T, S]
+    logits = logits * scale
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+    row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) % T
+    mask = s_ids <= row_pos
+    if window:
+        mask &= s_ids > row_pos - window
+    logits = jnp.where(mask, logits, -1e9)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    v = v_ref[0, 0]  # [hd, S]
+    ctx = jax.lax.dot_general(
+        probs.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [REP*T, hd]
+    o_ref[0, 0] = ctx.reshape(REP, T, hd)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "window", "interpret"),
+)
+def gqa_verify_attention(
+    q: jax.Array,  # [B, KVH, REP, T, hd] (any float dtype)
+    k_cache: jax.Array,  # [B, KVH, hd, S]
+    v_cache: jax.Array,  # [B, KVH, hd, S]
+    positions: jax.Array,  # [B] int32 — FIRST window position per row
+    *,
+    scale: float,
+    softcap: float = 0.0,
+    window: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Small-T grouped-query attention for speculative verify windows.
+
+    Per window position t this computes EXACTLY the T=1 decode kernel's
+    math — same [*, hd] x [hd, S] MXU contraction, same full-S masked
+    softmax, same [*, S] x [S, hd] context contraction, with position
+    ``pos0 + t`` causally masking key s iff ``s <= pos0 + t`` (and the
+    sliding window iff ``s > pos0 + t - window``) — so a draft verify
+    forward shares the plain greedy decode loop's attention numerics
+    instead of taking the XLA einsum path, whose different reduction order
+    measurably flips near-tie argmaxes (BENCH_r04
+    ``spec_bitexact_vs_plain_greedy: false``).  Returns ctx
+    [B, KVH, REP, T, hd] fp32.
+    """
+    B, KVH, REP, T, hd = q.shape
+    S = k_cache.shape[3]
+    kernel = partial(
+        _verify_attn_kernel,
+        scale=float(scale),
+        softcap=float(softcap),
+        window=int(window),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KVH),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, REP, T, hd), lambda b, g, pos: (b, g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hd, S), lambda b, g, pos: (b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hd, S), lambda b, g, pos: (b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, REP, T, hd), lambda b, g, pos: (b, g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, REP, T, hd), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * KVH * REP * T * hd * S * 2,
+            bytes_accessed=2 * B * KVH * hd * S * k_cache.dtype.itemsize,
+            transcendentals=B * KVH * REP * T * S,
+        ),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), q, k_cache, v_cache)
