@@ -637,6 +637,56 @@ def hybrid_bench(  # noqa: PLR0915
     return out
 
 
+def rerank_bench(args, rpc_floor: float) -> dict:
+    """Fused token-MaxSim rerank latency through the PRODUCTION encoder
+    (search._rank_with_token_maxsim's device path — the number VERDICT r4
+    flagged as claimed-but-unmeasured): 32 chunk-length candidates, cold
+    (query+candidate encode + score) and warm (device token-state cache
+    hits: query encode + score only)."""
+    import time
+
+    from raglite_tpu.config import RAGLiteConfig
+    from raglite_tpu.models.encoder import encoder_from_config
+
+    config = RAGLiteConfig(store_path=":memory:")
+    enc = encoder_from_config(config)
+    if not hasattr(enc, "rerank_maxsim"):
+        return {"skipped": f"default embedder {config.embedder} lacks fused rerank"}
+    rng = np.random.default_rng(7)
+    words = (
+        "relativity simultaneity inertia electrodynamics observer velocity "
+        "coordinate transformation magnetic field charge conductor motion "
+        "light signal clock synchronous measuring rod length frame axis "
+        "stationary system kinematics electromotive force energy radiation"
+    ).split()
+    cands = [" ".join(rng.choice(words, size=220)) for _ in range(32)]
+    queries = [
+        f"how does {rng.choice(words)} relate to {rng.choice(words)}"
+        for _ in range(12)
+    ]
+    out: dict = {"candidates": len(cands), "embedder": config.embedder}
+    enc.rerank_maxsim("warm the rerank programs please", cands)  # compile
+    cold_ms, warm_ms = [], []
+    for i, q in enumerate(queries):
+        if i < 4:  # cold: every candidate re-encodes
+            enc._rerank_cache.clear()
+        t0 = time.perf_counter()
+        enc.rerank_maxsim(q, cands)
+        (cold_ms if i < 4 else warm_ms).append((time.perf_counter() - t0) * 1e3)
+    out["rerank_cold_p50_ms_32"] = round(float(np.percentile(cold_ms, 50)), 1)
+    out["rerank_warm_p50_ms_32"] = round(float(np.percentile(warm_ms, 50)), 1)
+    out["rerank_warm_p50_minus_rpc_ms_32"] = round(
+        max(float(np.percentile(warm_ms, 50)) - rpc_floor * 1e3, 0.0), 1
+    )
+    out["latency_method"] = (
+        "wall-clock per rerank_maxsim call (host tokenize + uploads + "
+        "dispatches + scores fetch); warm = candidate token states cached "
+        "on device, so the call runs query encode + MaxSim score only; "
+        "minus-rpc subtracts one tunnel RTT"
+    )
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--rows", type=int, default=1_249_280)
@@ -685,6 +735,8 @@ def main() -> None:
     parser.add_argument("--gen-chunks", type=int, default=6)
     parser.add_argument("--no-hybrid", action="store_true",
                         help="skip the hybrid/filtered search section")
+    parser.add_argument("--no-rerank", action="store_true",
+                        help="skip the fused token-MaxSim rerank section")
     parser.add_argument("--cpu", action="store_true",
                         help="pin JAX to CPU (smoke runs; the shell env var "
                         "is ignored when the TPU plugin is installed)")
@@ -803,6 +855,8 @@ def main() -> None:
         sync(latency_chain(q1))
         if not args.no_hybrid:
             hybrid_bench(args, index, adapter, queries, 0.0, warm_only=True)
+        if not args.no_rerank:
+            rerank_bench(args, 0.0)
         if not args.no_gen:
             gen_bench(args, 0.0)
         if not args.no_large_gen:
@@ -833,6 +887,7 @@ def main() -> None:
             *(["--no-int8-gen"] if args.no_int8_gen else []),
             *(["--no-spec"] if args.no_spec else []),
             *(["--no-hybrid"] if args.no_hybrid else []),
+            *(["--no-rerank"] if args.no_rerank else []),
             "--large-preset", args.large_preset,
             *(["--no-large-gen"] if args.no_large_gen else []),
             *(["--cpu"] if args.cpu else []),
@@ -857,7 +912,7 @@ def main() -> None:
     # ~1 ms).  Stage A decides the search routing alone; later stages only
     # gate their own sections.
     warm_failures: list[str] = []
-    search_only = ["--no-gen", "--no-hybrid", "--no-large-gen"]
+    search_only = ["--no-gen", "--no-hybrid", "--no-rerank", "--no-large-gen"]
     chain_warm = warm_subprocess(
         search_only + (["--no-int4"] if args.no_int4 else [])
     )
@@ -995,6 +1050,12 @@ def main() -> None:
 
             hybrid = {"error": f"{type(e).__name__}: {e}"[:200],
                       "trace": traceback.format_exc()[-400:]}
+    rerank = None
+    if not args.no_rerank:
+        try:
+            rerank = rerank_bench(args, rpc_floor)
+        except Exception as e:  # noqa: BLE001
+            rerank = {"error": f"{type(e).__name__}: {e}"[:200]}
     large_generation = None
     if not args.no_large_gen:
         # Runs LAST and with the int8 index still live: the section's point
@@ -1053,6 +1114,7 @@ def main() -> None:
                 ),
                 "generation": generation,
                 "hybrid": hybrid,
+                "rerank": rerank,
                 "large_generation": large_generation,
                 "warm_failures": warm_failures,
                 "device": str(jax.devices()[0]),

@@ -20,6 +20,7 @@ Both satisfy the ``Encoder`` protocol consumed by embed.py.
 
 from __future__ import annotations
 
+import os
 import re
 import zlib
 from functools import lru_cache, partial
@@ -322,69 +323,122 @@ class TransformerEncoder:
                     out[i] = hidden[row, : encoded[i].size]
         return out
 
+    def _ensure_rerank_programs(self) -> None:
+        if hasattr(self, "_rerank_encode"):
+            return
+
+        def _encode_norm(params, ids, mask):
+            """L2-normalized token states [B, T, d] fp32 (stay on device)."""
+            hidden = self._model.apply_tokens(params, ids, mask)
+            return hidden / jnp.maximum(
+                jnp.linalg.norm(hidden, axis=-1, keepdims=True), 1e-12
+            )
+
+        def _score(qh, q_mask, ch, c_mask):
+            """Masked MaxSim of query states [Tq, d] against candidate
+            states [C, Tc, d]; returns [C] fp32 (the only host fetch)."""
+            sims = jnp.einsum(
+                "qd,ctd->cqt", qh, ch,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            sims = jnp.where(c_mask[:, None, :], sims, -jnp.inf)
+            best = jnp.max(sims, axis=-1)  # [C, Tq]
+            best = jnp.where(jnp.isfinite(best), best, 0.0)
+            return jnp.sum(best * q_mask[0][None, :], axis=-1)  # [C]
+
+        self._rerank_encode = jax.jit(_encode_norm)
+        self._rerank_score = jax.jit(_score)
+        # Device-RESIDENT normalized token states keyed by candidate text:
+        # warm reranks skip the candidate encode entirely and run only the
+        # MaxSim score program (the encode dominates cold rerank cost).
+        # Insertion-ordered for LRU; entries are [tc, d] fp32 device arrays
+        # (~1.5 MB at tc=512/d=768), so the default 128-entry cap holds
+        # ~200 MB HBM.  RAGLITE_TPU_RERANK_CACHE sets the cap (0 disables).
+        self._rerank_cache: dict[str, tuple[jax.Array, int]] = {}
+        self._rerank_cache_cap = int(os.environ.get("RAGLITE_TPU_RERANK_CACHE", "128"))
+
     def rerank_maxsim(self, query: str, texts: list[str]) -> np.ndarray:
         """Token-level MaxSim scores [len(texts)] computed ENTIRELY on
-        device: encode the query and a candidate tile, L2-normalize the
-        token states, MaxSim, and fetch only the per-candidate scalars.
+        device: encode the query and any uncached candidates, L2-normalize
+        the token states, MaxSim, and fetch only the per-candidate scalars.
 
         The host-matrix path (embed_token_level_batch + ops/maxsim.py)
         moves the full [C, T, d] hidden states across the host<->device
         boundary TWICE (fetch after encode, upload before scoring) — ~50 MB
         per 32 long candidates, which through the dev tunnel costs seconds.
-        This fused program moves C floats.  Numerically identical to the
+        This path moves C floats, and candidate token states are cached ON
+        DEVICE by text (LRU, RAGLITE_TPU_RERANK_CACHE entries), so warm
+        reranks run only the score program.  Numerically identical to the
         host path (same forward, same L2, same masked MaxSim; fp32 scoring
         matmul) — asserted by tests/test_rerank.py.
         """
         q_ids_np = np.asarray(self._tokenizer.encode(query)[: self.max_tokens], np.int32)
         if q_ids_np.size == 0 or not texts:
             return np.zeros(len(texts), np.float32)
+        self._ensure_rerank_programs()
         encoded = [
             np.asarray(self._tokenizer.encode(t)[: self.max_tokens], np.int32) for t in texts
         ]
-        if not hasattr(self, "_maxsim_tile"):
-
-            def _tile(params, q_ids, q_mask, c_ids, c_mask):
-                qh = self._model.apply_tokens(params, q_ids, q_mask)[0]  # [Tq, d]
-                ch = self._model.apply_tokens(params, c_ids, c_mask)  # [C, Tc, d]
-                qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
-                ch = ch / jnp.maximum(jnp.linalg.norm(ch, axis=-1, keepdims=True), 1e-12)
-                sims = jnp.einsum(
-                    "qd,ctd->cqt", qh, ch,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                sims = jnp.where(c_mask[:, None, :], sims, -jnp.inf)
-                best = jnp.max(sims, axis=-1)  # [C, Tq]
-                best = jnp.where(jnp.isfinite(best), best, 0.0)
-                return jnp.sum(best * q_mask[0][None, :], axis=-1)  # [C]
-
-            self._maxsim_tile = jax.jit(_tile)
         qt = _round_up(max(q_ids_np.size, 8), 128)
         q_ids = np.zeros((1, qt), np.int32)
         q_mask = np.zeros((1, qt), np.bool_)
         q_ids[0, : q_ids_np.size] = q_ids_np
         q_mask[0, : q_ids_np.size] = True
-        q_ids_j, q_mask_j = jnp.asarray(q_ids), jnp.asarray(q_mask)
+        q_mask_j = jnp.asarray(q_mask)
+        qh = self._rerank_encode(self._params, jnp.asarray(q_ids), q_mask_j)[0]
+        cache, cap = self._rerank_cache, self._rerank_cache_cap
+        # Refresh hits' recency BEFORE this call's inserts so a candidate
+        # list near the cap can't evict its own entries.
+        for text in texts:
+            if text in cache:
+                cache[text] = cache.pop(text)
+        # Encode misses, bucketed by each candidate's OWN padded length (so
+        # a text's cached states don't depend on what it co-encoded with).
+        missing: dict[int, list[int]] = {}
+        for i, ids in enumerate(encoded):
+            if texts[i] not in cache:
+                missing.setdefault(_round_up(max(ids.size, 8), 128), []).append(i)
+        tile = 32  # bounds the encode's [B, heads, T, T] attention ephemeral
+        for tc, members in missing.items():
+            for start in range(0, len(members), tile):
+                group = members[start : start + tile]
+                bpad = _round_up(len(group), 8)
+                c_ids = np.zeros((bpad, tc), np.int32)
+                c_mask = np.zeros((bpad, tc), np.bool_)
+                for row, i in enumerate(group):
+                    c_ids[row, : encoded[i].size] = encoded[i]
+                    c_mask[row, : encoded[i].size] = True
+                states = self._rerank_encode(
+                    self._params, jnp.asarray(c_ids), jnp.asarray(c_mask)
+                )  # [bpad, tc, d] fp32, on device
+                for row, i in enumerate(group):
+                    cache[texts[i]] = (states[row], int(encoded[i].size))
+        # Score: one dispatch per candidate-length bucket over the cached
+        # device states (stacked on device — nothing crosses the tunnel).
         scores = np.zeros(len(texts), np.float32)
-        # One (Tc, tile) bucket per dispatch; tile of 32 bounds the encode's
-        # [32, heads, T, T] attention ephemeral to a few hundred MB.
-        tile = 32
-        tc = _round_up(max([ids.size for ids in encoded] + [8]), 128)
-        for start in range(0, len(encoded), tile):
-            group = encoded[start : start + tile]
-            bpad = _round_up(len(group), 8)
-            c_ids = np.zeros((bpad, tc), np.int32)
-            c_mask = np.zeros((bpad, tc), np.bool_)
-            for row, ids in enumerate(group):
-                c_ids[row, : ids.size] = ids
-                c_mask[row, : ids.size] = True
-            out = np.asarray(
-                self._maxsim_tile(
-                    self._params, q_ids_j, q_mask_j, jnp.asarray(c_ids), jnp.asarray(c_mask)
-                ),
-                np.float32,
-            )
-            scores[start : start + len(group)] = out[: len(group)]
+        by_tc: dict[int, list[int]] = {}
+        for i, text in enumerate(texts):
+            by_tc.setdefault(int(cache[text][0].shape[0]), []).append(i)
+        for tc, members in by_tc.items():
+            for start in range(0, len(members), tile):
+                group = members[start : start + tile]
+                bpad = _round_up(len(group), 8)
+                rows = [cache[texts[i]][0] for i in group]
+                if bpad > len(rows):
+                    pad_row = jnp.zeros_like(rows[0])
+                    rows.extend([pad_row] * (bpad - len(rows)))
+                ch = jnp.stack(rows)  # [bpad, tc, d] device-side
+                c_mask = np.zeros((bpad, tc), np.bool_)
+                for row, i in enumerate(group):
+                    c_mask[row, : cache[texts[i]][1]] = True
+                out = np.asarray(
+                    self._rerank_score(qh, q_mask_j, ch, jnp.asarray(c_mask)),
+                    np.float32,
+                )
+                scores[group] = out[: len(group)]
+        while len(cache) > cap:
+            cache.pop(next(iter(cache)))
         return scores
 
     def embed(self, texts: list[str]) -> np.ndarray:

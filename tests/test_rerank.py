@@ -186,3 +186,44 @@ def test_fused_device_maxsim_matches_host_path() -> None:
     host_by_idx[order] = host_scores
     np.testing.assert_allclose(fused, host_by_idx, rtol=2e-3, atol=2e-3)
     assert list(np.argsort(-fused, kind="stable")) == list(order)
+
+
+def test_fused_rerank_device_cache_skips_reencode() -> None:
+    """Warm reranks must not re-encode cached candidates: the second call
+    with the same texts runs ONLY the score program (the candidate encode is
+    the dominant cold-rerank cost), and returns identical scores."""
+    import numpy as np
+
+    from raglite_tpu.models.encoder import TransformerEncoder
+
+    enc = TransformerEncoder("tiny", seed=3)
+    texts = ["light propagates in empty space", "sourdough bread", "velocity of light"]
+    cold = enc.rerank_maxsim("speed of light", texts)
+    encode_calls = []
+    real_encode = enc._rerank_encode
+
+    def counting_encode(*args, **kwargs):
+        encode_calls.append(1)
+        return real_encode(*args, **kwargs)
+
+    enc._rerank_encode = counting_encode
+    warm = enc.rerank_maxsim("speed of light", texts)
+    # Exactly one encode: the QUERY (candidates come from the device cache).
+    assert len(encode_calls) == 1
+    np.testing.assert_array_equal(cold, warm)
+    # A new candidate triggers exactly one more (candidate) encode.
+    enc.rerank_maxsim("speed of light", [*texts, "a brand new candidate"])
+    assert len(encode_calls) == 3
+
+
+def test_fused_rerank_cache_evicts_to_cap(monkeypatch) -> None:
+    from raglite_tpu.models.encoder import TransformerEncoder
+
+    enc = TransformerEncoder("tiny", seed=3)
+    enc._ensure_rerank_programs()
+    enc._rerank_cache_cap = 4
+    enc.rerank_maxsim("q", [f"candidate number {i}" for i in range(9)])
+    assert len(enc._rerank_cache) == 4
+    # The SURVIVORS are the most recent candidates, and they still score.
+    scores = enc.rerank_maxsim("q", [f"candidate number {i}" for i in range(5, 9)])
+    assert scores.shape == (4,)
