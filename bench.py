@@ -76,10 +76,15 @@ def gen_bench(args, rpc_floor: float) -> dict:
     def sync(x):
         return np.asarray(x.ravel()[0])
 
-    for B in (1, 8):
-        S = T + 512
-        ids = jnp.ones((B, T), jnp.int32)
-        lens = jnp.full((B,), T, jnp.int32)
+    # B=1/8 decode at the full prompt length is the latency story; B=32/64
+    # at chat-serving prompt lengths is the THROUGHPUT story (VERDICT r4
+    # #7: B=1 is HBM-roofline-bound by weight streaming, so MFU only climbs
+    # with batch — the serving regime a TPU decode engine differentiates in).
+    for B in (1, 8, 32, 64):
+        Tb = T if B <= 8 else min(T, 256)
+        S = Tb + 512
+        ids = jnp.ones((B, Tb), jnp.int32)
+        lens = jnp.full((B,), Tb, jnp.int32)
         cache0 = model.init_cache(B, S)
         last, cache = _prefill_last(model, params, ids, cache0, lens)  # compile
         sync(last)
@@ -88,12 +93,14 @@ def gen_bench(args, rpc_floor: float) -> dict:
         outs = [_prefill_last(model, params, ids, cache0, lens)[0] for _ in range(reps)]
         sync(outs[-1])
         prefill_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
-        out[f"prefill_tok_s_b{B}"] = round(reps * B * T / prefill_s, 1)
+        out[f"prefill_tok_s_b{B}"] = round(reps * B * Tb / prefill_s, 1)
+        if Tb != T:
+            out[f"prompt_tokens_b{B}"] = Tb
         # Prefill FLOPs: matmuls + causal attention (T^2/2 useful positions).
-        attn_prefill = 4 * cfg["layers"] * (T * T / 2) * cfg["heads"] * (
+        attn_prefill = 4 * cfg["layers"] * (Tb * Tb / 2) * cfg["heads"] * (
             cfg.get("head_dim") or cfg["d_model"] // cfg["heads"]
         )
-        flops_prefill = 2 * p_mat * T + attn_prefill
+        flops_prefill = 2 * p_mat * Tb + attn_prefill
         if peak:
             out[f"mfu_prefill_b{B}"] = round(reps * B * flops_prefill / prefill_s / peak, 3)
         # Decode: chained chunks (each depends on the previous cache).
@@ -122,6 +129,93 @@ def gen_bench(args, rpc_floor: float) -> dict:
         flops_decode = 2 * p_mat + 4 * cfg["layers"] * S * cfg["heads"] * hd
         if peak:
             out[f"mfu_decode_b{B}"] = round(n_tok * B * flops_decode / decode_s / peak, 4)
+
+    # Continuous batching (VERDICT r4 #7): B=32 serving slots, per-request
+    # completion lengths ~ Exp(192) in [32, 480]; a finished slot is refilled
+    # by prefilling a fresh prompt into its row of the live cache (one [1, T]
+    # forward + per-layer row writes) while the other 31 slots keep decoding.
+    # Reports useful (committed-request) tok/s including refill overhead —
+    # the aggregate-throughput number a serving deployment sees, vs the
+    # fixed-batch decode rows above.
+    try:
+        B, Tp = 32, 256
+        S = Tp + 512
+        ids = jnp.ones((B, Tp), jnp.int32)
+        lens = jnp.full((B,), Tp, jnp.int32)
+        last, cache = _prefill_last(model, params, ids, model.init_cache(B, S), lens)
+        one_ids = jnp.ones((1, Tp), jnp.int32)
+        one_lens = jnp.full((1,), Tp, jnp.int32)
+        one_cache0 = model.init_cache(1, S)
+
+        @jax.jit
+        def slot_refill(cache, lens, last, done, slot, one_k, one_v, one_last):
+            k = [
+                jax.lax.dynamic_update_slice(big, row, (slot, 0, 0, 0))
+                for big, row in zip(cache["k"], one_k)
+            ]
+            v = [
+                jax.lax.dynamic_update_slice(big, row, (slot, 0, 0, 0))
+                for big, row in zip(cache["v"], one_v)
+            ]
+            lens = lens.at[slot].set(Tp)
+            last = last.at[slot].set(one_last[0])
+            done = done.at[slot].set(False)
+            return {"k": k, "v": v}, lens, last, done
+
+        def cb_chunk(state):
+            cache, lens, last, done, key = state
+            toks, cache, lens, last, done, key = _decode_chunk_device(
+                model, cache, params, lens, last, mask, done, stops, key,
+                num_steps=DECODE_CHUNK, temperature=0.0, top_p=1.0, top_k=0,
+                min_p=0.0,
+            )
+            return toks, (cache, lens, last, done, key)
+
+        state = (cache, lens, last, jnp.zeros((B,), bool), jax.random.PRNGKey(1))
+        toks, state = cb_chunk(state)  # compile at this (B, S)
+        one_last, one_cache = _prefill_last(model, params, one_ids, one_cache0, one_lens)
+        cache, lens, last, done, key = state
+        cache, lens, last, done = slot_refill(  # compile the refill
+            cache, lens, last, done, jnp.asarray(0, jnp.int32),
+            one_cache["k"], one_cache["v"], one_last,
+        )
+        state = (cache, lens, last, done, key)
+        sync(last)
+        rng = np.random.default_rng(0)
+        targets = rng.exponential(192, B).clip(32, 480).astype(int)
+        emitted = np.zeros(B, np.int64)
+        useful = 0
+        refills = 0
+        n_cb_chunks = max(n_decode_chunks * 3, 12)
+        t0 = time.perf_counter()
+        for _ in range(n_cb_chunks):
+            toks, state = cb_chunk(state)
+            emitted += DECODE_CHUNK
+            finished = np.flatnonzero(emitted >= targets)
+            for b in finished:
+                useful += int(targets[b])
+                one_last, one_cache = _prefill_last(
+                    model, params, one_ids, one_cache0, one_lens
+                )
+                cache, lens, last, done, key = state
+                cache, lens, last, done = slot_refill(
+                    cache, lens, last, done, jnp.asarray(int(b), jnp.int32),
+                    one_cache["k"], one_cache["v"], one_last,
+                )
+                state = (cache, lens, last, done, key)
+                emitted[b] = 0
+                targets[b] = int(min(max(rng.exponential(192), 32.0), 480.0))
+                refills += 1
+        sync(state[2])
+        cb_s = max(time.perf_counter() - t0 - rpc_floor, 1e-6)
+        useful += int(np.minimum(emitted, targets).sum())  # in-flight progress
+        out["cb_useful_tok_s_b32"] = round(useful / cb_s, 1)
+        out["cb_total_tok_s_b32"] = round(n_cb_chunks * DECODE_CHUNK * B / cb_s, 1)
+        out["cb_refills"] = refills
+        out["cb_chunks"] = n_cb_chunks
+        del cache, lens, last, done, state, toks, one_cache, one_last
+    except Exception as e:  # noqa: BLE001 — fixed-batch numbers still report
+        out["cb_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # Prompt-lookup speculative decode at B=1 (models/speculative.py): each
     # verify forward costs one weight-streaming pass but commits 1 + accepted
@@ -217,6 +311,10 @@ def gen_bench(args, rpc_floor: float) -> dict:
     # full-precision buffers are dropped first: two base-preset models plus
     # B=8 KV caches approach the HBM budget alongside the search index.
     if not getattr(args, "no_int8_gen", False):
+        # Release every full-precision buffer still referenced (the CB and
+        # spec sections may or may not have left these bound — rebinding to
+        # None drops whatever is live without NameError either way).
+        llm = model = params = state = cache = last = toks = None
         del llm, model, params, state, cache, last, toks
         try:
             qllm = JaxChatLLM(args.gen_preset + "@int8")
