@@ -29,7 +29,12 @@ import pandas as pd
 from raglite_tpu.config import RAGLiteConfig
 from raglite_tpu.documents import Document
 from raglite_tpu.insert import insert_documents
-from raglite_tpu.search import hybrid_search, keyword_search, vector_search
+from raglite_tpu.search import (
+    hybrid_search,
+    keyword_search,
+    search_and_rerank_chunks,
+    vector_search,
+)
 from raglite_tpu.store import store_from_config
 
 __all__ = ["IRDataset", "IREvaluator", "RAGLiteTPUEvaluator", "run_ir_benchmark", "compute_measure"]
@@ -160,16 +165,22 @@ class RAGLiteTPUEvaluator(IREvaluator):
     (reference: RAGLiteEvaluator, _bench.py:88-137).
 
     Variants: "single_vector", "multivector", "query_adapter", "keyword",
-    "hybrid".  Scores are at the document level (best chunk per document),
-    like the reference's doc-level ScoredDoc aggregation.
+    "hybrid", "rerank" (multivector + token-MaxSim late interaction, the
+    role FlashRank plays in the reference's stack).  Scores are at the
+    document level (best chunk per document), like the reference's
+    doc-level ScoredDoc aggregation.
     """
 
     def __init__(self, dataset: IRDataset, *, variant: str = "multivector", config: RAGLiteConfig | None = None, cache_dir: str | None = None) -> None:
         super().__init__(dataset, variant=variant, cache_dir=cache_dir)
         base = config or RAGLiteConfig()
+        # The rerank variant scores the SAME store as "multivector" (identical
+        # embeddings; only the ranking stage differs) — share its store so the
+        # corpus is not inserted twice.
+        store_variant = "multivector" if variant == "rerank" else variant
         store_path = str(
             _bench_store_dir(base, self.cache_dir)
-            / f"bench_{dataset.name}_{variant}_{len(dataset.documents)}d"
+            / f"bench_{dataset.name}_{store_variant}_{len(dataset.documents)}d"
         )
         self.config = replace(
             base,
@@ -214,6 +225,11 @@ class RAGLiteTPUEvaluator(IREvaluator):
             chunk_ids, _ = keyword_search(query, num_results=oversample * num_results, config=self.config)
         elif self.variant == "hybrid":
             chunk_ids, _ = hybrid_search(query, num_results=oversample * num_results, config=self.config)
+        elif self.variant == "rerank":
+            chunks = search_and_rerank_chunks(
+                query, num_results=oversample * num_results, config=self.config
+            )
+            chunk_ids = [chunk.id for chunk in chunks]
         else:
             chunk_ids, _ = vector_search(query, num_results=oversample * num_results, config=self.config)
         store = store_from_config(self.config)
@@ -560,7 +576,8 @@ def run_ir_benchmark(
     measure: str = "AP@10",
     num_queries: int = 50,
     variants: tuple[str, ...] = (
-        "single_vector", "multivector", "query_adapter", "keyword", "hybrid", "hnsw",
+        "single_vector", "multivector", "query_adapter", "keyword", "hybrid",
+        "rerank", "hnsw",
     ),
     config: RAGLiteConfig | None = None,
     remote_vector_store: str | None = None,

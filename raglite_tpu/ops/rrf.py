@@ -65,8 +65,12 @@ def rrf_fuse_topk(
     # Host-lexsort parity: score desc, ordinal asc; invalid slots sink.
     neg, k_ord = jax.lax.sort((-k_scores_raw, k_ord_raw), dimension=-1, num_keys=2)
     k_scores = -neg
-    d_valid = d_ord >= 0
-    k_valid = (k_scores > 0.0) & (k_ord < num_chunks)
+    # Both sides are guarded against out-of-range ordinals, not just -1
+    # empties: TPU approx_max_k / padded-tile kernels can surface a padding
+    # slot's index with a finite score, and an unguarded ordinal would be
+    # fused and then crash the host id lookup.
+    d_valid = (d_ord >= 0) & (d_ord < num_chunks)
+    k_valid = (k_scores > 0.0) & (k_ord >= 0) & (k_ord < num_chunks)
     k1 = d_ord.shape[1]
     k2 = k_ord.shape[1]
     d_contrib = jnp.where(

@@ -18,6 +18,7 @@ become device programs:
 from __future__ import annotations
 
 import logging
+import os
 from collections import defaultdict
 from itertools import groupby
 from typing import Any
@@ -304,9 +305,16 @@ def _hybrid_fused_batch(  # noqa: PLR0913
     # Both indexes sync from the same store immediately above, so their
     # ordinal spaces are both prefix-aligned copies of store.chunk_order;
     # equal lengths imply identical id lists (an O(n) list compare per call
-    # would cost more than the search).
+    # would cost more than the search).  RAGLITE_TPU_DEBUG_ALIGN=1 upgrades
+    # this to the full compare: if a future index ever syncs differently,
+    # the fusion would silently return wrong ids.
     if len(dense.chunk_ids) != n:
         return None
+    if os.environ.get("RAGLITE_TPU_DEBUG_ALIGN") and dense.chunk_ids != kw.chunk_ids:
+        raise AssertionError(
+            "dense/keyword index ordinal spaces diverged: fused hybrid would "
+            "map ordinals to wrong chunk ids"
+        )
     term_ids = kw.resident_prepare(queries)
     if term_ids is None:
         return None
@@ -365,7 +373,10 @@ def _hybrid_fused_batch(  # noqa: PLR0913
         scores_b = packed[0]
         ords_b = np.ascontiguousarray(packed[1]).view(np.int32)
         for i in range(b):
-            keep = ords_b[i] >= 0
+            # ops/rrf.py pins empty/out-of-range slots to -1; the upper bound
+            # here is belt-and-braces so a kernel regression degrades to a
+            # short result list instead of a host IndexError.
+            keep = (ords_b[i] >= 0) & (ords_b[i] < n)
             results.append(
                 (
                     [kw.chunk_ids[int(o)] for o in ords_b[i][keep]],

@@ -154,6 +154,11 @@ def main() -> None:
                         help="comma-separated optimize_gap values to sweep "
                         "for the adapter variant (e.g. '0.02,0.05,0.1,0.2')")
     parser.add_argument("--workdir", default=str(REPO / "data" / "irbench"))
+    parser.add_argument("--embedder", default="flax:sem",
+                        help="semantic embedder spec for the sem-* variants "
+                        "(e.g. 'flax:sem' or 'flax:/path/to/export-dir'); "
+                        "pair a non-default embedder with its own --workdir "
+                        "so stores built with another embedder are not reused")
     parser.add_argument("--skip-hash", action="store_true")
     parser.add_argument("--cpu", action="store_true",
                         help="pin JAX to CPU (the shell env var is ignored "
@@ -193,7 +198,7 @@ def main() -> None:
             store_path=str(workdir / "hash"), embedder="hash:1024", llm="echo"
         )
     configs["sem_single"] = RAGLiteConfig(
-        store_path=str(workdir / "sem_single"), embedder="flax:sem", llm="echo",
+        store_path=str(workdir / "sem_single"), embedder=args.embedder, llm="echo",
         # TRUE single-vector store: one pooled whole-chunk embedding (the
         # late-chunking default stores per-chunklet sub-vectors regardless
         # of the multivector flag, faithfully to the reference).
@@ -201,7 +206,7 @@ def main() -> None:
         vector_search_multivector=False, vector_search_query_adapter=False,
     )
     configs["sem_mv"] = RAGLiteConfig(
-        store_path=str(workdir / "sem_mv"), embedder="flax:sem", llm="echo",
+        store_path=str(workdir / "sem_mv"), embedder=args.embedder, llm="echo",
         vector_search_multivector=True, vector_search_query_adapter=False,
     )
     for name, config in configs.items():
@@ -347,7 +352,9 @@ def main() -> None:
     print(results[-1], flush=True)
 
     out_path = workdir / "results.json"
-    out_path.write_text(json.dumps({"variants": results, "rerank_latency": rerank_latency}, indent=1))
+    out_path.write_text(json.dumps(
+        {"embedder": args.embedder, "docs": len(texts),
+         "variants": results, "rerank_latency": rerank_latency}, indent=1))
     print("\n| variant | MRR@10 | nDCG@10 | recall@10 |")
     print("|---|---|---|---|")
     for r in results:
