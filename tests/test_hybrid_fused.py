@@ -233,3 +233,27 @@ def test_hybrid_fused_wide_query_falls_back(raglite_test_config) -> None:
     )
     ids, scores = hybrid_search(wide, num_results=3, config=raglite_test_config)
     assert len(ids) == len(scores)
+
+
+def test_rrf_kernel_out_of_range_dense_ordinals() -> None:
+    """A padded-kernel slot can surface an out-of-range dense ordinal with a
+    FINITE score (observed on the TPU backend with tiny corpora); the fusion
+    must drop it rather than hand the host an id lookup past the end."""
+    from raglite_tpu.ops.rrf import rrf_fuse_topk
+
+    n = 10
+    d_scores = np.asarray([[3.0, 2.5, 2.0, 1.5]], np.float32)
+    d_ords = np.asarray([[4, n, 7, n + 5]], np.int64)  # two padding leaks
+    k_scores = np.asarray([[1.0, 0.8, 0.0]], np.float32)
+    k_ords = np.asarray([[4, n + 3, n]], np.int32)  # one leak, one empty
+    fused = np.asarray(
+        rrf_fuse_topk(*_pack(d_scores, d_ords, k_scores, k_ords), num_chunks=n, num_results=6)
+    )
+    ords = np.ascontiguousarray(fused[1]).view(np.int32)[0]
+    keep = ords >= 0
+    surviving = list(ords[keep])
+    assert all(0 <= o < n for o in surviving), surviving
+    # Ranks compact AROUND the dropped slots (positions are ranks as
+    # delivered by the producing kernels), so 4 keeps rank 0 and 7 rank 2;
+    # expected fused order: 4 (dense rank0 + kw rank0), then 7.
+    assert surviving == [4, 7], surviving

@@ -199,3 +199,25 @@ def test_mcp_install_writes_desktop_config(tmp_path, monkeypatch) -> None:
     assert "testkb" in desktop["mcpServers"]
     args = desktop["mcpServers"]["testkb"]["args"]
     assert "mcp" in args and "run" in args
+
+
+def test_ir_benchmark_rerank_variant(tmp_path) -> None:
+    """The 'rerank' variant (multivector + token-MaxSim late interaction, the
+    FlashRank role in the reference) runs through the harness and shares the
+    multivector store (one insert, two variants)."""
+    from raglite_tpu.irbench import run_ir_benchmark
+
+    config = RAGLiteConfig(store_path=str(tmp_path / "s"), embedder="hash:128", llm="echo")
+    df = run_ir_benchmark(
+        dataset="synthetic",
+        measure="AP@10",
+        num_queries=6,
+        variants=("multivector", "rerank"),
+        config=config,
+    )
+    assert set(df.index) == {"multivector", "rerank"}
+    assert (df["AP@10"] > 0.5).all(), df
+    # Shared store: the pair inserts into ONE bench store (rerank reuses the
+    # multivector store's embeddings; only the ranking stage differs).
+    stores = {p.name for p in (tmp_path / "s").parent.rglob("bench_*") if p.is_dir()}
+    assert len(stores) == 1, stores
