@@ -128,7 +128,9 @@ def vector_search(
             row_mask=row_mask,
             adapter=adapter,
         )
-    keep = chunk_ordinals[0] >= 0
+    # Upper bound mirrors the keyword side: TPU padded-tile kernels can
+    # surface a padding slot's ordinal with a finite score on tiny corpora.
+    keep = (chunk_ordinals[0] >= 0) & (chunk_ordinals[0] < len(index.chunk_ids))
     return (
         [index.chunk_ids[o] for o in chunk_ordinals[0][keep]],
         [float(s) for s in chunk_scores[0][keep]],
@@ -188,7 +190,7 @@ def vector_search_batch(
     )
     results: list[tuple[list[ChunkId], list[float]]] = []
     for b in range(len(queries)):
-        keep = chunk_ordinals[b] >= 0
+        keep = (chunk_ordinals[b] >= 0) & (chunk_ordinals[b] < len(index.chunk_ids))
         results.append(
             (
                 [index.chunk_ids[o] for o in chunk_ordinals[b][keep]],
