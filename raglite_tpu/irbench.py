@@ -174,10 +174,13 @@ class RAGLiteTPUEvaluator(IREvaluator):
     def __init__(self, dataset: IRDataset, *, variant: str = "multivector", config: RAGLiteConfig | None = None, cache_dir: str | None = None) -> None:
         super().__init__(dataset, variant=variant, cache_dir=cache_dir)
         base = config or RAGLiteConfig()
-        # The rerank variant scores the SAME store as "multivector" (identical
-        # embeddings; only the ranking stage differs) — share its store so the
-        # corpus is not inserted twice.
-        store_variant = "multivector" if variant == "rerank" else variant
+        # rerank/keyword/hybrid score the SAME store as "multivector"
+        # (identical embeddings and postings; only the ranking stage differs)
+        # — share its store so the corpus is not re-inserted per variant.
+        # query_adapter keeps its own store: it mutates index metadata.
+        store_variant = (
+            "multivector" if variant in ("rerank", "keyword", "hybrid") else variant
+        )
         store_path = str(
             _bench_store_dir(base, self.cache_dir)
             / f"bench_{dataset.name}_{store_variant}_{len(dataset.documents)}d"
