@@ -408,8 +408,12 @@ def _mine_hard_negatives(params, flat, offsets, k: int = 8):
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
     )
 
+    # Params/embeddings are jit ARGUMENTS, not closures: a closed-over tree
+    # is baked into the HLO as constants, and at the large size the ~336 MB
+    # compile request exceeds the tunnel compile service's body limit
+    # (HTTP 413).
     @jax.jit
-    def embed_batch(ids):
+    def embed_batch(p16, ids):
         mask = ids != PAD
         hidden = model.apply_tokens(p16, ids, mask)
         pooled = jnp.sum(hidden * mask[:, :, None], axis=1) / jnp.maximum(
@@ -432,12 +436,12 @@ def _mine_hard_negatives(params, flat, offsets, k: int = 8):
         if pad:
             ids = np.concatenate([ids, np.full((pad, SEQ), PAD, np.int32)])
             ids[len(batch_idx):, 0] = BOS  # avoid all-PAD rows
-        embs.append(embed_batch(jnp.asarray(ids))[: len(batch_idx)])
+        embs.append(embed_batch(p16, jnp.asarray(ids))[: len(batch_idx)])
     embs = jnp.concatenate(embs)  # [n, d] bf16, device-resident
     print(f"hardneg: embedded {n} docs in {time.time()-t0:.0f}s", flush=True)
 
     @jax.jit
-    def topk_tile(tile, tile_idx):
+    def topk_tile(embs, tile, tile_idx):
         sims = (tile @ embs.T).astype(jnp.float32)  # [B, n]
         cols = jnp.arange(embs.shape[0])[None, :]
         sims = jnp.where(cols == tile_idx[:, None], -jnp.inf, sims)  # drop self
@@ -449,7 +453,7 @@ def _mine_hard_negatives(params, flat, offsets, k: int = 8):
     for i in range(0, n, B):
         tile = embs[i : i + B]
         tile_idx = jnp.arange(i, i + tile.shape[0])
-        neigh[i : i + tile.shape[0]] = np.asarray(topk_tile(tile, tile_idx))
+        neigh[i : i + tile.shape[0]] = np.asarray(topk_tile(embs, tile, tile_idx))
     print(f"hardneg: mined top-{k} neighbors in {time.time()-t0:.0f}s", flush=True)
     # Map row positions back to document indices.
     return ok, ok[neigh]
