@@ -8,6 +8,11 @@
 set -u
 cd /root/repo
 
+# The rerank variant scores ~160 candidates x 1000 queries; a larger
+# device token-state cache (1024 entries ~ 1.5 GB HBM on the otherwise
+# idle chip) turns repeat candidates into score-only dispatches.
+export RAGLITE_TPU_RERANK_CACHE=1024
+
 while [ ! -f /tmp/r5_chain_done ]; do sleep 30; done
 
 # Export base maxsim checkpoint (fp16) to a non-packaged dir for the A/B.
