@@ -171,10 +171,94 @@ def load_npz_encoder(path: str, *, dtype=jnp.bfloat16):
     return cfg, params, None
 
 
+def save_hf_encoder(out_dir: str, params: Params, cfg: dict, *, tokenizer_json: str | None = None) -> str:
+    """Write encoder params as a standard HF-layout safetensors checkpoint.
+
+    Inverse of :func:`load_safetensors_encoder`'s weight mapping: BERT-style
+    names, 0-based positions, weights transposed back to HF's [out, in]
+    convention.  A trained final LayerNorm (our presets have one; classic
+    XLM-R/BERT do not) is emitted as ``final_norm.{weight,bias}``, which the
+    loader below understands — this makes the export↔load round trip exact
+    and is how the "bring your own safetensors encoder" path
+    (reference default bge-m3, /root/reference/src/raglite/_config.py:50-64)
+    is demonstrated end-to-end in the zero-egress image.
+
+    Storage dtype mirrors the npz convention: fp16 for matrices, fp32 for
+    LN params and biases.
+    """
+    import json
+    import os
+    import shutil
+
+    from safetensors.numpy import save_file
+
+    def mat(a) -> np.ndarray:
+        return np.asarray(jnp.asarray(a, jnp.float32)).astype(np.float16)
+
+    def mat_t(a) -> np.ndarray:
+        # HF stores Linear weights [out, in]; a bare .T view is F-contiguous
+        # and safetensors serializes the raw buffer, so force a C-order copy.
+        return np.ascontiguousarray(mat(a).T)
+
+    def vec(a) -> np.ndarray:
+        return np.asarray(jnp.asarray(a, jnp.float32))
+
+    tensors: dict[str, np.ndarray] = {
+        "embeddings.word_embeddings.weight": mat(params["tok_emb"]),
+        "embeddings.position_embeddings.weight": mat(params["pos_emb"]),
+        "embeddings.LayerNorm.weight": vec(params["emb_ln_scale"]),
+        "embeddings.LayerNorm.bias": vec(params["emb_ln_bias"]),
+    }
+    for i, layer in enumerate(params["layers"]):
+        b = f"encoder.layer.{i}."
+        tensors[b + "attention.self.query.weight"] = mat_t(layer["wq"])
+        tensors[b + "attention.self.key.weight"] = mat_t(layer["wk"])
+        tensors[b + "attention.self.value.weight"] = mat_t(layer["wv"])
+        tensors[b + "attention.output.dense.weight"] = mat_t(layer["wo"])
+        tensors[b + "attention.self.query.bias"] = vec(layer["bq"])
+        tensors[b + "attention.self.key.bias"] = vec(layer["bk"])
+        tensors[b + "attention.self.value.bias"] = vec(layer["bv"])
+        tensors[b + "attention.output.dense.bias"] = vec(layer["bo"])
+        tensors[b + "attention.output.LayerNorm.weight"] = vec(layer["attn_ln_scale"])
+        tensors[b + "attention.output.LayerNorm.bias"] = vec(layer["attn_ln_bias"])
+        tensors[b + "intermediate.dense.weight"] = mat_t(layer["w1"])
+        tensors[b + "intermediate.dense.bias"] = vec(layer["b1"])
+        tensors[b + "output.dense.weight"] = mat_t(layer["w2"])
+        tensors[b + "output.dense.bias"] = vec(layer["b2"])
+        tensors[b + "output.LayerNorm.weight"] = vec(layer["mlp_ln_scale"])
+        tensors[b + "output.LayerNorm.bias"] = vec(layer["mlp_ln_bias"])
+    if "final_ln_scale" in params:
+        tensors["final_norm.weight"] = vec(params["final_ln_scale"])
+        tensors["final_norm.bias"] = vec(params["final_ln_bias"])
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    hf_cfg = {
+        "model_type": "bert",
+        "num_hidden_layers": cfg["layers"],
+        "hidden_size": cfg["d_model"],
+        "num_attention_heads": cfg["heads"],
+        "intermediate_size": cfg["d_ff"],
+        "vocab_size": cfg["vocab"],
+        "max_position_embeddings": cfg["max_len"],
+        "layer_norm_eps": float(cfg.get("ln_eps", 1e-5)),
+        "hidden_act": cfg.get("hidden_act", "gelu"),
+        "pad_token_id": 0,
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)
+    if tokenizer_json is not None:
+        shutil.copyfile(tokenizer_json, os.path.join(out_dir, "tokenizer.json"))
+    return out_dir
+
+
 def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
     """Load an XLM-R-family HF checkpoint directory into our param layout.
 
     Expects ``model.safetensors`` plus ``tokenizer.json`` in ``path``.
+    Checkpoints with a trailing LayerNorm (``final_norm.{weight,bias}``, as
+    written by :func:`save_hf_encoder`) load it; classic XLM-R/BERT layouts
+    have none and the forward pass skips the stage.
     """
     import json
     import os
@@ -260,5 +344,8 @@ def load_safetensors_encoder(path: str, *, dtype=jnp.bfloat16):
                 "mlp_ln_bias": t32(b + "output.LayerNorm.bias"),
             }
         )
+    if f"{p}final_norm.weight" in tensors:
+        params["final_ln_scale"] = t32(f"{p}final_norm.weight")
+        params["final_ln_bias"] = t32(f"{p}final_norm.bias")
     tokenizer = load_tokenizer(tok_path, required=False)
     return cfg, params, tokenizer

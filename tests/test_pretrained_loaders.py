@@ -262,3 +262,56 @@ def test_hf_decoder_generates_through_chat_llm(tmp_path):
         [{"role": "user", "content": "hello world"}], max_tokens=8, temperature=0.0
     )
     assert out.content is not None  # generated and decoded something
+
+
+def test_hf_encoder_export_roundtrip_with_final_norm(tmp_path):
+    """save_hf_encoder -> load_safetensors_encoder is an exact round trip,
+    including the trained final LayerNorm that classic XLM-R layouts lack
+    (emitted/consumed as final_norm.{weight,bias}); the exported directory
+    also loads end-to-end through TransformerEncoder("flax:<dir>").  This is
+    the zero-egress demonstration that a genuine safetensors encoder
+    checkpoint drives the full embed path (reference bge-m3 default,
+    /root/reference/src/raglite/_config.py:50-64)."""
+    import jax
+
+    from raglite_tpu.models.transformer import (
+        EncoderModel,
+        init_encoder_params,
+        load_safetensors_encoder,
+        save_hf_encoder,
+    )
+
+    # max_len >= 128: embed_token_level pads sequences up to 128 tokens.
+    cfg = dict(layers=2, d_model=32, heads=4, d_ff=64, vocab=128, max_len=128)
+    params = init_encoder_params(cfg, seed=3, dtype=jnp.float32)
+    # Storage is fp16 for matrices: quantize the source the same way so the
+    # round-trip comparison is exact, not tolerance-based.
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float16).astype(jnp.float32) if a.ndim >= 2 else a, params
+    )
+    assert "final_ln_scale" in params  # our presets train a final LN
+
+    from tokenizers import Tokenizer, models
+
+    tok = Tokenizer(models.BPE(vocab={chr(97 + i): i for i in range(26)}, merges=[]))
+    out = tmp_path / "hfexport"
+    out.mkdir()
+    tok.save(str(out / "tok.json"))
+    save_hf_encoder(str(out), params, cfg, tokenizer_json=str(out / "tok.json"))
+
+    cfg2, params2, _ = load_safetensors_encoder(str(out), dtype=jnp.float32)
+    assert cfg2["layers"] == cfg["layers"] and cfg2["d_model"] == cfg["d_model"]
+    assert "final_ln_scale" in params2
+
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, 128, size=(2, 12)).astype(np.int32))
+    mask = jnp.ones((2, 12), dtype=bool)
+    gold = np.asarray(EncoderModel(cfg).apply_tokens(params, ids, mask))
+    ours = np.asarray(EncoderModel(cfg2).apply_tokens(params2, ids, mask))
+    np.testing.assert_allclose(ours, gold, rtol=1e-5, atol=1e-5)
+
+    from raglite_tpu.models.encoder import TransformerEncoder
+
+    enc = TransformerEncoder(str(out), dtype=jnp.float32)
+    vecs = enc.embed_token_level("abc")
+    assert vecs.shape[1] == cfg["d_model"] and np.isfinite(vecs).all()
