@@ -116,6 +116,16 @@ class RAGLiteConfig:
     # Reranking (reference: _config.py:73-79)
     reranker: RerankerLike = field(default_factory=_default_reranker, compare=False)
 
+    # Rank-fusion weight on the INCOMING retrieval order when reranking:
+    # the final order is a reciprocal-rank fusion (k=60, same constant as
+    # hybrid RRF) of the reranker's order with the candidates' retrieval
+    # order.  0.0 = the reranker's order verbatim (reference semantics —
+    # its cross-encoders replace the ordering outright, _search.py:364-397);
+    # 1.0 = keep retrieval order (reranker becomes a no-op).  Intermediate
+    # values hedge a weak late-interaction signal against a strong
+    # retrieval signal instead of discarding the latter.
+    reranker_blend: float = 0.0
+
     # Search method (reference: _config.py:82)
     search_method: "SearchMethod" = field(
         default_factory=_default_search_method, compare=False

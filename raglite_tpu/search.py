@@ -641,6 +641,27 @@ def _rank_with_token_maxsim(
     return [chunks[int(i)] for i in order]
 
 
+def _blend_with_retrieval_order(
+    retrieval: "list[Chunk]", reranked: "list[Chunk]", blend: float, *, k: int = 60
+) -> "list[Chunk]":
+    """Reciprocal-rank fusion of the reranker's order with the incoming
+    retrieval order (``config.reranker_blend``; same k=60 as hybrid RRF).
+
+    blend=0 returns the reranker's order untouched, blend=1 the retrieval
+    order; ties (identical fused scores) resolve to the reranker's order
+    (stable sort over ``reranked``)."""
+    if blend <= 0.0 or len(reranked) <= 1:
+        return reranked
+    if blend >= 1.0:
+        return list(retrieval)
+    score: dict[str, float] = {
+        c.id: (1.0 - blend) / (k + r) for r, c in enumerate(reranked)
+    }
+    for r, c in enumerate(retrieval):
+        score[c.id] = score.get(c.id, 0.0) + blend / (k + r)
+    return sorted(reranked, key=lambda c: -score[c.id])
+
+
 def rerank_chunks(
     query: str, chunk_ids: list[ChunkId] | list[Chunk], *, config: RAGLiteConfig | None = None
 ) -> list[Chunk]:
@@ -676,16 +697,18 @@ def rerank_chunks(
     if not reranker:
         return chunks
     if reranker == "maxsim":
-        return _rank_with_token_maxsim(query, chunks, config)
-    if reranker == "maxsim_chunklet":
-        return _rank_with_chunklet_maxsim(query, chunks, config)
-    if hasattr(reranker, "rank"):
+        ranked = _rank_with_token_maxsim(query, chunks, config)
+    elif reranker == "maxsim_chunklet":
+        ranked = _rank_with_chunklet_maxsim(query, chunks, config)
+    elif hasattr(reranker, "rank"):
         results = reranker.rank(query=query, docs=[str(chunk) for chunk in chunks])
-        return [chunks[result.doc_id] for result in results.results]
-    if callable(reranker):
-        return list(reranker(query, chunks))
-    msg = f"unsupported reranker {reranker!r}"
-    raise ValueError(msg)
+        ranked = [chunks[result.doc_id] for result in results.results]
+    elif callable(reranker):
+        ranked = list(reranker(query, chunks))
+    else:
+        msg = f"unsupported reranker {reranker!r}"
+        raise ValueError(msg)
+    return _blend_with_retrieval_order(chunks, ranked, config.reranker_blend)
 
 
 def search_and_rerank_chunks(  # noqa: PLR0913

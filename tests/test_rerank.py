@@ -128,6 +128,34 @@ def test_chunklet_reranker_selectable(raglite_test_config: "RAGLiteConfig") -> N
     assert sorted(c.id for c in chunks) == sorted(ids)
 
 
+def test_reranker_blend_fuses_orders() -> None:
+    """config.reranker_blend rank-fuses the reranker's order with the
+    incoming retrieval order: 0 = reranker verbatim (default), 1 = retrieval
+    order, intermediate = RRF where agreement between the two orders wins."""
+    import dataclasses
+
+    from raglite_tpu.config import RAGLiteConfig
+
+    chunks = [_make_chunk(f"body number {i}", i) for i in range(3)]
+    a, b, c = chunks
+
+    def fixed_reranker(query, cands):  # retrieval [a,b,c] -> reranker [b,c,a]
+        by_id = {x.id: x for x in cands}
+        return [by_id[b.id], by_id[c.id], by_id[a.id]]
+
+    base = RAGLiteConfig(embedder="hash:256", llm="echo", reranker=fixed_reranker)
+    out0 = rerank_chunks("q", list(chunks), config=base)
+    assert [x.id for x in out0] == [b.id, c.id, a.id]
+    cfg1 = dataclasses.replace(base, reranker_blend=1.0)
+    out1 = rerank_chunks("q", list(chunks), config=cfg1)
+    assert [x.id for x in out1] == [a.id, b.id, c.id]
+    # RRF at blend=0.5: b is top-rerank + 2nd-retrieval (most agreement),
+    # a is top-retrieval but last-rerank, c trails both lists.
+    cfg_half = dataclasses.replace(base, reranker_blend=0.5)
+    out_half = rerank_chunks("q", list(chunks), config=cfg_half)
+    assert [x.id for x in out_half] == [b.id, a.id, c.id]
+
+
 def test_language_detection() -> None:
     from raglite_tpu.utils.lang import detect_language
 
