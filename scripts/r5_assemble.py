@@ -68,10 +68,13 @@ def main() -> None:
     else:
         out["large_168m"] = {
             "status": "not run",
-            "note": "the 168M (12L/d1024) encoder finished all training phases "
-                    "(data/encoder_train_large) but the TPU tunnel outage "
-                    "consumed the benchmark window; packaged encoder therefore "
-                    "stays the measured 64M",
+            "note": "the 168M (12L/d1024) encoder trained in the previous "
+                    "session, but its checkpoints lived in the gitignored "
+                    "data/ directory and were lost when the final session "
+                    "started from a fresh clone; retraining 168M from scratch "
+                    "(~3h of MLM+contrastive+hardneg+maxsim) does not fit the "
+                    "final benchmark window, so the packaged encoder stays "
+                    "the measured 64M with the round-5 maxsim token-head phase",
         }
 
     for wd, key in (
