@@ -160,6 +160,15 @@ def main() -> None:
                         "pair a non-default embedder with its own --workdir "
                         "so stores built with another embedder are not reused")
     parser.add_argument("--skip-hash", action="store_true")
+    parser.add_argument("--skip-rerank", action="store_true",
+                        help="skip the sem-mv+rerank variant and the rerank-32 "
+                        "latency block (for A/B runs where the dense rows are "
+                        "the question)")
+    parser.add_argument("--rerank-queries", type=int, default=0,
+                        help="evaluate the rerank variant on only the first N "
+                        "queries (rerank is ~2.6 s/query at 160 candidates); "
+                        "emits a matched sem-multivector row over the same "
+                        "subset so the head-to-head stays apples-to-apples")
     parser.add_argument("--cpu", action="store_true",
                         help="pin JAX to CPU (the shell env var is ignored "
                         "when the TPU plugin is installed)")
@@ -316,33 +325,45 @@ def main() -> None:
         scores = list(range(len(ids), 0, -1))
         return doc_ranking(ids, scores, store_mv)
 
-    results.append(evaluate_variant("sem-mv+rerank", rerank_fn, queries, store_mv))
-    print(results[-1], flush=True)
+    rerank_latency = None
+    if not args.skip_rerank:
+        rq = queries[: args.rerank_queries] if args.rerank_queries else queries
+        results.append(evaluate_variant("sem-mv+rerank", rerank_fn, rq, store_mv))
+        print(results[-1], flush=True)
+        if args.rerank_queries and len(rq) < len(queries):
+            # Matched-subset dense baseline for the rerank head-to-head.
+            results.append(
+                evaluate_variant(
+                    f"sem-multivector@{len(rq)}", dense_fn(config_mv), rq, store_mv
+                )
+            )
+            print(results[-1], flush=True)
 
     # rerank-32 latency (VERDICT r4 task #2 "Done" criterion): cost of the
     # token-level MaxSim rerank alone over a fixed 32-candidate set —
     # candidate token re-encode (content-hash cached after first touch) +
     # device MaxSim, excluding the dense search that produced them.
-    from raglite_tpu.search import rerank_chunks, retrieve_chunks
+    if not args.skip_rerank:
+        from raglite_tpu.search import rerank_chunks, retrieve_chunks
 
-    lat_ms: list[float] = []
-    sample = queries[: min(50, len(queries))]
-    for qi, (query, _gold) in enumerate(sample):
-        ids, _scores = vector_search(query, num_results=32, config=config_mv)
-        cands = retrieve_chunks(ids, config=config_mv)
-        t0 = time.time()
-        rerank_chunks(query, cands, config=config_mv)
-        if qi:  # first call pays compiles/cache warm
-            lat_ms.append((time.time() - t0) * 1e3)
-    rerank_latency = {
-        "variant": "rerank-32-latency",
-        "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
-        "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
-        "queries": len(lat_ms),
-        "note": "token-level MaxSim over 32 candidates, cold token cache "
-                "except repeats; excludes the producing dense search",
-    }
-    print(rerank_latency, flush=True)
+        lat_ms: list[float] = []
+        sample = queries[: min(50, len(queries))]
+        for qi, (query, _gold) in enumerate(sample):
+            ids, _scores = vector_search(query, num_results=32, config=config_mv)
+            cands = retrieve_chunks(ids, config=config_mv)
+            t0 = time.time()
+            rerank_chunks(query, cands, config=config_mv)
+            if qi:  # first call pays compiles/cache warm
+                lat_ms.append((time.time() - t0) * 1e3)
+        rerank_latency = {
+            "variant": "rerank-32-latency",
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+            "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+            "queries": len(lat_ms),
+            "note": "token-level MaxSim over 32 candidates, cold token cache "
+                    "except repeats; excludes the producing dense search",
+        }
+        print(rerank_latency, flush=True)
 
     def hybrid_fn(query):
         ids, scores = hybrid_search(query, num_results=40, config=config_mv)

@@ -563,7 +563,7 @@ def run_hardneg(steps: int, batch: int) -> None:
 # --- Phase 4: joint mean-pool + token-level MaxSim finetuning ------------------
 
 
-def run_maxsim(steps: int, batch: int) -> None:
+def run_maxsim(steps: int, batch: int, lr: float = 3e-5, dense_weight: float = 1.0) -> None:
     """Train the TOKEN geometry the reranker actually scores with.
 
     The default reranker is ColBERT-style late interaction: per query token,
@@ -598,8 +598,8 @@ def run_maxsim(steps: int, batch: int) -> None:
     doc_row = {int(d): i for i, d in enumerate(ok_docs)}
     model = EncoderModel(CFG)
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, peak_value=3e-5, warmup_steps=min(200, steps // 10),
-        decay_steps=steps, end_value=3e-6,
+        0.0, peak_value=lr, warmup_steps=min(200, steps // 10),
+        decay_steps=steps, end_value=lr / 10,
     )
     optimizer = _adamw(schedule)
     opt_state = optimizer.init(params)
@@ -651,7 +651,12 @@ def run_maxsim(steps: int, batch: int) -> None:
         loss_tok = jnp.mean(
             optax.softmax_cross_entropy_with_integer_labels(ms_logits, labels)
         )
-        return loss_dense + loss_tok, (loss_dense, loss_tok)
+        # dense_weight > 1 biases the joint objective toward preserving the
+        # mean-pool retrieval geometry (the r5 A/B measured the 1.0/3e-5
+        # recipe costing sem-multivector -0.0145 MRR@10 while the token head
+        # learned; the v2 recipe trades slower token-head convergence for a
+        # smaller dense dip).
+        return dense_weight * loss_dense + loss_tok, (loss_dense, loss_tok)
 
     @jax.jit
     def train_step(p, o, q_ids, pos_ids, neg_ids):
@@ -748,6 +753,10 @@ def main() -> None:
                         help="training sequence length (default 128; a final "
                              "MLM stage at 512 trains the full position table)")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--lr", type=float, default=3e-5,
+                        help="maxsim-phase peak learning rate")
+    parser.add_argument("--dense-weight", type=float, default=1.0,
+                        help="maxsim-phase dense-loss weight (tok loss = 1)")
     args = parser.parse_args()
     global CFG, WORKDIR, SEQ
     CFG = SIZES[args.size]
@@ -772,7 +781,8 @@ def main() -> None:
     if args.phase in ("hardneg", "all"):
         run_hardneg(args.steps or 2000, args.batch or 256)
     if args.phase in ("maxsim", "all"):
-        run_maxsim(args.steps or 1200, args.batch or 64)
+        run_maxsim(args.steps or 1200, args.batch or 64,
+                   lr=args.lr, dense_weight=args.dense_weight)
     if args.phase in ("export", "all"):
         run_export()
 
