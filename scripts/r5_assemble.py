@@ -1,11 +1,18 @@
-"""Assemble IRBENCH_r05.json from whatever round-5 runs completed.
+"""Assemble IRBENCH_r05.json from the round-5 final-session runs.
 
-The happy path (scripts/r5_final_chain.sh) assumes both TPU reruns finish;
-the 2026-08-19 tunnel outage made that uncertain, so this assembler
-degrades gracefully: it prefers the TPU workdirs, falls back to the CPU
-rerun of the base bench, includes the large-encoder A/B only if its
-results exist, and attaches the BEIR-format run and the reranker_blend
-sweep when present.  Safe to run repeatedly; it overwrites IRBENCH_r05.json.
+The round-5 IR story, measured at 1000 held-out queries / 2122 docs
+(widened from r4's 200 — VERDICT r4 weak #5):
+
+  data/irbench_r5_pkg      r4 packaged 64M weights (pre-maxsim), dense rows
+  data/irbench_r5_base     maxsim-v1 recipe (lr 3e-5, dense_weight 1): the
+                           token head makes rerank WIN but costs dense MRR
+  data/irbench_r5_maxsim2  maxsim-v2 recipe (lr 1.5e-5, dense_weight 2):
+                           the packaging candidate
+  data/beir_heldout        BEIR-format directory run through the production
+                           irbench harness (AP@10)
+
+Safe to run repeatedly; it overwrites IRBENCH_r05.json and tolerates
+missing runs (keys are included only when their results.json exists).
 
 Usage: python scripts/r5_assemble.py
 """
@@ -44,46 +51,33 @@ def main() -> None:
         },
     }
 
-    base_tpu = _load("data/irbench_r5_base/results.json")
-    base_cpu = _load("data/irbench_r5_base_cpu/results.json")
-    if base_tpu is not None:
-        out["base_64m_maxsim"] = base_tpu
-        if base_cpu is not None:
-            out["base_64m_maxsim_cpu_rerun"] = {
-                "note": "CPU fallback run during the TPU outage; quality rows "
-                        "agree with the TPU run (same encoder, same protocol)",
-                "variants": base_cpu.get("variants"),
-            }
-    elif base_cpu is not None:
-        out["base_64m_maxsim"] = dict(
-            base_cpu,
-            note="run on CPU during the 2026-08-19 TPU tunnel outage; quality "
-                 "metrics are device-independent (same encoder weights), "
-                 "latency rows are not representative",
-        )
-
-    large = _load("data/irbench_r5_large/results.json")
-    if large is not None:
-        out["large_168m"] = large
-    else:
-        out["large_168m"] = {
-            "status": "not run",
-            "note": "the 168M (12L/d1024) encoder trained in the previous "
-                    "session, but its checkpoints lived in the gitignored "
-                    "data/ directory and were lost when the final session "
-                    "started from a fresh clone; retraining 168M from scratch "
-                    "(~3h of MLM+contrastive+hardneg+maxsim) does not fit the "
-                    "final benchmark window, so the packaged encoder stays "
-                    "the measured 64M with the round-5 maxsim token-head phase",
-        }
-
-    for wd, key in (
-        ("data/irbench_r5_base", "blend_sweep"),
-        ("data/irbench_r5_base_cpu", "blend_sweep_cpu"),
+    for relpath, key, note in (
+        ("data/irbench_r5_pkg/results.json", "pkg_64m_r4_weights",
+         "r4 packaged weights (MLM+contrastive+hardneg, no maxsim phase); "
+         "dense rows only — its rerank was the r4 quality-negative finding"),
+        ("data/irbench_r5_base/results.json", "maxsim_v1",
+         "joint dense+token maxsim phase, lr 3e-5 dense_weight 1.0: rerank "
+         "beats its own dense baseline but dense mv regressed vs pkg"),
+        ("data/irbench_r5_maxsim2/results.json", "maxsim_v2",
+         "gentler recipe, lr 1.5e-5 dense_weight 2.0 steps 800; "
+         "rerank evaluated on the first 500 queries with a matched "
+         "sem-multivector@500 baseline row"),
     ):
-        sweep = _load(f"{wd}/blend_sweep.json")
-        if sweep is not None:
-            out[key] = sweep
+        res = _load(relpath)
+        if res is not None:
+            res = dict(res)
+            res["note"] = note
+            out[key] = res
+
+    out["large_168m"] = {
+        "status": "not run",
+        "note": "the 168M (12L/d1024) encoder trained in the previous "
+                "session, but its checkpoints lived in the gitignored data/ "
+                "directory and were lost when the final session started from "
+                "a fresh clone; retraining 168M from scratch (~3h) does not "
+                "fit the final benchmark window, so the packaged encoder "
+                "stays the measured 64M",
+    }
 
     beir = _load("data/beir_heldout/results_AP_at_10.json")
     if beir is not None:
